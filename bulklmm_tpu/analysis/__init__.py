@@ -1,0 +1,6 @@
+"""Post-scan analysis: thresholds, profile likelihood."""
+
+from .profile_ll import ProfileLL, getLL, profile_LL
+from .thresholds import Thresholds, get_thresholds
+
+__all__ = ["ProfileLL", "getLL", "profile_LL", "Thresholds", "get_thresholds"]

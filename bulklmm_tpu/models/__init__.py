@@ -1,0 +1,23 @@
+"""Scan engines (the model families of the framework)."""
+
+from .bulkscan import (
+    bulkscan,
+    bulkscan_alt_grid,
+    bulkscan_null,
+    bulkscan_null_grid,
+    grid_null_ell,
+)
+from .results import BulkScanResult, ScanResult
+from .scan import scan, scan_perms_lite
+
+__all__ = [
+    "bulkscan",
+    "bulkscan_alt_grid",
+    "bulkscan_null",
+    "bulkscan_null_grid",
+    "grid_null_ell",
+    "BulkScanResult",
+    "ScanResult",
+    "scan",
+    "scan_perms_lite",
+]

@@ -1,0 +1,226 @@
+"""Multi-trait bulk genome scans: null-grid / null-exact / alt-grid.
+
+Parity: reference ``bulkscan`` (src/bulkscan.jl:81-162) and its three engines.
+TPU-first redesign:
+
+- **null-grid** (src/bulkscan.jl:321-397): the reference evaluates the h2
+  grid, then groups traits into h2-bins and runs one CPU GEMM per bin
+  (dynamic shapes). Here the grid likelihoods are one vmapped batched solve
+  (grid x traits in a single device step), the per-trait argmax picks h2, and
+  the scan runs through the per-trait-weight correlation kernel
+  (ops/liteqtl.py) — (c+2) static-shape MXU GEMMs, exact per-trait h2, no
+  binning or reordering.
+- **null-exact** (src/bulkscan.jl:188-313): the reference multi-threads a
+  per-trait Brent + GEMV loop over trait blocks. Here ``vmap(fit_lmm)``
+  batches every Brent iteration across all m traits, then the same per-trait
+  kernel produces the (p x m) LOD matrix.
+- **alt-grid** (src/bulkscan.jl:428-527): ``lax.scan`` over the h2 grid with
+  a running elementwise max of the alt log-likelihood, tracking the argmax h2
+  per (marker, trait). The reference's ``tmax!`` counter bug (h2_panel picks
+  ``hsq_list[count]`` rather than the current h2, src/bulkscan.jl:494-524)
+  is fixed: we report the true argmax h2.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.liteqtl import lods_per_trait, lods_shared
+from ..ops.lmm import fit_lmm
+from ..ops.lod import lod2log10p
+from ..ops.rotation import transform_rotation
+from ..ops.weights import make_weights
+from ..ops.wls import wls
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from .results import BulkScanResult
+from .scan import _apply_weights
+
+_LN10 = math.log(10.0)
+
+
+def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False, method="qr"):
+    """(g, m) null-model log-likelihoods over the h2 grid.
+
+    One vmapped batched WLS per grid point — the reference's
+    ``map(h2 -> wls_multivar(...).Ell, grid)`` (src/bulkscan_helpers.jl:267-269)
+    as a single fused device computation.
+    """
+
+    def ell_one(h2):
+        w = make_weights(h2, lam)
+        return wls(Y0, X0_cov, w, prior, reml=reml, method=method).ell
+
+    return jax.vmap(ell_one)(h2_grid)
+
+
+@partial(jax.jit, static_argnames=("n_covars", "prior", "reml", "method", "precision"))
+def _bulkscan_null_grid_core(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+    X0_cov = X0[:, :n_covars]
+    ells = grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, reml=reml, method=method)
+    idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
+    h2_list = h2_grid[idx]
+    L = lods_per_trait(Y0, X0[:, n_covars:], X0_cov, lam, h2_list, precision=precision)
+    return L, h2_list
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_covars", "prior", "reml", "method", "optim_interval", "precision"),
+)
+def _bulkscan_null_exact_core(
+    Y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision
+):
+    X0_cov = X0[:, :n_covars]
+    fits = jax.vmap(
+        lambda yj: fit_lmm(
+            yj, X0_cov, lam, prior,
+            reml=reml, method=method, optim_interval=optim_interval,
+        ),
+        in_axes=1,
+    )(Y0)
+    h2_list = fits.h2
+    L = lods_per_trait(Y0, X0[:, n_covars:], X0_cov, lam, h2_list, precision=precision)
+    return L, h2_list
+
+
+@partial(jax.jit, static_argnames=("n_covars", "prior", "reml", "method", "precision"))
+def _bulkscan_alt_grid_core(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+    X0_cov = X0[:, :n_covars]
+    X0_m = X0[:, n_covars:]
+    p = X0_m.shape[1]
+    m = Y0.shape[1]
+    dt = Y0.dtype
+
+    def step(carry, inputs):
+        k, h2 = inputs
+        logL1_max, kmax, logL0_max = carry
+        lod_k = lods_shared(Y0, X0_m, X0_cov, lam, h2, precision=precision)
+        ell0 = wls(Y0, X0_cov, make_weights(h2, lam), prior, reml=reml, method=method).ell
+        logL1 = lod_k * _LN10 + ell0[None, :]
+        upd = logL1 > logL1_max
+        return (
+            jnp.where(upd, logL1, logL1_max),
+            jnp.where(upd, k, kmax),
+            jnp.maximum(logL0_max, ell0),
+        ), None
+
+    init = (
+        jnp.full((p, m), -jnp.inf, dtype=dt),
+        jnp.zeros((p, m), dtype=jnp.int32),
+        jnp.full((m,), -jnp.inf, dtype=dt),
+    )
+    ks = jnp.arange(h2_grid.shape[0], dtype=jnp.int32)
+    (logL1_max, kmax, logL0_max), _ = jax.lax.scan(step, init, (ks, h2_grid))
+    L = (logL1_max - logL0_max[None, :]) / _LN10
+    h2_panel = h2_grid[kmax]
+    return L, h2_panel
+
+
+def bulkscan(
+    Y,
+    G,
+    K,
+    covar=None,
+    *,
+    method: str = "null-grid",
+    h2_grid=None,
+    add_intercept: bool = True,
+    weights=None,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    output_pvals: bool = False,
+    chisq_df: int = 1,
+    solve_method: str = "qr",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+) -> BulkScanResult:
+    """Genome scan for many traits at once.
+
+    ``method``: "null-grid" (default; grid-approximated Null-LMM),
+    "null-exact" (per-trait Brent Null-LMM), or "alt-grid" (grid-approximated
+    Exact-LMM). Keyword surface mirrors the reference (src/bulkscan.jl:81-162;
+    the reference's ``nb``/``nt_blas`` CPU-threading knobs have no TPU
+    equivalent — parallelism comes from the device mesh, see
+    ``bulklmm_tpu.parallel``).
+    """
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    G = jnp.asarray(G)
+    n = Y.shape[0]
+
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+
+    if weights is not None:
+        Y, G, covar, K, add_intercept = _apply_weights(Y, G, covar, K, weights, add_intercept)
+
+    prior = (float(prior_variance), float(prior_sample_size))
+    n_covars = covar.shape[1] + (1 if add_intercept else 0)
+
+    rot = transform_rotation(
+        Y, jnp.concatenate([covar, G], axis=1), K,
+        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
+    )
+
+    if method == "null-grid":
+        L, h2_list = _bulkscan_null_grid_core(
+            rot.y0, rot.X0, rot.lam, h2_grid.astype(rot.y0.dtype),
+            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            precision=precision,
+        )
+        result = BulkScanResult(L=L, h2_null_list=h2_list)
+    elif method == "null-exact":
+        L, h2_list = _bulkscan_null_exact_core(
+            rot.y0, rot.X0, rot.lam,
+            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            optim_interval=optim_interval, precision=precision,
+        )
+        result = BulkScanResult(L=L, h2_null_list=h2_list)
+    elif method == "alt-grid":
+        L, h2_panel = _bulkscan_alt_grid_core(
+            rot.y0, rot.X0, rot.lam, h2_grid.astype(rot.y0.dtype),
+            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            precision=precision,
+        )
+        result = BulkScanResult(L=L, h2_panel=h2_panel)
+    else:
+        raise ValueError(
+            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+        )
+
+    if output_pvals:
+        result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
+        result.chisq_df = chisq_df
+    return result
+
+
+def bulkscan_null(Y, G, K, covar=None, **kwargs) -> BulkScanResult:
+    """Exact Null-LMM bulk scan (reference bulkscan_null, src/bulkscan.jl:188)."""
+    kwargs.setdefault("prior_variance", 1.0)
+    return bulkscan(Y, G, K, covar, method="null-exact", **kwargs)
+
+
+def bulkscan_null_grid(Y, G, K, h2_grid=None, covar=None, **kwargs) -> BulkScanResult:
+    """Grid-approximated Null-LMM bulk scan (reference src/bulkscan.jl:321)."""
+    kwargs.setdefault("prior_variance", 1.0)
+    return bulkscan(Y, G, K, covar, method="null-grid", h2_grid=h2_grid, **kwargs)
+
+
+def bulkscan_alt_grid(Y, G, K, h2_grid=None, covar=None, **kwargs) -> BulkScanResult:
+    """Grid-approximated Exact-LMM bulk scan (reference src/bulkscan.jl:428)."""
+    kwargs.setdefault("prior_variance", 1.0)
+    return bulkscan(Y, G, K, covar, method="alt-grid", h2_grid=h2_grid, **kwargs)

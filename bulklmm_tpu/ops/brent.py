@@ -1,0 +1,134 @@
+"""Branch-free Brent minimization, vmappable and jit-safe.
+
+TPU-native replacement for Optim.jl's Brent + the reference's ``gridbrent``
+multi-interval wrapper (src/gridbrent.jl:9-24, src/lmm.jl:81): the classic
+parabolic-interpolation/golden-section method is rewritten with ``lax`` masked
+updates and a fixed iteration budget so it can be ``vmap``-ed over thousands
+of traits or markers simultaneously — every Brent iteration across the whole
+batch becomes one fused device step instead of a per-trait CPU loop.
+
+Convergence criterion matches Optim.jl defaults (rel_tol = sqrt(eps),
+abs_tol ~ eps-scale): lanes that converge early freeze their state while the
+rest keep iterating.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_CGOLD = 0.3819660112501051  # 2 - golden ratio
+
+
+def brent_min(
+    f: Callable,
+    lo,
+    hi,
+    *,
+    rel_tol: float = 1.4901161193847656e-08,
+    abs_tol: float = 2.220446049250313e-16,
+    maxiter: int = 96,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Minimize scalar ``f`` on [lo, hi]; returns ``(fmin, xmin)``.
+
+    ``f`` must be traceable; endpoints are never evaluated exactly (the first
+    probe is the interior golden point), matching Brent's bracketing.
+    """
+    lo = jnp.asarray(lo, dtype=jnp.result_type(lo, 0.0))
+    hi = jnp.asarray(hi, dtype=lo.dtype)
+
+    a, b = lo, hi
+    x = a + _CGOLD * (b - a)
+    fx = f(x)
+    w = v = x
+    fw = fv = fx
+    d = jnp.zeros_like(x)
+    e = jnp.zeros_like(x)
+
+    def body(_, st):
+        a, b, x, w, v, fx, fw, fv, d, e = st
+        xm = 0.5 * (a + b)
+        tol1 = rel_tol * jnp.abs(x) + abs_tol
+        tol2 = 2.0 * tol1
+        done = jnp.abs(x - xm) <= (tol2 - 0.5 * (b - a))
+
+        # Trial parabolic fit through (x, w, v).
+        r = (x - w) * (fx - fv)
+        q = (x - v) * (fx - fw)
+        p = (x - v) * q - (x - w) * r
+        q = 2.0 * (q - r)
+        p = jnp.where(q > 0.0, -p, p)
+        q = jnp.abs(q)
+        etemp = e
+        safe_q = jnp.where(q == 0.0, 1.0, q)
+        d_para = p / safe_q
+        u_para = x + d_para
+        use_para = (
+            (jnp.abs(etemp) > tol1)
+            & (jnp.abs(p) < jnp.abs(0.5 * q * etemp))
+            & (p > q * (a - x))
+            & (p < q * (b - x))
+        )
+        # Parabolic step landing within tol2 of a bound: nudge toward midpoint.
+        d_para = jnp.where(
+            (u_para - a < tol2) | (b - u_para < tol2),
+            jnp.where(xm - x >= 0.0, tol1, -tol1),
+            d_para,
+        )
+        # Golden-section fallback.
+        e_gold = jnp.where(x >= xm, a - x, b - x)
+        d_gold = _CGOLD * e_gold
+
+        e_new = jnp.where(use_para, d, e_gold)
+        d_new = jnp.where(use_para, d_para, d_gold)
+
+        # Never step less than tol1.
+        u = jnp.where(
+            jnp.abs(d_new) >= tol1,
+            x + d_new,
+            x + jnp.where(d_new >= 0.0, tol1, -tol1),
+        )
+        fu = f(u)
+
+        better = fu <= fx
+        a_n = jnp.where(better, jnp.where(u >= x, x, a), jnp.where(u < x, u, a))
+        b_n = jnp.where(better, jnp.where(u >= x, b, x), jnp.where(u < x, b, u))
+
+        # Rotate the (x, w, v) history.
+        x_n = jnp.where(better, u, x)
+        fx_n = jnp.where(better, fu, fx)
+        promote_w = (~better) & ((fu <= fw) | (w == x))
+        promote_v = (~better) & ~promote_w & ((fu <= fv) | (v == x) | (v == w))
+        v_n = jnp.where(better, w, jnp.where(promote_w, w, jnp.where(promote_v, u, v)))
+        fv_n = jnp.where(better, fw, jnp.where(promote_w, fw, jnp.where(promote_v, fu, fv)))
+        w_n = jnp.where(better, x, jnp.where(promote_w, u, w))
+        fw_n = jnp.where(better, fx, jnp.where(promote_w, fu, fw))
+
+        new = (a_n, b_n, x_n, w_n, v_n, fx_n, fw_n, fv_n, d_new, e_new)
+        old = (a, b, x, w, v, fx, fw, fv, d, e)
+        return tuple(jnp.where(done, o, nv) for o, nv in zip(old, new))
+
+    st = jax.lax.fori_loop(0, maxiter, body, (a, b, x, w, v, fx, fw, fv, d, e))
+    return st[5], st[2]
+
+
+def gridbrent(
+    f: Callable,
+    a: float,
+    b: float,
+    ninterval: int = 1,
+    **brent_kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Brent on ``ninterval`` equal subdivisions of [a, b]; global minimum.
+
+    Guards against multi-modal profile likelihoods exactly like the
+    reference's ``gridbrent`` (src/gridbrent.jl:9-24), but the subintervals
+    run as one vmapped batch instead of a broadcast loop.
+    """
+    pts = jnp.linspace(a, b, ninterval + 1)
+    av, bv = pts[:-1], pts[1:]
+    fmins, xmins = jax.vmap(lambda lo, hi: brent_min(f, lo, hi, **brent_kwargs))(av, bv)
+    i = jnp.argmin(fmins)
+    return fmins[i], xmins[i]

@@ -1,0 +1,42 @@
+"""Kinship (genetic-relatedness) matrix from genotype probabilities.
+
+Parity: reference ``calcKinship`` (src/kinship.jl:4-13):
+
+    X = G - 0.5;  K = 2 * (X X^T) / p + 0.5;  diag(K) = 1
+
+One rank-n GEMM over all markers — on TPU this is a single MXU matmul. For
+marker counts too large for one device, ``calc_kinship_sharded`` computes the
+same GEMM over a marker-sharded mesh axis with a ``psum`` reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+
+
+def calc_kinship(geno, precision: PrecisionConfig = DEFAULT_PRECISION):
+    """Kinship matrix from an (n, p) genotype-probability matrix."""
+    dtype = precision.resolve_solve()
+    X = jnp.asarray(geno, dtype=dtype) - 0.5
+    p = X.shape[1]
+    K = 2.0 * jnp.matmul(X, X.T, precision=precision.gemm_precision) / p + 0.5
+    K = jnp.fill_diagonal(K, 1.0, inplace=False)
+    return K
+
+
+def calc_kinship_sharded(geno_shard, axis_name: str):
+    """Kinship from a marker-sharded genotype block inside ``shard_map``.
+
+    ``geno_shard`` is this device's (n, p_local) slice; the cross-product and
+    the marker count are both summed over ``axis_name`` so every device ends
+    with the identical full (n, n) kinship.
+    """
+    X = geno_shard - 0.5
+    local = jnp.matmul(X, X.T, precision=jax.lax.Precision.HIGHEST)
+    total = jax.lax.psum(local, axis_name)
+    p_total = jax.lax.psum(X.shape[1], axis_name)
+    K = 2.0 * total / p_total + 0.5
+    return jnp.fill_diagonal(K, 1.0, inplace=False)

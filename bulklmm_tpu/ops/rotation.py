@@ -1,0 +1,153 @@
+"""FaST-LMM decorrelation pipeline: rotate / reweight / permute.
+
+Parity: reference src/transform_helpers.jl.
+
+- ``transform_rotation`` (:1-55): eigendecompose (or SVD) the kinship matrix
+  once per dataset and rotate traits + design into the basis where errors are
+  independent. TPU-first split: the O(n^3) symmetric eigendecomposition runs
+  **eagerly on the host in float64** (n is small relative to p, m; TPU f64 is
+  emulated), while the O(n^2 (p+c+m)) rotation GEMMs run on device. The
+  rotated arrays then feed the jitted static-shape scan cores.
+- ``transform_reweight`` (:57-92): fit the null VC on the covariate block,
+  residualize, scale by sqrt-weights, project covariates out of the markers.
+- ``transform_permute`` (:94-102): batched permutations of the rotated,
+  reweighted, covariate-residualized residuals (iid under the null), with
+  JAX's counter-based PRNG instead of MersenneTwister.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from .stats import shuffle_vector
+from .weights import make_weights
+from .wls import resid
+
+
+class RotatedData(NamedTuple):
+    """Eigen-rotated data: ``y0 = U^T y``, ``X0 = U^T [covar geno]``, and the
+    kinship eigenvalues ``lam`` (ascending for decomp_scheme='eigen',
+    descending for 'svd' — matching Julia eigen/svd ordering)."""
+
+    y0: jnp.ndarray
+    X0: jnp.ndarray
+    lam: jnp.ndarray
+
+
+def kinship_eigen(K, decomp_scheme: str = "eigen") -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (float64 LAPACK) decomposition of the kinship matrix.
+
+    Returns ``(Ut, lam)`` with rows of ``Ut`` the eigenvectors. Warns (not
+    errors) on eigenvalues below -1e-7, like the reference
+    (src/transform_helpers.jl:27-30).
+    """
+    K64 = np.asarray(K, dtype=np.float64)
+    if decomp_scheme == "eigen":
+        lam, U = np.linalg.eigh(K64)
+        Ut = U.T
+    elif decomp_scheme == "svd":
+        _, lam, Vt = np.linalg.svd(K64)
+        Ut = Vt
+    else:
+        raise ValueError("decomp_scheme must be 'eigen' or 'svd'")
+    if np.any(lam < -1e-7):
+        warnings.warn(
+            "Negative eigenvalues exist. The kinship matrix supplied may not be SPD."
+        )
+    return Ut, lam
+
+
+def transform_rotation(
+    y,
+    g,
+    K,
+    *,
+    add_intercept: bool = True,
+    decomp_scheme: str = "eigen",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+) -> RotatedData:
+    """Rotate traits and design into the kinship eigenbasis.
+
+    ``y``: (n,) or (n, m) traits; ``g``: (n, p) design (covariates already
+    prepended by the caller, or just markers when ``add_intercept=True``).
+    """
+    y = jnp.asarray(y)
+    y2 = y[:, None] if y.ndim == 1 else y
+    g = jnp.asarray(g)
+    n = y2.shape[0]
+    if g.shape[0] != n or np.shape(K)[0] != n:
+        raise ValueError("Dimension mismatch.")
+
+    if add_intercept:
+        X = jnp.concatenate([jnp.ones((n, 1), dtype=g.dtype), g], axis=1)
+    else:
+        X = g
+
+    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
+    dtype = precision.resolve_solve()
+    Ut = jnp.asarray(Ut_np, dtype=dtype)
+    lam = jnp.asarray(lam_np, dtype=dtype)
+
+    pgp = precision.gemm_precision
+    y0 = jnp.matmul(Ut, y2.astype(dtype), precision=pgp)
+    X0 = jnp.matmul(Ut, X.astype(dtype), precision=pgp)
+    return RotatedData(y0=y0, X0=X0, lam=lam)
+
+
+class ReweightedData(NamedTuple):
+    r0: jnp.ndarray  # (n, 1) weighted null residuals
+    X00: jnp.ndarray  # (n, p) weighted markers with covariates projected out
+    sigma2_e: jnp.ndarray
+    h2_null: jnp.ndarray
+
+
+def transform_reweight(
+    y0,
+    X0,
+    lam,
+    *,
+    n_covars: int = 1,
+    prior_a: float = 0.0,
+    prior_b: float = 0.0,
+    reml: bool = False,
+    method: str = "qr",
+    optim_interval: int = 1,
+) -> ReweightedData:
+    """Null-model fit -> residualize -> sqrt-weight -> project out covariates.
+
+    Parity: reference transform_reweight (src/transform_helpers.jl:57-92).
+    """
+    from .lmm import fit_lmm  # local import to avoid cycle
+
+    X0_cov = X0[:, :n_covars]
+    vc = fit_lmm(
+        y0, X0_cov, lam, (prior_a, prior_b),
+        reml=reml, method=method, optim_interval=optim_interval,
+    )
+    r0 = y0 - X0_cov @ vc.b
+    sqrtw = jnp.sqrt(make_weights(vc.h2, lam))
+    w_r0 = r0 * sqrtw[:, None]
+    w_X0 = X0 * sqrtw[:, None]
+    X00 = resid(w_X0[:, n_covars:], w_X0[:, :n_covars], method=method)
+    return ReweightedData(r0=w_r0, X00=X00, sigma2_e=vc.sigma2, h2_null=vc.h2)
+
+
+def transform_permute(r0, *, nperms: int = 1024, rndseed: int = 0, original: bool = True):
+    """Batched permutations of the (iid-under-null) weighted residuals.
+
+    Column 0 is the unpermuted vector when ``original=True``. Deterministic
+    under ``rndseed`` (JAX threefry; not bit-identical to the reference's
+    MersenneTwister — parity is distributional).
+    Parity: reference transform_permute (src/transform_helpers.jl:94-102).
+    """
+    if nperms < 0:
+        raise ValueError("The required number of permutations must be a positive integer.")
+    key = jax.random.PRNGKey(rndseed)
+    col = r0[:, 0] if r0.ndim == 2 else r0
+    return shuffle_vector(key, col, nperms, original=original)

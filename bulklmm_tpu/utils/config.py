@@ -1,0 +1,60 @@
+"""Precision / numerics configuration for the TPU-native LMM engine.
+
+The reference (BulkLMM.jl) is float64 end-to-end on CPU BLAS. On TPU, float64
+is emulated and slow, so the engine splits precision into two knobs:
+
+- ``solve_dtype``: dtype for the scalar-heavy path (weights, likelihoods,
+  per-trait/marker WLS solves, Brent iterations). float64 on CPU tests gives
+  bit-comparable parity with the reference formulas; float32 on TPU is fast.
+- ``gemm_dtype`` + ``gemm_precision``: dtype/precision of the large
+  trait x marker correlation GEMMs (the throughput core). float32 with
+  ``Precision.HIGHEST`` uses the MXU's highest-accuracy f32 path.
+
+There is no config-file / env-var system in the reference (everything is
+keyword arguments; see reference src/scan.jl:94-109); we mirror that with a
+small frozen dataclass passed as a keyword.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def default_float() -> Any:
+    """float64 when jax x64 is enabled, else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecisionConfig:
+    """Numerics knobs for the scan engines.
+
+    Attributes:
+      solve_dtype: dtype for likelihood / WLS / optimizer math. ``None``
+        resolves to float64 if x64 is enabled, else float32.
+      gemm_dtype: dtype for the big correlation GEMMs. ``None`` resolves to
+        ``solve_dtype``.
+      gemm_precision: ``jax.lax.Precision`` for those GEMMs.
+    """
+
+    solve_dtype: Optional[Any] = None
+    gemm_dtype: Optional[Any] = None
+    gemm_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    def resolve_solve(self) -> Any:
+        return self.solve_dtype if self.solve_dtype is not None else default_float()
+
+    def resolve_gemm(self) -> Any:
+        return self.gemm_dtype if self.gemm_dtype is not None else self.resolve_solve()
+
+
+DEFAULT_PRECISION = PrecisionConfig()
+
+
+def enable_x64() -> None:
+    """Enable float64 globally (call before creating arrays)."""
+    jax.config.update("jax_enable_x64", True)
