@@ -1,0 +1,86 @@
+"""Brent optimizer and fit_lmm tests (reference test/gridbrent_test.jl,
+test/lmm_test.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from bulklmm_tpu.ops.brent import brent_min, gridbrent
+from bulklmm_tpu.ops.lmm import fit_lmm
+from bulklmm_tpu.ops.rotation import transform_rotation
+from bulklmm_tpu.ops.weights import make_weights
+
+rng = np.random.default_rng(5)
+
+
+def test_brent_quadratic():
+    fmin, xmin = brent_min(lambda x: (x - 0.3217) ** 2 + 1.5, 0.0, 1.0)
+    assert abs(float(xmin) - 0.3217) < 1e-7
+    assert abs(float(fmin) - 1.5) < 1e-12
+
+
+def test_brent_boundary_minimum():
+    _, xmin = brent_min(lambda x: x, 0.0, 1.0)
+    assert float(xmin) < 1e-6
+
+
+def test_gridbrent_multimodal():
+    f = lambda x: jnp.sin(8 * x) + 0.5 * x
+    _, xmin = gridbrent(f, 0.0, 1.0, 4)
+    xs = np.linspace(0, 1, 200001)
+    true_x = xs[np.argmin(np.sin(8 * xs) + 0.5 * xs)]
+    assert abs(float(xmin) - true_x) < 1e-5  # brute grid spacing is 5e-6
+
+
+def test_brent_vmappable():
+    centers = jnp.asarray([0.1, 0.5, 0.9])
+    f = lambda c: brent_min(lambda x: (x - c) ** 2, 0.0, 1.0)[1]
+    xs = jax.vmap(f)(centers)
+    assert np.allclose(np.asarray(xs), np.asarray(centers), atol=1e-7)
+
+
+def test_make_weights():
+    lam = jnp.asarray([0.5, 1.0, 2.0])
+    w = np.asarray(make_weights(0.4, lam))
+    delta = 0.4 / 0.6
+    assert np.allclose(w, 1.0 / (delta * np.asarray(lam) + 1.0))
+    # batched h2
+    wb = np.asarray(make_weights(jnp.asarray([0.0, 0.4]), lam))
+    assert wb.shape == (2, 3)
+    assert np.allclose(wb[0], 1.0)
+    assert np.allclose(wb[1], w)
+
+
+def _simulate(n=120, h2=0.55, seed=3):
+    r = np.random.default_rng(seed)
+    Z = r.normal(size=(n, 25))
+    K = Z @ Z.T / 25
+    d = np.sqrt(np.diag(K))
+    K = K / np.outer(d, d)
+    Lc = np.linalg.cholesky(K + 1e-9 * np.eye(n))
+    y = np.sqrt(h2) * (Lc @ r.normal(size=n)) + np.sqrt(1 - h2) * r.normal(size=n)
+    return y, K
+
+
+def test_fit_lmm_matches_scipy_oracle():
+    y, K = _simulate()
+    rot = transform_rotation(jnp.asarray(y), jnp.zeros((len(y), 0)), K, add_intercept=True)
+    for reml in (False, True):
+        mine = fit_lmm(rot.y0, rot.X0, rot.lam, reml=reml)
+        ref = oracle.fit_lmm(
+            np.asarray(rot.y0), np.asarray(rot.X0), np.asarray(rot.lam), reml=reml
+        )
+        assert abs(float(mine.h2) - ref["h2"]) < 1e-5
+        assert abs(float(mine.ell) - ref["ell"]) < 1e-8
+        assert abs(float(mine.sigma2) - ref["sigma2"]) < 1e-8
+
+
+def test_fit_lmm_optim_interval():
+    y, K = _simulate(seed=9)
+    rot = transform_rotation(jnp.asarray(y), jnp.zeros((len(y), 0)), K, add_intercept=True)
+    a = fit_lmm(rot.y0, rot.X0, rot.lam, optim_interval=1)
+    b = fit_lmm(rot.y0, rot.X0, rot.lam, optim_interval=5)
+    # unimodal here: both find the same optimum; ell can only improve with more intervals
+    assert float(b.ell) >= float(a.ell) - 1e-10
+    assert abs(float(a.h2) - float(b.h2)) < 1e-5

@@ -1,0 +1,103 @@
+"""Multi-trait scan consistency tests (reference test/bulkscan_test.jl):
+fast paths vs exact paths, h2-injection trick, wrapper == method."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bulklmm_tpu import bulkscan, bulkscan_alt_grid, bulkscan_null, bulkscan_null_grid, scan
+
+
+def test_null_exact_column_equals_scan(bxd_like):
+    """bulkscan(null-exact) trait column == scan() LOD (reference
+    test/bulkscan_test.jl:60-80, tolerance 1e-7)."""
+    out = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"],
+                   method="null-exact", prior_variance=0.0)
+    for j in (0, 3, 7):
+        single = scan(bxd_like["Y"][:, j], bxd_like["G"], bxd_like["K"])
+        d = np.asarray(out.L[:, j]) - np.asarray(single.lod)
+        assert np.sum(d * d) < 1e-7
+        assert abs(float(out.h2_null_list[j]) - float(single.h2_null)) < 1e-6
+
+
+def test_null_grid_with_injected_h2_equals_scan(bxd_like):
+    """Injecting each trait's exact h2-hat into the grid makes null-grid equal
+    the exact scan (reference test/bulkscan_test.jl:86-107). Some traits have
+    bimodal profile likelihoods, so the exact scans use optim_interval=10
+    (the reference's gridbrent guard) to find the global optimum the grid
+    argmax would also find."""
+    exact_h2 = [
+        float(scan(bxd_like["Y"][:, j], bxd_like["G"], bxd_like["K"],
+                   optim_interval=10).h2_null)
+        for j in range(bxd_like["m"])
+    ]
+    grid = np.unique(np.concatenate([np.arange(0.0, 0.91, 0.1), exact_h2]))
+    out = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"],
+                   method="null-grid", h2_grid=grid, prior_variance=0.0)
+    for j in (0, 5, 11):
+        single = scan(bxd_like["Y"][:, j], bxd_like["G"], bxd_like["K"],
+                      optim_interval=10)
+        d = np.asarray(out.L[:, j]) - np.asarray(single.lod)
+        assert np.sum(d * d) < 1e-7
+
+
+def test_null_grid_approximates_exact(bxd_like):
+    """Default 0.1-spaced grid approximates null-exact loosely. The exact path
+    uses optim_interval=10 so its Brent finds the same global optimum the grid
+    argmax sees on bimodal profiles (both use the default prior_variance=1.0,
+    which regularizes the h2->1 boundary)."""
+    g = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"], method="null-grid")
+    e = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"], method="null-exact",
+                 optim_interval=10)
+    assert np.mean((np.asarray(g.L) - np.asarray(e.L)) ** 2) < 0.01
+    assert np.max(np.abs(np.asarray(g.h2_null_list) - np.asarray(e.h2_null_list))) <= 0.1 + 1e-9
+
+
+def test_alt_grid_approximates_scan_alt(bxd_like):
+    """bulkscan(alt-grid) ~ scan(alt) with the reference's loose tolerances
+    (test/bulkscan_test.jl:113-137: mean |dh2| <= 0.05, mean dLOD^2 <= 0.01)."""
+    G = bxd_like["G"][:, :40]
+    # near-boundary knots cover markers whose exact alt h2-hat sits at h2->1
+    grid = np.concatenate([np.arange(0.0, 0.96, 0.05), [0.98, 0.995]])
+    out = bulkscan(bxd_like["Y"], G, bxd_like["K"], method="alt-grid",
+                   h2_grid=grid, prior_variance=0.0)
+    for j in (0, 2):
+        single = scan(bxd_like["Y"][:, j], G, bxd_like["K"], assumption="alt")
+        dlod = np.asarray(out.L[:, j]) - np.asarray(single.lod)
+        dh2 = np.asarray(out.h2_panel[:, j]) - np.asarray(single.h2_each_marker)
+        assert np.mean(np.abs(dh2)) <= 0.05
+        assert np.mean(dlod * dlod) <= 0.01
+
+
+def test_wrapper_equals_methods(bxd_like):
+    """bulkscan wrapper dispatches to the same engines (reference
+    test/bulkscan_test.jl:139-178)."""
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    a = bulkscan(Y, G, K, method="null-grid")
+    b = bulkscan_null_grid(Y, G, K)
+    assert np.array_equal(np.asarray(a.L), np.asarray(b.L))
+    c = bulkscan(Y, G, K, method="null-exact")
+    d = bulkscan_null(Y, G, K)
+    assert np.array_equal(np.asarray(c.L), np.asarray(d.L))
+    e = bulkscan(Y, G, K, method="alt-grid")
+    f = bulkscan_alt_grid(Y, G, K)
+    assert np.array_equal(np.asarray(e.L), np.asarray(f.L))
+    assert np.array_equal(np.asarray(e.h2_panel), np.asarray(f.h2_panel))
+
+
+def test_bulkscan_output_pvals(bxd_like):
+    from scipy.stats import chi2
+
+    out = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"], output_pvals=True)
+    lrs = np.asarray(out.L) * 2 * np.log(10)
+    assert np.allclose(out.log10Pvals_mat, -chi2.logsf(lrs, 1) / np.log(10))
+    assert out.chisq_df == 1
+
+
+def test_bulkscan_with_covariates(bxd_like):
+    rng = np.random.default_rng(2)
+    covar = rng.normal(size=(bxd_like["n"], 2))
+    out = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"], covar=covar,
+                   method="null-exact", prior_variance=0.0)
+    single = scan(bxd_like["Y"][:, 6], bxd_like["G"], bxd_like["K"], covar=covar)
+    d = np.asarray(out.L[:, 6]) - np.asarray(single.lod)
+    assert np.sum(d * d) < 1e-7

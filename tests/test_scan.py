@@ -1,0 +1,116 @@
+"""Single-trait scan tests: golden cross-implementation vs the numpy oracle
+(which follows the reference's per-marker RSS-loop path), covariates,
+eigen/svd equivalence, p-value output, kinship properties.
+
+Mirrors reference test/scan_test_lmmlite.jl (golden cross-implementation) and
+test/scan_covar_test.jl (consistency under options)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import oracle
+from bulklmm_tpu import calc_kinship, scan
+
+TOL = 1e-8
+
+
+def test_kinship_properties(bxd_like):
+    K = np.asarray(calc_kinship(jnp.asarray(bxd_like["G"])))
+    assert np.allclose(K, bxd_like["K"], atol=1e-12)
+    assert np.allclose(K, K.T)
+    assert np.allclose(np.diag(K), 1.0)
+    lam = np.linalg.eigvalsh(K)
+    assert lam.min() > -1e-7
+
+
+def test_scan_null_matches_oracle_ml_and_reml(bxd_like):
+    """The TPU engine computes LODs via the correlation identity; the oracle
+    uses the reference's RSS swap loop. Agreement here is the analogue of the
+    reference's lmmlite golden test (maxSqDiff <= 1e-9)."""
+    y = bxd_like["Y"][:, 0]
+    for reml in (False, True):
+        mine = scan(y, bxd_like["G"], bxd_like["K"], reml=reml)
+        ref = oracle.scan_null(y, bxd_like["G"], bxd_like["K"], reml=reml)
+        assert abs(float(mine.h2_null) - ref["h2_null"]) < 1e-5
+        assert abs(float(mine.sigma2_e) - ref["sigma2_e"]) < 1e-7
+        d = np.asarray(mine.lod) - ref["lod"]
+        assert np.max(d * d) < 1e-9
+        assert np.sum(d * d) < np.sqrt(1e-9)
+
+
+def test_scan_alt_matches_oracle(bxd_like):
+    y = bxd_like["Y"][:, 1]
+    G = bxd_like["G"][:, :30]  # alt path is p Brent fits; keep the test fast
+    mine = scan(y, G, bxd_like["K"], assumption="alt")
+    ref = oracle.scan_alt(y, G, bxd_like["K"])
+    assert np.max(np.abs(np.asarray(mine.lod) - ref["lod"])) < 1e-6
+    assert np.max(np.abs(np.asarray(mine.h2_each_marker) - ref["h2_each_marker"])) < 1e-4
+    # alt LOD >= null LOD at the same markers (extra free parameter h2)
+    null = scan(y, G, bxd_like["K"])
+    assert np.all(np.asarray(mine.lod) >= np.asarray(null.lod) - 1e-6)
+
+
+def test_scan_vector_vs_matrix_input(bxd_like):
+    y = bxd_like["Y"][:, 2]
+    a = scan(y, bxd_like["G"], bxd_like["K"])
+    b = scan(y[:, None], bxd_like["G"], bxd_like["K"])
+    assert np.array_equal(np.asarray(a.lod), np.asarray(b.lod))
+
+
+def test_scan_eigen_vs_svd(bxd_like):
+    y = bxd_like["Y"][:, 3]
+    a = scan(y, bxd_like["G"], bxd_like["K"], decomp_scheme="eigen")
+    b = scan(y, bxd_like["G"], bxd_like["K"], decomp_scheme="svd")
+    assert abs(float(a.h2_null) - float(b.h2_null)) < 1e-6
+    assert np.max(np.abs(np.asarray(a.lod) - np.asarray(b.lod))) < 1e-7
+
+
+def test_scan_with_covariates(bxd_like):
+    rng = np.random.default_rng(1)
+    n = bxd_like["n"]
+    covar = rng.normal(size=(n, 2))
+    y = bxd_like["Y"][:, 4]
+    mine = scan(y, bxd_like["G"], bxd_like["K"], covar=covar)
+    assert np.all(np.isfinite(np.asarray(mine.lod)))
+    # oracle with covariates: residual check via its own machinery
+    y0, X0, lam = oracle.rotate(y, np.concatenate([covar, bxd_like["G"]], axis=1),
+                                bxd_like["K"], add_intercept=True)
+    fit = oracle.fit_lmm(y0, X0[:, :3], lam)
+    assert abs(float(mine.h2_null) - fit["h2"]) < 1e-5
+    sw = np.sqrt(oracle.make_weights(fit["h2"], lam))
+    y0w, X0w = y0 * sw[:, None], X0 * sw[:, None]
+    rss0 = oracle.rss(y0w, X0w[:, :3])[0]
+    n_ = len(y)
+    lod17 = (n_ / 2) * (
+        np.log10(rss0)
+        - np.log10(oracle.rss(y0w, np.concatenate([X0w[:, :3], X0w[:, 3 + 17 : 4 + 17]], axis=1))[0])
+    )
+    assert abs(float(mine.lod[17]) - lod17) < 1e-8
+
+
+def test_scan_no_intercept_requires_covar(bxd_like):
+    import pytest
+
+    with pytest.raises(ValueError):
+        scan(bxd_like["Y"][:, 0], bxd_like["G"], bxd_like["K"], add_intercept=False)
+
+
+def test_scan_output_pvals(bxd_like):
+    from scipy.stats import chi2
+
+    y = bxd_like["Y"][:, 0]
+    out = scan(y, bxd_like["G"], bxd_like["K"], output_pvals=True, chisq_df=1)
+    lrs = np.asarray(out.lod) * 2 * np.log(10)
+    assert np.allclose(out.log10pvals, -chi2.logsf(lrs, 1) / np.log(10))
+
+
+def test_scan_prior_regularization(bxd_like):
+    """Nonzero prior shrinks sigma2 toward prior_variance and keeps LODs finite."""
+    y = bxd_like["Y"][:, 5]
+    out0 = scan(y, bxd_like["G"], bxd_like["K"])
+    out1 = scan(y, bxd_like["G"], bxd_like["K"], prior_variance=1.0, prior_sample_size=3.0)
+    assert np.all(np.isfinite(np.asarray(out1.lod)))
+    ref = oracle.scan_null(y, bxd_like["G"], bxd_like["K"], prior=(1.0, 3.0))
+    assert abs(float(out1.h2_null) - ref["h2_null"]) < 1e-5
+    assert np.max(np.abs(np.asarray(out1.lod) - ref["lod"])) < 1e-7
+    assert not np.allclose(float(out0.h2_null), float(out1.h2_null))
