@@ -1,0 +1,64 @@
+"""Flagship benchmark: BXD-scale null-grid bulkscan on one chip.
+
+Reference headline number (BASELINE.md): BulkLMM.jl computes the full
+35,554-trait x 7,321-marker BXD LOD matrix (null-grid, h2 grid 0:0.1:0.9) in
+2.112 s on a 16-thread Xeon (reference README.md:336-339). This script runs
+the same-shape problem on synthetic BXD-scale data and prints one JSON line:
+
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+
+``vs_baseline`` > 1 means faster than the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_S = 2.112
+N, P, M = 79, 7321, 35554
+
+
+def synth_bxd(n=N, p=P, m=M, seed=2026):
+    rng = np.random.default_rng(seed)
+    G = rng.uniform(0.0, 1.0, (n, p)).astype(np.float32)
+    X = G - 0.5
+    K = (2.0 * X.astype(np.float64) @ X.astype(np.float64).T / p + 0.5)
+    np.fill_diagonal(K, 1.0)
+    Y = rng.normal(size=(n, m)).astype(np.float32)
+    return G, K, Y
+
+
+def main():
+    import jax
+
+    from bulklmm_tpu import bulkscan
+
+    G, K, Y = synth_bxd()
+
+    def run():
+        t0 = time.perf_counter()
+        res = bulkscan(Y, G, K, method="null-grid")
+        res.L.block_until_ready()
+        return time.perf_counter() - t0, res
+
+    run()  # compile warm-up
+    times = [run()[0] for _ in range(3)]
+    best = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bulkscan_null_grid_bxd_35554x7321",
+                "value": round(best, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / best, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,18 @@ Public API mapping to the reference exports (reference src/BulkLMM.jl:9-47):
   read_geno_prob_exclude_complements (readGenoProb_ExcludeComplements).
 """
 
+from . import io, parallel
 from .analysis import ProfileLL, Thresholds, getLL, get_thresholds, profile_LL
+from .io import (
+    read_bxd_geno,
+    read_bxd_pheno,
+    read_geno_prob,
+    read_geno_prob_exclude_complements,
+    read_gmap,
+    read_helium_matrix,
+    read_phenocovar,
+    write_to_file,
+)
 from .models import (
     BulkScanResult,
     ScanResult,
@@ -52,6 +63,16 @@ from .utils import DEFAULT_PRECISION, PrecisionConfig, enable_x64
 __version__ = "0.1.0"
 
 __all__ = [
+    "io",
+    "parallel",
+    "read_bxd_geno",
+    "read_bxd_pheno",
+    "read_geno_prob",
+    "read_geno_prob_exclude_complements",
+    "read_gmap",
+    "read_helium_matrix",
+    "read_phenocovar",
+    "write_to_file",
     "ProfileLL",
     "Thresholds",
     "getLL",

@@ -1,0 +1,256 @@
+"""Sharded scan engines over a (traits x markers) device mesh.
+
+Scaling model (replaces reference src/bulkscan.jl:252-311 thread blocking):
+
+- **traits** axis — the data-parallel axis. ``Y0`` columns (and everything
+  derived per-trait: grid log-likelihoods, per-trait h2, LOD columns) are
+  sharded; each device owns ``m / n_traits_shards`` traits end-to-end, so the
+  only cross-device traffic on this axis is the final result layout.
+- **markers** axis — the model-parallel axis for huge genotype panels.
+  ``X0`` marker columns are sharded; the (p x m) LOD matrix comes out sharded
+  over both axes. The per-trait correlation kernel contracts over the
+  (small, replicated) individuals dimension, so no collective is needed in
+  the hot GEMM itself.
+- **permutations** ride the traits axis: permuted residual columns shard the
+  same way trait columns do.
+
+The kinship eigendecomposition (n x n, n small) runs on the host and its
+factors are replicated — duplicating an O(n^2) object per device to make the
+O(p*m) work collective-free, exactly the replicate-the-small-thing recipe.
+
+Everything goes through ``jax.jit`` with ``NamedSharding`` on the inputs; XLA
+propagates the shardings through the (pure-jnp) scan cores and partitions the
+GEMMs onto the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.bulkscan import (
+    _bulkscan_alt_grid_core,
+    _bulkscan_null_exact_core,
+    _bulkscan_null_grid_core,
+)
+from ..models.results import BulkScanResult, ScanResult
+from ..models.scan import _scan_perms_core
+from ..ops.rotation import transform_rotation
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+
+TRAITS_AXIS = "traits"
+MARKERS_AXIS = "markers"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    marker_shards: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("traits", "markers") mesh over the available devices.
+
+    By default all devices go to the traits axis (trait scaling is perfectly
+    parallel); pass ``marker_shards`` to split off a model-parallel axis for
+    very large marker panels.
+    """
+    devs = list(devices) if devices is not None else list(jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    nd = len(devs)
+    ms = 1 if marker_shards is None else int(marker_shards)
+    if nd % ms != 0:
+        raise ValueError(f"marker_shards={ms} must divide device count {nd}")
+    arr = np.asarray(devs).reshape(nd // ms, ms)
+    return Mesh(arr, (TRAITS_AXIS, MARKERS_AXIS))
+
+
+def _pad_cols(A: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
+    """Zero-pad columns of (n, k) A so k divides the mesh axis; returns (padded, k)."""
+    k = A.shape[1]
+    rem = (-k) % multiple
+    if rem:
+        A = jnp.concatenate([A, jnp.zeros((A.shape[0], rem), dtype=A.dtype)], axis=1)
+    return A, k
+
+
+def shard_rotated(y0, X0, lam, n_covars: int, mesh: Mesh):
+    """Place rotated data on the mesh: traits sharded, markers sharded,
+    covariates + eigenvalues replicated. Pads trait/marker counts up to the
+    mesh axis sizes (padding is sliced off the results).
+
+    Returns (y0_sharded, X0_sharded, lam_replicated, m_orig, p_orig).
+    """
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
+
+    y0p, m = _pad_cols(y0, tshards)
+    cov = X0[:, :n_covars]
+    Xm, p = _pad_cols(X0[:, n_covars:], mshards)
+
+    y0s = jax.device_put(y0p, NamedSharding(mesh, P(None, TRAITS_AXIS)))
+    covs = jax.device_put(cov, NamedSharding(mesh, P(None, None)))
+    Xms = jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))
+    X0s = jnp.concatenate([covs, Xms], axis=1)
+    lams = jax.device_put(lam, NamedSharding(mesh, P(None)))
+    return y0s, X0s, lams, m, p
+
+
+def bulkscan_sharded(
+    Y,
+    G,
+    K,
+    covar=None,
+    *,
+    mesh: Optional[Mesh] = None,
+    method: str = "null-grid",
+    h2_grid=None,
+    add_intercept: bool = True,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    solve_method: str = "qr",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+) -> BulkScanResult:
+    """Multi-trait scan sharded over a device mesh.
+
+    Same numerics as :func:`bulklmm_tpu.bulkscan` (the cores are shared);
+    this wrapper only changes data placement. Works on any mesh from
+    :func:`make_mesh`, including a multi-host one.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    G = jnp.asarray(G)
+    n = Y.shape[0]
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    n_covars = covar.shape[1] + (1 if add_intercept else 0)
+    prior = (float(prior_variance), float(prior_sample_size))
+
+    rot = transform_rotation(
+        Y, jnp.concatenate([covar, G], axis=1), K,
+        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
+    )
+    y0s, X0s, lams, m, p = shard_rotated(rot.y0, rot.X0, rot.lam, n_covars, mesh)
+
+    if method == "null-grid":
+        L, h2_list = _bulkscan_null_grid_core(
+            y0s, X0s, lams, h2_grid.astype(y0s.dtype),
+            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            precision=precision,
+        )
+        return BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+    elif method == "null-exact":
+        L, h2_list = _bulkscan_null_exact_core(
+            y0s, X0s, lams,
+            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            optim_interval=optim_interval, precision=precision,
+        )
+        return BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+    elif method == "alt-grid":
+        L, h2_panel = _bulkscan_alt_grid_core(
+            y0s, X0s, lams, h2_grid.astype(y0s.dtype),
+            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            precision=precision,
+        )
+        return BulkScanResult(L=L[:p, :m], h2_panel=h2_panel[:p, :m])
+    raise ValueError("method must be one of 'null-grid', 'null-exact', 'alt-grid'")
+
+
+def scan_perms_sharded(
+    y,
+    g,
+    K,
+    covar=None,
+    *,
+    mesh: Optional[Mesh] = None,
+    nperms: int = 1024,
+    rndseed: int = 0,
+    add_intercept: bool = True,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    method: str = "qr",
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+) -> ScanResult:
+    """Permutation scan with permutation columns sharded over the mesh.
+
+    The permuted-residual matrix (n x nperms+1) takes the traits axis; the
+    marker matrix takes the markers axis; the (p x nperms+1) null-LOD matrix
+    comes out sharded over both. Threshold extraction
+    (:func:`bulklmm_tpu.get_thresholds`) reduces over markers first, so the
+    per-permutation maxima need only a markers-axis collective.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+
+    y = jnp.asarray(y)
+    y = y[:, None] if y.ndim == 1 else y
+    n = y.shape[0]
+    g = jnp.asarray(g)
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    n_covars = covar.shape[1] + (1 if add_intercept else 0)
+
+    rot = transform_rotation(
+        y, jnp.concatenate([covar, g], axis=1), K,
+        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
+    )
+    # Permutation columns ride the traits axis; nperms+1 must land on a
+    # sharding-friendly count, so round the *requested* perms up.
+    tshards = mesh.shape[TRAITS_AXIS]
+    total = nperms + 1
+    total_padded = total + ((-total) % tshards)
+    nperms_run = total_padded - 1
+
+    cov = rot.X0[:, :n_covars]
+    Xm, p = _pad_cols(rot.X0[:, n_covars:], mesh.shape[MARKERS_AXIS])
+    y0s = jax.device_put(rot.y0, NamedSharding(mesh, P(None, None)))
+    X0s = jnp.concatenate(
+        [jax.device_put(cov, NamedSharding(mesh, P(None, None))),
+         jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))],
+        axis=1,
+    )
+    lams = jax.device_put(rot.lam, NamedSharding(mesh, P(None)))
+
+    sigma2_e, h2_null, L = _scan_perms_core(
+        y0s, X0s, lams,
+        n_covars=n_covars,
+        prior=(float(prior_variance), float(prior_sample_size)),
+        reml=reml, method=method, optim_interval=optim_interval,
+        nperms=nperms_run, rndseed=rndseed, precision=precision,
+    )
+    L = L[:p, : nperms + 1]
+    return ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:])
+
+
+def train_step_sharded(mesh: Mesh, Y, G, K, h2_grid=None, **kwargs) -> BulkScanResult:
+    """One full sharded "step": rotate, grid-fit h2, produce the LOD matrix.
+
+    This is the framework's equivalent of a training step — the complete
+    data-to-result pipeline the driver dry-runs over an n-device mesh.
+    """
+    return bulkscan_sharded(Y, G, K, mesh=mesh, h2_grid=h2_grid, **kwargs)

@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The session's TPU plugin force-sets jax_platforms at interpreter start,
+# overriding the env var — pin CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -72,8 +72,20 @@ def test_fit_lmm_matches_scipy_oracle():
             np.asarray(rot.y0), np.asarray(rot.X0), np.asarray(rot.lam), reml=reml
         )
         assert abs(float(mine.h2) - ref["h2"]) < 1e-5
-        assert abs(float(mine.ell) - ref["ell"]) < 1e-8
-        assert abs(float(mine.sigma2) - ref["sigma2"]) < 1e-8
+        # ell is quadratic-flat at the optimum; h2 localized to ~sqrt(eps)
+        # puts independent Brents within ~1e-8 in ell, not machine precision.
+        assert abs(float(mine.ell) - ref["ell"]) < 1e-7
+        # sigma2 varies linearly in h2 (unlike ell, which is flat at the
+        # optimum), and both Brents only localize h2 to ~sqrt(eps); compare
+        # sigma2 at the *same* h2 for a tight implementation check.
+        assert abs(float(mine.sigma2) - ref["sigma2"]) < 1e-6
+        _, sig_at_mine, _, _ = oracle.wls(
+            np.asarray(rot.y0),
+            np.asarray(rot.X0),
+            oracle.make_weights(float(mine.h2), np.asarray(rot.lam)),
+            reml=reml,
+        )
+        assert abs(float(mine.sigma2) - sig_at_mine[0]) < 1e-12
 
 
 def test_fit_lmm_optim_interval():
