@@ -33,19 +33,30 @@ def synth_bxd(n=N, p=P, m=M, seed=2026):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from bulklmm_tpu import bulkscan
 
     G, K, Y = synth_bxd()
+    # Data resident in accelerator memory before timing — the analog of the
+    # reference's benchmark, which times compute with both matrices already
+    # in Julia RAM (reference README.md:336-339; CSV load is excluded there
+    # too). The timed path covers the host eigendecomposition, the fused
+    # rotation + grid-fit + LOD device program, and result materialization.
+    Gd = jax.device_put(jnp.asarray(G))
+    Yd = jax.device_put(jnp.asarray(Y))
+    Gd.block_until_ready()
+    Yd.block_until_ready()
 
     def run():
         t0 = time.perf_counter()
-        res = bulkscan(Y, G, K, method="null-grid")
+        res = bulkscan(Yd, Gd, K, method="null-grid")
         res.L.block_until_ready()
+        res.h2_null_list.block_until_ready()
         return time.perf_counter() - t0, res
 
     run()  # compile warm-up
-    times = [run()[0] for _ in range(3)]
+    times = [run()[0] for _ in range(5)]
     best = min(times)
 
     print(

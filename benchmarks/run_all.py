@@ -1,0 +1,128 @@
+"""Benchmark suite: every BASELINE.md config, one JSON line per entry.
+
+Reference numbers (16-thread Xeon, reference README.md:198-339):
+  single-trait scan 79x7,321 .......... 0.059 s
+  single-trait + 1,000 permutations ... 0.079 s
+  bulkscan null-grid 35,554x7,321 ..... 2.112 s
+
+Run: python benchmarks/run_all.py [--quick]
+Writes benchmarks/results.json and prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINES = {
+    "scan_single_trait": 0.059,
+    "scan_perms_1000": 0.079,
+    "bulkscan_null_grid": 2.112,
+    "bulkscan_null_exact": None,  # reference publishes no number
+    "bulkscan_alt_grid": None,
+    "scan_alt_exact": None,
+}
+
+
+def synth(n, p, m, seed=2026):
+    rng = np.random.default_rng(seed)
+    G = rng.uniform(0.0, 1.0, (n, p)).astype(np.float32)
+    X = G.astype(np.float64) - 0.5
+    K = 2.0 * X @ X.T / p + 0.5
+    np.fill_diagonal(K, 1.0)
+    Y = rng.normal(size=(n, m)).astype(np.float32)
+    return G, K, Y
+
+
+def timeit(fn, *, repeats=3):
+    fn()  # warm-up / compile
+    best = min(min(timeit_once(fn) for _ in range(repeats)), float("inf"))
+    return best
+
+
+def timeit_once(fn):
+    t0 = time.perf_counter()
+    fn()
+    return (time.perf_counter() - t0,)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller trait count")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import bulklmm_tpu as bl
+
+    n, p = 79, 7321
+    m = 4096 if args.quick else 35554
+    G, K, Y = synth(n, p, m)
+    Gd = jax.device_put(jnp.asarray(G))
+    Yd = jax.device_put(jnp.asarray(Y))
+    yd = Yd[:, 0]
+    jax.block_until_ready((Gd, Yd))
+
+    results = {}
+
+    def record(name, seconds, note=""):
+        base = BASELINES.get(name)
+        entry = {
+            "metric": name,
+            "value": round(seconds, 5),
+            "unit": "s",
+            "vs_baseline": round(base / seconds, 2) if base else None,
+        }
+        if note:
+            entry["note"] = note
+        results[name] = entry
+        print(json.dumps(entry))
+
+    # 1. single-trait null scan
+    def f():
+        r = bl.scan(yd, Gd, K)
+        jax.block_until_ready(r.lod)
+    record("scan_single_trait", timeit(f))
+
+    # 2. single-trait + 1,000 permutations
+    def f():
+        r = bl.scan(yd, Gd, K, permutation_test=True, nperms=1000, rndseed=0)
+        jax.block_until_ready(r.L_perms)
+    record("scan_perms_1000", timeit(f))
+
+    # 3. bulkscan null-grid (the headline)
+    def f():
+        r = bl.bulkscan(Yd, Gd, K, method="null-grid")
+        jax.block_until_ready(r.L)
+    record("bulkscan_null_grid", timeit(f), note=f"m={m}")
+
+    # 4. bulkscan null-exact (per-trait Brent)
+    def f():
+        r = bl.bulkscan(Yd, Gd, K, method="null-exact")
+        jax.block_until_ready(r.L)
+    record("bulkscan_null_exact", timeit(f), note=f"m={m}")
+
+    # 5. bulkscan alt-grid
+    def f():
+        r = bl.bulkscan(Yd, Gd, K, method="alt-grid")
+        jax.block_until_ready(r.L)
+    record("bulkscan_alt_grid", timeit(f), note=f"m={m}")
+
+    # 6. exact per-marker VC scan (the expensive path the grid approximates)
+    def f():
+        r = bl.scan(yd, Gd, K, assumption="alt")
+        jax.block_until_ready(r.lod)
+    record("scan_alt_exact", timeit(f))
+
+    out = Path(__file__).parent / "results.json"
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(f"# wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

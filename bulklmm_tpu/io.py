@@ -36,6 +36,29 @@ def _read_csv(file, delim: str = ","):
         return list(csv.reader(fh, delimiter=delim))
 
 
+def _read_numeric(file, *, delim=",", skip_rows=0, skip_left=0, skip_right=0):
+    """Numeric CSV block as float64, preferring the native multithreaded
+    parser (bulklmm_tpu/_native) with a pure-Python fallback."""
+    from . import _native
+
+    if _native.fastcsv_available():
+        return _native.read_numeric_csv(
+            file, delim=delim, skip_rows=skip_rows,
+            skip_cols_left=skip_left, skip_cols_right=skip_right,
+        )
+    rows = _read_csv(file, delim)[skip_rows:]
+    stop = -skip_right if skip_right else None
+    data = [r[skip_left:stop] for r in rows]
+
+    def conv(v):
+        try:
+            return float(v)
+        except ValueError:
+            return float("nan")
+
+    return np.asarray([[conv(v) for v in r] for r in data], dtype=np.float64)
+
+
 def read_geno_prob(
     file,
     *,
@@ -49,14 +72,11 @@ def read_geno_prob(
     Returns the (n_individuals, n_prob_columns) float64 matrix; header and
     ids are discarded, like the reference.
     """
-    rows = _read_csv(file, delim)
-    if get_marker_names:
-        rows = rows[1:]
-    if get_ids:
-        data = [r[1:] for r in rows]
-    else:
-        data = rows
-    return np.asarray(data, dtype=np.float64)
+    return _read_numeric(
+        file, delim=delim,
+        skip_rows=1 if get_marker_names else 0,
+        skip_left=1 if get_ids else 0,
+    )
 
 
 def read_geno_prob_exclude_complements(
@@ -78,17 +98,15 @@ def read_geno_prob_exclude_complements(
 def read_bxd_pheno(file) -> np.ndarray:
     """BXD phenotype matrix: drop the header row, the id column, and the
     trailing sex column (reference readBXDpheno, src/readData.jl:159-161)."""
-    rows = _read_csv(file)[1:]
-    return np.asarray([r[1:-1] for r in rows], dtype=np.float64)
+    return _read_numeric(file, skip_rows=1, skip_left=1, skip_right=1)
 
 
 def read_bxd_geno(file, *, skipstart: int = 1) -> np.ndarray:
     """BXD genotype probabilities: skip header, take 1-based even columns —
     the first allele of each complement pair after the id column
     (reference readBXDgeno, src/readData.jl:163-165)."""
-    rows = _read_csv(file)[skipstart:]
-    arr = np.asarray(rows, dtype=object)
-    return arr[:, 1::2].astype(np.float64)
+    gp = _read_numeric(file, skip_rows=skipstart, skip_left=1)
+    return gp[:, 0::2]
 
 
 def write_to_file(data, filename) -> None:

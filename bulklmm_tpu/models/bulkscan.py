@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..ops.liteqtl import lods_per_trait, lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p
-from ..ops.rotation import transform_rotation
+from ..ops.rotation import kinship_eigen, transform_rotation
 from ..ops.weights import make_weights
 from ..ops.wls import wls
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
@@ -57,8 +57,7 @@ def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False, method="qr"):
     return jax.vmap(ell_one)(h2_grid)
 
 
-@partial(jax.jit, static_argnames=("n_covars", "prior", "reml", "method", "precision"))
-def _bulkscan_null_grid_core(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+def _null_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
     X0_cov = X0[:, :n_covars]
     ells = grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, reml=reml, method=method)
     idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
@@ -67,11 +66,7 @@ def _bulkscan_null_grid_core(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, met
     return L, h2_list
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_covars", "prior", "reml", "method", "optim_interval", "precision"),
-)
-def _bulkscan_null_exact_core(
+def _null_exact_impl(
     Y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision
 ):
     X0_cov = X0[:, :n_covars]
@@ -87,8 +82,7 @@ def _bulkscan_null_exact_core(
     return L, h2_list
 
 
-@partial(jax.jit, static_argnames=("n_covars", "prior", "reml", "method", "precision"))
-def _bulkscan_alt_grid_core(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+def _alt_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
     X0_cov = X0[:, :n_covars]
     X0_m = X0[:, n_covars:]
     p = X0_m.shape[1]
@@ -118,6 +112,51 @@ def _bulkscan_alt_grid_core(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, meth
     L = (logL1_max - logL0_max[None, :]) / _LN10
     h2_panel = h2_grid[kmax]
     return L, h2_panel
+
+
+_STATIC_GRID = ("n_covars", "prior", "reml", "method", "precision")
+_STATIC_EXACT = ("n_covars", "prior", "reml", "method", "optim_interval", "precision")
+
+# jitted cores over pre-rotated data (used by bulklmm_tpu.parallel, which
+# device_puts sharded rotated arrays before the call)
+_bulkscan_null_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(_null_grid_impl)
+_bulkscan_null_exact_core = partial(jax.jit, static_argnames=_STATIC_EXACT)(_null_exact_impl)
+_bulkscan_alt_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(_alt_grid_impl)
+
+
+def _rotate(Y, X, Ut):
+    return jnp.matmul(Ut, Y), jnp.matmul(Ut, X)
+
+
+@partial(jax.jit, static_argnames=_STATIC_GRID)
+def _null_grid_pipeline(Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+    """Rotation + grid fit + LOD kernel as ONE jitted computation — a single
+    device dispatch per bulkscan call, with the rotation GEMMs fused into the
+    same XLA program as the scan."""
+    Y0, X0 = _rotate(Y, X, Ut)
+    return _null_grid_impl(
+        Y0, X0, lam, h2_grid,
+        n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATIC_EXACT)
+def _null_exact_pipeline(Y, X, Ut, lam, *, n_covars, prior, reml, method, optim_interval, precision):
+    Y0, X0 = _rotate(Y, X, Ut)
+    return _null_exact_impl(
+        Y0, X0, lam,
+        n_covars=n_covars, prior=prior, reml=reml, method=method,
+        optim_interval=optim_interval, precision=precision,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATIC_GRID)
+def _alt_grid_pipeline(Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+    Y0, X0 = _rotate(Y, X, Ut)
+    return _alt_grid_impl(
+        Y0, X0, lam, h2_grid,
+        n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision,
+    )
 
 
 def bulkscan(
@@ -171,28 +210,35 @@ def bulkscan(
     prior = (float(prior_variance), float(prior_sample_size))
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
 
-    rot = transform_rotation(
-        Y, jnp.concatenate([covar, G], axis=1), K,
-        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
-    )
+    # host-side O(n^3) eigendecomposition; everything after is ONE jitted
+    # device program (rotation GEMMs fused with the scan)
+    X = jnp.concatenate([covar, G], axis=1)
+    if add_intercept:
+        X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
+    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
+    dtype = precision.resolve_solve()
+    Ut = jnp.asarray(Ut_np, dtype=dtype)
+    lam = jnp.asarray(lam_np, dtype=dtype)
+    Y = Y.astype(dtype)
+    X = X.astype(dtype)
 
     if method == "null-grid":
-        L, h2_list = _bulkscan_null_grid_core(
-            rot.y0, rot.X0, rot.lam, h2_grid.astype(rot.y0.dtype),
+        L, h2_list = _null_grid_pipeline(
+            Y, X, Ut, lam, h2_grid.astype(dtype),
             n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
             precision=precision,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "null-exact":
-        L, h2_list = _bulkscan_null_exact_core(
-            rot.y0, rot.X0, rot.lam,
+        L, h2_list = _null_exact_pipeline(
+            Y, X, Ut, lam,
             n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "alt-grid":
-        L, h2_panel = _bulkscan_alt_grid_core(
-            rot.y0, rot.X0, rot.lam, h2_grid.astype(rot.y0.dtype),
+        L, h2_panel = _alt_grid_pipeline(
+            Y, X, Ut, lam, h2_grid.astype(dtype),
             n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
             precision=precision,
         )

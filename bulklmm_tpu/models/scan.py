@@ -32,18 +32,19 @@ import jax.numpy as jnp
 from ..ops.liteqtl import lods_per_trait, lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p, r2lod
-from ..ops.rotation import transform_permute, transform_reweight, transform_rotation
+from ..ops.rotation import (
+    kinship_eigen,
+    transform_permute,
+    transform_reweight,
+    transform_rotation,
+)
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 from .results import ScanResult
 
 _LN10 = math.log(10.0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_covars", "prior", "reml", "method", "optim_interval", "precision"),
-)
-def _scan_null_core(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision):
+def _scan_null_impl(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision):
     X0_cov = X0[:, :n_covars]
     vc = fit_lmm(
         y0, X0_cov, lam, prior,
@@ -53,11 +54,7 @@ def _scan_null_core(y0, X0, lam, *, n_covars, prior, reml, method, optim_interva
     return vc.sigma2, vc.h2, lod
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_covars", "prior", "reml", "method", "optim_interval", "precision"),
-)
-def _scan_alt_core(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision):
+def _scan_alt_impl(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision):
     X0_cov = X0[:, :n_covars]
     X0_m = X0[:, n_covars:]
     out00 = fit_lmm(
@@ -78,14 +75,7 @@ def _scan_alt_core(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval
     return out00.sigma2, out00.h2, h2s, lod
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_covars", "prior", "reml", "method", "optim_interval",
-        "nperms", "rndseed", "precision",
-    ),
-)
-def _scan_perms_core(
+def _scan_perms_impl(
     y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, nperms, rndseed, precision
 ):
     rw = transform_reweight(
@@ -106,6 +96,32 @@ def _scan_perms_core(
     )
     L = r2lod(L, y0.shape[0])
     return rw.sigma2_e, rw.h2_null, L
+
+
+_STATIC = ("n_covars", "prior", "reml", "method", "optim_interval", "precision")
+_STATIC_PERMS = _STATIC + ("nperms", "rndseed")
+
+# jitted cores over pre-rotated data (the permutation core is reused by
+# bulklmm_tpu.parallel with sharded inputs)
+_scan_null_core = partial(jax.jit, static_argnames=_STATIC)(_scan_null_impl)
+_scan_alt_core = partial(jax.jit, static_argnames=_STATIC)(_scan_alt_impl)
+_scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(_scan_perms_impl)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _scan_null_pipeline(y, X, Ut, lam, **kw):
+    """Rotation + null scan fused into one jitted device program."""
+    return _scan_null_impl(jnp.matmul(Ut, y), jnp.matmul(Ut, X), lam, **kw)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _scan_alt_pipeline(y, X, Ut, lam, **kw):
+    return _scan_alt_impl(jnp.matmul(Ut, y), jnp.matmul(Ut, X), lam, **kw)
+
+
+@partial(jax.jit, static_argnames=_STATIC_PERMS)
+def _scan_perms_pipeline(y, X, Ut, lam, **kw):
+    return _scan_perms_impl(jnp.matmul(Ut, y), jnp.matmul(Ut, X), lam, **kw)
 
 
 def _apply_weights(y, g, covar, K, weights, add_intercept):
@@ -184,10 +200,15 @@ def scan(
     prior = (float(prior_variance), float(prior_sample_size))
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
 
-    rot = transform_rotation(
-        y, jnp.concatenate([covar, g], axis=1), K,
-        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
-    )
+    X = jnp.concatenate([covar, g], axis=1)
+    if add_intercept:
+        X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
+    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
+    dtype = precision.resolve_solve()
+    Ut = jnp.asarray(Ut_np, dtype=dtype)
+    lam = jnp.asarray(lam_np, dtype=dtype)
+    y = y.astype(dtype)
+    X = X.astype(dtype)
 
     common = dict(
         n_covars=n_covars, prior=prior, reml=reml,
@@ -196,8 +217,8 @@ def scan(
 
     if assumption == "null":
         if permutation_test:
-            sigma2_e, h2_null, L = _scan_perms_core(
-                rot.y0, rot.X0, rot.lam, nperms=nperms, rndseed=rndseed, **common
+            sigma2_e, h2_null, L = _scan_perms_pipeline(
+                y, X, Ut, lam, nperms=nperms, rndseed=rndseed, **common
             )
             result = ScanResult(
                 sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:]
@@ -206,7 +227,7 @@ def scan(
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
                 result.log10Pvals_perms = lod2log10p(result.L_perms, chisq_df)
         else:
-            sigma2_e, h2_null, lod = _scan_null_core(rot.y0, rot.X0, rot.lam, **common)
+            sigma2_e, h2_null, lod = _scan_null_pipeline(y, X, Ut, lam, **common)
             result = ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=lod)
             if output_pvals:
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
@@ -215,7 +236,7 @@ def scan(
             raise ValueError(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
-        sigma2_e, h2_null, h2_each, lod = _scan_alt_core(rot.y0, rot.X0, rot.lam, **common)
+        sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(y, X, Ut, lam, **common)
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2_null, h2_each_marker=h2_each, lod=lod
         )
@@ -266,13 +287,17 @@ def scan_perms_lite(
     if y.shape[1] != 1:
         raise ValueError("Can only handle one trait.")
     covar = jnp.asarray(covar)
-    rot = transform_rotation(
-        y, jnp.concatenate([covar, jnp.asarray(g)], axis=1), K,
-        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
-    )
+    X = jnp.concatenate([covar, jnp.asarray(g)], axis=1)
+    n = y.shape[0]
+    if add_intercept:
+        X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
+    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
+    dtype = precision.resolve_solve()
+    Ut = jnp.asarray(Ut_np, dtype=dtype)
+    lam = jnp.asarray(lam_np, dtype=dtype)
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
-    sigma2_e, h2_null, L = _scan_perms_core(
-        rot.y0, rot.X0, rot.lam,
+    sigma2_e, h2_null, L = _scan_perms_pipeline(
+        y.astype(dtype), X.astype(dtype), Ut, lam,
         n_covars=n_covars, prior=(float(prior_variance), float(prior_sample_size)),
         reml=reml, method=method, optim_interval=optim_interval,
         nperms=nperms, rndseed=rndseed, precision=precision,

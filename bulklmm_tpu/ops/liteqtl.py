@@ -8,63 +8,40 @@ traits with *different* h2, the reference groups traits into h2-bins and runs
 one CPU GEMM per bin (src/bulkscan_helpers.jl:271-288) — a dynamic-shape,
 cache-locality trick that maps poorly to XLA.
 
-TPU-native reformulation (this module): let s_j = sqrt(w_j),
-Ctil_j = s_j * C (weighted covariates) with orthonormal basis Q_j, and
-yhat_j the normalized residual of s_j * y_j against Ctil_j. Because
-yhat_j is orthogonal to Ctil_j, the numerator of the partial correlation
-needs no residualization of the marker:
+TPU-native reformulation (this module): every per-trait quantity is expressed
+through (p x n)(n x m) GEMMs and tiny (c x c) per-trait solves — no batched
+(m, n, c) tensors (a (..., 1) trailing axis pads to 128 lanes on TPU and
+blows memory traffic up ~128x). With weights W[n, j] = w_j[n]:
 
-  N[i,j]  = sum_n X[n,i] * s_j[n] * yhat_j[n]                 (one GEMM)
-  D[i,j]  = sum_n X[n,i]^2 * w_j[n]                            (one GEMM)
-            - sum_k ( sum_n X[n,i] * s_j[n] * Q_j[n,k] )^2     (c GEMMs)
-  r[i,j]  = N / sqrt(D),   LOD = -(n/2) log10(1 - r^2)
+  t      = C^T (W*Y)                       (c, m)      thin GEMM
+  G_j    = C^T diag(w_j) C                 (m, c, c)   c(c+1)/2 thin GEMMs
+  alpha  = G_j^{-1} t_j                    (m, c)      batched tiny solve
+  nrm2_j = sum_n w y^2 - t_j . alpha_j     (m,)        trait residual norm^2
+  B      = X^T (W*Y)                       (p, m)      GEMM
+  U_k    = (X*C_k)^T W                     (p, m)      c GEMMs
+  D1     = (X*X)^T W                       (p, m)      GEMM
+  N      = B - sum_k U_k * alpha_k
+  D      = D1 - sum_kl Ginv_kl U_k U_l     (per-marker covariate projection)
+  r      = N / sqrt(D * nrm2),   LOD = -(n/2) log10(1 - r^2)
 
-So arbitrary per-trait weights cost (c+2) dense (p x m) MXU GEMMs with
-static shapes — exact per-trait h2 (no grid binning needed), and the same
-kernel serves null-exact, null-grid, and the permutation scan.
+So arbitrary per-trait weights cost (c+2) dense (p x m) MXU GEMMs with static
+shapes — exact per-trait h2 (no grid binning), and the same kernel serves
+null-exact, null-grid, and the permutation scan. All matmuls run at
+``Precision.HIGHEST`` (bf16x6) — TPU-default bf16 matmuls lose ~1e-2 in LOD.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 from .lod import r2lod
 from .weights import make_weights
 
 
-def _weighted_covar_basis(C0, W):
-    """Orthonormal bases of the per-trait weighted covariates.
-
-    C0: (n, c); W: (m, n) per-trait weights. Returns Q: (m, n, c) with
-    Q_j an orthonormal basis of diag(sqrt(w_j)) @ C0, built GEMM-style via
-    batched Cholesky of the (c, c) Grams (c is tiny: intercept + covariates).
-    """
-    S = jnp.sqrt(W)  # (m, n)
-    Ct = S[:, :, None] * C0[None, :, :]  # (m, n, c)
-    gram = jnp.einsum("mnc,mnd->mcd", Ct, Ct)  # (m, c, c)
-    L = jnp.linalg.cholesky(gram)
-    # Q = Ct @ L^{-T}  (solve L Z^T = Ct^T per batch)
-    Q = solve_triangular(L, jnp.swapaxes(Ct, 1, 2), lower=True)  # (m, c, n)
-    return jnp.swapaxes(Q, 1, 2)  # (m, n, c)
-
-
-def weighted_residual_traits(Y0, C0, W) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Weighted, covariate-residualized, unit-norm traits.
-
-    Returns (yhat (n, m), S (m, n), Q (m, n, c)).
-    """
-    S = jnp.sqrt(W)  # (m, n)
-    Q = _weighted_covar_basis(C0, W)  # (m, n, c)
-    sy = Y0 * S.T  # (n, m)
-    t = jnp.einsum("mnc,nm->mc", Q, sy)
-    ytil = sy - jnp.einsum("mnc,mc->nm", Q, t)
-    norms = jnp.sqrt(jnp.sum(ytil * ytil, axis=0))
-    yhat = ytil / norms
-    return yhat, S, Q
+def _pair_indices(c: int):
+    """Upper-triangular (k, l) pairs for the c x c weighted Gram."""
+    return [(k, l) for k in range(c) for l in range(k, c)]
 
 
 def weighted_correlation_per_trait(
@@ -86,22 +63,77 @@ def weighted_correlation_per_trait(
     """
     gdt = precision.resolve_gemm()
     pgp = precision.gemm_precision
+    n, c = C0.shape
 
-    W = jnp.abs(make_weights(h2_per_trait, lam))  # (m, n)
-    yhat, S, Q = weighted_residual_traits(Y0, C0, W)
-
+    W = jnp.abs(make_weights(h2_per_trait, lam)).T.astype(gdt)  # (n, m)
+    Y = Y0.astype(gdt)
+    C = C0.astype(gdt)
     X = X0m.astype(gdt)
-    A = (S.T * yhat).astype(gdt)  # (n, m)
-    N = jnp.matmul(X.T, A, precision=pgp)  # (p, m)
 
-    D = jnp.matmul((X * X).T, W.T.astype(gdt), precision=pgp)  # (p, m)
-    c = C0.shape[1]
+    WY = W * Y  # (n, m)
+
+    # Per-trait covariate Grams via thin GEMMs.
+    t = jnp.matmul(C.T, WY, precision=pgp)  # (c, m)
+    pairs = _pair_indices(c)
+    CC = jnp.stack([C[:, k] * C[:, l] for k, l in pairs], axis=1)  # (n, npair)
+    Gv = jnp.matmul(CC.T, W, precision=pgp)  # (npair, m)
+    Gd = {}
+    for idx, (k, l) in enumerate(pairs):
+        Gd[(k, l)] = Gv[idx]
+
+    # Unrolled per-trait Cholesky G_j = L_j L_j^T over (m,)-vectors. c is a
+    # tiny static int, so this is c^3/6 fused elementwise ops — NO batched
+    # linalg (batched (m, c, c) LU/inv with c < 8 lane-pads catastrophically
+    # on TPU and was ~10x slower than the GEMMs themselves).
+    Lc = {}
     for k in range(c):
-        Bk = (S.T * Q[:, :, k].T).astype(gdt)  # (n, m)
-        Pk = jnp.matmul(X.T, Bk, precision=pgp)  # (p, m)
-        D = D - Pk * Pk
+        s = Gd[(k, k)]
+        for q_ in range(k):
+            s = s - Lc[(k, q_)] * Lc[(k, q_)]
+        Lc[(k, k)] = jnp.sqrt(s)
+        for i in range(k + 1, c):
+            s = Gd[(k, i)] if (k, i) in Gd else Gd[(i, k)]
+            for q_ in range(k):
+                s = s - Lc[(i, q_)] * Lc[(k, q_)]
+            Lc[(i, k)] = s / Lc[(k, k)]
 
-    return N / jnp.sqrt(D)
+    def fwd_subst(rows):
+        """Solve L z = rows for a list of c arrays (each (m,) or (p, m))."""
+        z = []
+        for k in range(c):
+            s = rows[k]
+            for q_ in range(k):
+                s = s - Lc[(k, q_)] * z[q_]
+            z.append(s / Lc[(k, k)])
+        return z
+
+    # zeta = L^{-1} t  -> per-trait projection coefficients in the
+    # orthonormalized covariate basis (same basis as Q = W^1/2 C L^{-T}).
+    zeta = fwd_subst([t[k] for k in range(c)])  # c x (m,)
+
+    yty = jnp.sum(WY * Y, axis=0)  # (m,)
+    nrm2 = yty
+    for k in range(c):
+        nrm2 = nrm2 - zeta[k] * zeta[k]
+
+    # Marker-side GEMMs.
+    B = jnp.matmul(X.T, WY, precision=pgp)  # (p, m)
+    U = [
+        jnp.matmul((X * C[:, k][:, None]).T, W, precision=pgp) for k in range(c)
+    ]  # c x (p, m)
+    D1 = jnp.matmul((X * X).T, W, precision=pgp)  # (p, m)
+
+    # Z = L^{-1} U (broadcast over markers): same orthonormal projection for
+    # the marker side; then everything combines elementwise:
+    #   N = B - sum_k Z_k zeta_k,  D = D1 - sum_k Z_k^2
+    Z = fwd_subst(U)  # c x (p, m); Lc entries broadcast (m,) over rows
+    N = B
+    D = D1
+    for k in range(c):
+        N = N - Z[k] * zeta[k][None, :]
+        D = D - Z[k] * Z[k]
+
+    return N / jnp.sqrt(D * nrm2[None, :])
 
 
 def weighted_correlation_shared(
@@ -124,17 +156,18 @@ def weighted_correlation_shared(
     pgp = precision.gemm_precision
 
     w = jnp.abs(make_weights(h2, lam))  # (n,)
-    s = jnp.sqrt(w)
-    Ct = C0 * s[:, None]
+    s = jnp.sqrt(w).astype(gdt)
+    Ct = C0.astype(gdt) * s[:, None]
     q, _ = jnp.linalg.qr(Ct, mode="reduced")  # (n, c)
 
     def residualize_normalize(M):
-        Mw = M * s[:, None]
-        Mr = Mw - q @ (q.T @ Mw)
+        Mw = M.astype(gdt) * s[:, None]
+        proj = jnp.matmul(q.T, Mw, precision=pgp)
+        Mr = Mw - jnp.matmul(q, proj, precision=pgp)
         return Mr / jnp.sqrt(jnp.sum(Mr * Mr, axis=0))
 
-    X00 = residualize_normalize(X0m).astype(gdt)
-    Y00 = residualize_normalize(Y0).astype(gdt)
+    X00 = residualize_normalize(X0m)
+    Y00 = residualize_normalize(Y0)
     return jnp.matmul(X00.T, Y00, precision=pgp)
 
 

@@ -24,6 +24,14 @@ import jax
 import jax.numpy as jnp
 
 
+# Statistical numerics first: TPU matmuls default to bf16 inputs, which
+# costs ~1e-2 absolute LOD error through the likelihood path. Pin the
+# *default* to highest (f32 via bf16x6 passes on the MXU); the big
+# correlation GEMMs take their precision explicitly from PrecisionConfig, so
+# throughput-critical code still has the knob.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
 def default_float() -> Any:
     """float64 when jax x64 is enabled, else float32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
