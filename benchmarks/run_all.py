@@ -39,15 +39,13 @@ def synth(n, p, m, seed=2026):
 
 
 def timeit(fn, *, repeats=3):
-    fn()  # warm-up / compile
-    best = min(min(timeit_once(fn) for _ in range(repeats)), float("inf"))
-    return best
-
-
-def timeit_once(fn):
-    t0 = time.perf_counter()
-    fn()
-    return (time.perf_counter() - t0,)
+    fn()  # warm-up: compile + absorb async first-fetch latency
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
@@ -83,40 +81,43 @@ def main():
         results[name] = entry
         print(json.dumps(entry))
 
+    # NB: every config ends with a device-side checksum + scalar fetch;
+    # block_until_ready alone under-reports on asynchronous backends.
+
     # 1. single-trait null scan
     def f():
         r = bl.scan(yd, Gd, K)
-        jax.block_until_ready(r.lod)
+        return float(jnp.sum(r.lod))
     record("scan_single_trait", timeit(f))
 
     # 2. single-trait + 1,000 permutations
     def f():
         r = bl.scan(yd, Gd, K, permutation_test=True, nperms=1000, rndseed=0)
-        jax.block_until_ready(r.L_perms)
+        return float(jnp.sum(r.L_perms))
     record("scan_perms_1000", timeit(f))
 
     # 3. bulkscan null-grid (the headline)
     def f():
         r = bl.bulkscan(Yd, Gd, K, method="null-grid")
-        jax.block_until_ready(r.L)
+        return float(jnp.sum(r.L))
     record("bulkscan_null_grid", timeit(f), note=f"m={m}")
 
     # 4. bulkscan null-exact (per-trait Brent)
     def f():
         r = bl.bulkscan(Yd, Gd, K, method="null-exact")
-        jax.block_until_ready(r.L)
+        return float(jnp.sum(r.L))
     record("bulkscan_null_exact", timeit(f), note=f"m={m}")
 
     # 5. bulkscan alt-grid
     def f():
         r = bl.bulkscan(Yd, Gd, K, method="alt-grid")
-        jax.block_until_ready(r.L)
+        return float(jnp.sum(r.L))
     record("bulkscan_alt_grid", timeit(f), note=f"m={m}")
 
     # 6. exact per-marker VC scan (the expensive path the grid approximates)
     def f():
         r = bl.scan(yd, Gd, K, assumption="alt")
-        jax.block_until_ready(r.lod)
+        return float(jnp.sum(r.lod))
     record("scan_alt_exact", timeit(f))
 
     out = Path(__file__).parent / "results.json"

@@ -117,6 +117,29 @@ def _alt_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, preci
 _STATIC_GRID = ("n_covars", "prior", "reml", "method", "precision")
 _STATIC_EXACT = ("n_covars", "prior", "reml", "method", "optim_interval", "precision")
 
+
+def _chunk_traits(impl, Y0, *, trait_chunk):
+    """Run ``impl(Y_chunk) -> pytree`` over trait chunks with ``lax.map``.
+
+    Bounds peak memory: the (p, m) intermediates exist only at (p, chunk)
+    size per step. Outputs whose last axis is the trait axis are
+    re-assembled; m is zero-padded up to a chunk multiple and sliced back.
+    """
+    m = Y0.shape[1]
+    pad = (-m) % trait_chunk
+    if pad:
+        Y0 = jnp.concatenate(
+            [Y0, jnp.zeros((Y0.shape[0], pad), dtype=Y0.dtype)], axis=1
+        )
+    k = Y0.shape[1] // trait_chunk
+    # (k, n, chunk) stack of trait blocks
+    Yc = jnp.moveaxis(Y0.reshape(Y0.shape[0], k, trait_chunk), 1, 0)
+    outs = jax.lax.map(impl, Yc)  # each leaf: (k, ..., chunk)
+    merged = tuple(
+        jnp.concatenate([o[i] for i in range(k)], axis=-1)[..., :m] for o in outs
+    )
+    return merged
+
 # jitted cores over pre-rotated data (used by bulklmm_tpu.parallel, which
 # device_puts sharded rotated arrays before the call)
 _bulkscan_null_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(_null_grid_impl)
@@ -128,34 +151,53 @@ def _rotate(Y, X, Ut):
     return jnp.matmul(Ut, Y), jnp.matmul(Ut, X)
 
 
-@partial(jax.jit, static_argnames=_STATIC_GRID)
-def _null_grid_pipeline(Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+def _null_grid_pipeline(
+    Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision, trait_chunk=None
+):
     """Rotation + grid fit + LOD kernel as ONE jitted computation — a single
     device dispatch per bulkscan call, with the rotation GEMMs fused into the
-    same XLA program as the scan."""
+    same XLA program as the scan. ``trait_chunk`` bounds peak memory by
+    ``lax.map``-ing trait blocks (for f64 runs / biobank-scale matrices)."""
     Y0, X0 = _rotate(Y, X, Ut)
-    return _null_grid_impl(
-        Y0, X0, lam, h2_grid,
-        n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision,
+    kw = dict(n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision)
+    if trait_chunk is None:
+        return _null_grid_impl(Y0, X0, lam, h2_grid, **kw)
+    return _chunk_traits(
+        lambda Yc: _null_grid_impl(Yc, X0, lam, h2_grid, **kw),
+        Y0, trait_chunk=trait_chunk,
     )
 
 
-@partial(jax.jit, static_argnames=_STATIC_EXACT)
-def _null_exact_pipeline(Y, X, Ut, lam, *, n_covars, prior, reml, method, optim_interval, precision):
+@partial(jax.jit, static_argnames=_STATIC_EXACT + ("trait_chunk",))
+def _null_exact_pipeline(
+    Y, X, Ut, lam, *, n_covars, prior, reml, method, optim_interval, precision,
+    trait_chunk=None,
+):
     Y0, X0 = _rotate(Y, X, Ut)
-    return _null_exact_impl(
-        Y0, X0, lam,
+    kw = dict(
         n_covars=n_covars, prior=prior, reml=reml, method=method,
         optim_interval=optim_interval, precision=precision,
     )
+    if trait_chunk is None:
+        return _null_exact_impl(Y0, X0, lam, **kw)
+    return _chunk_traits(
+        lambda Yc: _null_exact_impl(Yc, X0, lam, **kw),
+        Y0, trait_chunk=trait_chunk,
+    )
 
 
-@partial(jax.jit, static_argnames=_STATIC_GRID)
-def _alt_grid_pipeline(Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision):
+@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+def _alt_grid_pipeline(
+    Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision, trait_chunk=None
+):
     Y0, X0 = _rotate(Y, X, Ut)
-    return _alt_grid_impl(
-        Y0, X0, lam, h2_grid,
-        n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision,
+    kw = dict(n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision)
+    if trait_chunk is None:
+        return _alt_grid_impl(Y0, X0, lam, h2_grid, **kw)
+    return _chunk_traits(
+        lambda Yc: _alt_grid_impl(Yc, X0, lam, h2_grid, **kw),
+        Y0, trait_chunk=trait_chunk,
     )
 
 
@@ -178,6 +220,7 @@ def bulkscan(
     chisq_df: int = 1,
     solve_method: str = "qr",
     precision: PrecisionConfig = DEFAULT_PRECISION,
+    trait_chunk=None,
 ) -> BulkScanResult:
     """Genome scan for many traits at once.
 
@@ -226,7 +269,7 @@ def bulkscan(
         L, h2_list = _null_grid_pipeline(
             Y, X, Ut, lam, h2_grid.astype(dtype),
             n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
-            precision=precision,
+            precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "null-exact":
@@ -234,13 +277,14 @@ def bulkscan(
             Y, X, Ut, lam,
             n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
+            trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "alt-grid":
         L, h2_panel = _alt_grid_pipeline(
             Y, X, Ut, lam, h2_grid.astype(dtype),
             n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
-            precision=precision,
+            precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_panel=h2_panel)
     else:

@@ -62,17 +62,23 @@ def weighted_correlation_per_trait(
     (src/bulkscan_helpers.jl:138) for slightly negative kinship eigenvalues.
     """
     gdt = precision.resolve_gemm()
+    sdt = precision.resolve_solve()
     pgp = precision.gemm_precision
     n, c = C0.shape
 
-    W = jnp.abs(make_weights(h2_per_trait, lam)).T.astype(gdt)  # (n, m)
-    Y = Y0.astype(gdt)
-    C = C0.astype(gdt)
-    X = X0m.astype(gdt)
+    # Elementwise/combining math runs in the solve dtype; only the big
+    # (p x n)(n x m) GEMM operands drop to the gemm dtype. With
+    # solve=f64 + gemm=f32 this is the "mixed" mode: the cancellation-prone
+    # combines (D = D1 - sum Z^2 etc.) keep full precision while the MXU
+    # GEMMs stay fast.
+    W = jnp.abs(make_weights(h2_per_trait, lam)).T.astype(sdt)  # (n, m)
+    Y = Y0.astype(sdt)
+    C = C0.astype(sdt)
+    X = X0m.astype(sdt)
 
     WY = W * Y  # (n, m)
 
-    # Per-trait covariate Grams via thin GEMMs.
+    # Per-trait covariate Grams via thin (c-row) GEMMs — solve dtype (cheap).
     t = jnp.matmul(C.T, WY, precision=pgp)  # (c, m)
     pairs = _pair_indices(c)
     CC = jnp.stack([C[:, k] * C[:, l] for k, l in pairs], axis=1)  # (n, npair)
@@ -116,12 +122,15 @@ def weighted_correlation_per_trait(
     for k in range(c):
         nrm2 = nrm2 - zeta[k] * zeta[k]
 
-    # Marker-side GEMMs.
-    B = jnp.matmul(X.T, WY, precision=pgp)  # (p, m)
+    # Marker-side GEMMs in the gemm dtype, combined in the solve dtype.
+    Xg = X.astype(gdt)
+    Wg = W.astype(gdt)
+    B = jnp.matmul(Xg.T, WY.astype(gdt), precision=pgp).astype(sdt)  # (p, m)
     U = [
-        jnp.matmul((X * C[:, k][:, None]).T, W, precision=pgp) for k in range(c)
+        jnp.matmul((X * C[:, k][:, None]).astype(gdt).T, Wg, precision=pgp).astype(sdt)
+        for k in range(c)
     ]  # c x (p, m)
-    D1 = jnp.matmul((X * X).T, W, precision=pgp)  # (p, m)
+    D1 = jnp.matmul((X * X).astype(gdt).T, Wg, precision=pgp).astype(sdt)  # (p, m)
 
     # Z = L^{-1} U (broadcast over markers): same orthonormal projection for
     # the marker side; then everything combines elementwise:
@@ -153,22 +162,25 @@ def weighted_correlation_shared(
     permutation hot path (src/scan.jl:534-543) reduce to this.
     """
     gdt = precision.resolve_gemm()
+    sdt = precision.resolve_solve()
     pgp = precision.gemm_precision
 
+    # Residualization/normalization in the solve dtype (cancellation-prone);
+    # only the final (p x m) correlation GEMM drops to the gemm dtype.
     w = jnp.abs(make_weights(h2, lam))  # (n,)
-    s = jnp.sqrt(w).astype(gdt)
-    Ct = C0.astype(gdt) * s[:, None]
+    s = jnp.sqrt(w).astype(sdt)
+    Ct = C0.astype(sdt) * s[:, None]
     q, _ = jnp.linalg.qr(Ct, mode="reduced")  # (n, c)
 
     def residualize_normalize(M):
-        Mw = M.astype(gdt) * s[:, None]
+        Mw = M.astype(sdt) * s[:, None]
         proj = jnp.matmul(q.T, Mw, precision=pgp)
         Mr = Mw - jnp.matmul(q, proj, precision=pgp)
         return Mr / jnp.sqrt(jnp.sum(Mr * Mr, axis=0))
 
-    X00 = residualize_normalize(X0m)
-    Y00 = residualize_normalize(Y0)
-    return jnp.matmul(X00.T, Y00, precision=pgp)
+    X00 = residualize_normalize(X0m).astype(gdt)
+    Y00 = residualize_normalize(Y0).astype(gdt)
+    return jnp.matmul(X00.T, Y00, precision=pgp).astype(sdt)
 
 
 def lods_per_trait(Y0, X0m, C0, lam, h2_per_trait, *, precision=DEFAULT_PRECISION):

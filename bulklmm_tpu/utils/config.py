@@ -62,6 +62,18 @@ class PrecisionConfig:
 
 DEFAULT_PRECISION = PrecisionConfig()
 
+# Presets (TPU guidance; require jax x64 for the float64 members):
+#   FAST32  — everything f32, GEMMs at HIGHEST (bf16x6). ~1e-3 absolute LOD
+#             accuracy at BXD scale; the throughput mode.
+#   MIXED   — f64 likelihood/combining math, f32 HIGHEST GEMMs. Accuracy set
+#             by the GEMM rounding alone.
+#   EXACT64 — f64 end-to-end (emulated on TPU). Bit-level agreement with the
+#             reference formulas (~1e-13 LOD); still faster than the
+#             reference's CPU baseline at BXD scale.
+FAST32 = PrecisionConfig(solve_dtype=jnp.float32, gemm_dtype=jnp.float32)
+MIXED = PrecisionConfig(solve_dtype=jnp.float64, gemm_dtype=jnp.float32)
+EXACT64 = PrecisionConfig(solve_dtype=jnp.float64, gemm_dtype=jnp.float64)
+
 
 def enable_x64() -> None:
     """Enable float64 globally (call before creating arrays)."""

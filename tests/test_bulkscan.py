@@ -101,3 +101,18 @@ def test_bulkscan_with_covariates(bxd_like):
     single = scan(bxd_like["Y"][:, 6], bxd_like["G"], bxd_like["K"], covar=covar)
     d = np.asarray(out.L[:, 6]) - np.asarray(single.lod)
     assert np.sum(d * d) < 1e-7
+
+
+def test_trait_chunking_matches_unchunked(bxd_like):
+    """trait_chunk bounds memory via lax.map; results must be identical,
+    including when m is not a chunk multiple."""
+    import jax.numpy as jnp
+
+    from bulklmm_tpu import bulkscan
+
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    for method in ("null-grid", "null-exact", "alt-grid"):
+        full = bulkscan(Y, G, K, method=method)
+        chunked = bulkscan(Y, G, K, method=method, trait_chunk=5)  # 16 % 5 != 0
+        assert chunked.L.shape == full.L.shape
+        assert float(jnp.max(jnp.abs(chunked.L - full.L))) < 1e-12
