@@ -8,6 +8,11 @@ the same-shape problem on synthetic BXD-scale data and prints one JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
 
 ``vs_baseline`` > 1 means faster than the reference.
+
+Mode: MIXED precision (f64 likelihood/combining + f32 HIGHEST MXU GEMMs,
+trait-chunked) — max |LOD error| vs the f64 oracle is ~7e-6, inside the
+1e-5 reference-parity bar. The FAST32 throughput mode runs the same scan in
+~66 ms (~32x) at ~1.6e-3 absolute LOD accuracy.
 """
 
 from __future__ import annotations
@@ -33,9 +38,12 @@ def synth_bxd(n=N, p=P, m=M, seed=2026):
 
 def main():
     import jax
+
+    jax.config.update("jax_enable_x64", True)  # MIXED needs f64 available
     import jax.numpy as jnp
 
     from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.utils.config import MIXED
 
     G, K, Y = synth_bxd()
     # Data resident in accelerator memory before timing — the analog of the
@@ -50,7 +58,7 @@ def main():
 
     def run():
         t0 = time.perf_counter()
-        res = bulkscan(Yd, Gd, K, method="null-grid")
+        res = bulkscan(Yd, Gd, K, method="null-grid", precision=MIXED, trait_chunk=4096)
         # Force completion with a device-side checksum + scalar fetch:
         # block_until_ready alone under-reports on asynchronous backends.
         checksum = float(jnp.sum(res.L))
