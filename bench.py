@@ -9,10 +9,10 @@ the same-shape problem on synthetic BXD-scale data and prints one JSON line:
 
 ``vs_baseline`` > 1 means faster than the reference.
 
-Mode: MIXED precision (f64 likelihood/combining + f32 HIGHEST MXU GEMMs,
-trait-chunked) — max |LOD error| vs the f64 oracle is ~7e-6, inside the
-1e-5 reference-parity bar. The FAST32 throughput mode runs the same scan in
-~66 ms (~32x) at ~1.6e-3 absolute LOD accuracy.
+Mode: MIXED precision (f64 likelihood/combining + f32 HIGHEST MXU GEMMs +
+accurate-f32 polynomial log, trait-chunked) — max |LOD error| vs the f64
+oracle is 6.8e-6, inside the 1e-5 reference-parity bar. The FAST32
+throughput mode runs the same scan in ~66 ms (~32x) at 1.4e-5.
 """
 
 from __future__ import annotations

@@ -183,15 +183,22 @@ def weighted_correlation_shared(
     return jnp.matmul(X00.T, Y00, precision=pgp).astype(sdt)
 
 
+def _fast_log(precision) -> bool:
+    """Use the accurate-f32 log whenever the pipeline is not f64 end-to-end:
+    f64 logs are emulated and slow on TPU, and the native f32 log is too
+    inaccurate (see ops/lod.py::log10_f32_accurate)."""
+    return precision.resolve_gemm() == jnp.float32
+
+
 def lods_per_trait(Y0, X0m, C0, lam, h2_per_trait, *, precision=DEFAULT_PRECISION):
     """(p, m) LOD scores with per-trait h2 — the bulk-scan throughput core."""
     n = Y0.shape[0]
     R = weighted_correlation_per_trait(Y0, X0m, C0, lam, h2_per_trait, precision=precision)
-    return r2lod(R, n)
+    return r2lod(R, n, fast_log=_fast_log(precision))
 
 
 def lods_shared(Y0, X0m, C0, lam, h2, *, precision=DEFAULT_PRECISION):
     """(p, m) LOD scores with one shared h2 across traits."""
     n = Y0.shape[0]
     R = weighted_correlation_shared(Y0, X0m, C0, lam, h2, precision=precision)
-    return r2lod(R, n)
+    return r2lod(R, n, fast_log=_fast_log(precision))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import gammaincc
@@ -20,9 +21,52 @@ from jax.scipy.special import gammaincc
 _LN10 = math.log(10.0)
 
 
-def r2lod(r, n):
-    """LOD = -(n/2) * log10(1 - r^2) for correlation r and sample size n."""
-    return -(n / 2.0) * jnp.log10(1.0 - r * r)
+_LN2_F32 = 0.6931471805599453
+_LOG10E_F32 = 0.4342944819032518
+_SQRT2 = 1.4142135623730951
+
+
+def log10_f32_accurate(x):
+    """Float32 log10 with ~1e-7 absolute error on TPU.
+
+    The TPU VPU's native f32 ``log`` is an approximation with absolute error
+    up to ~1e-4 (measured) — multiplied by n/2 that alone costs ~1e-3 LOD.
+    This routine does exact exponent/mantissa extraction (bitcast) and an
+    atanh-series polynomial on the mantissa: ln(m) = 2t(1 + t^2/3 + ... +
+    t^8/9), t = (m-1)/(m+1), |t| <= 0.1716 after shifting m into
+    [sqrt(1/2), sqrt(2)). ~12 VPU FMAs per element — far cheaper than an
+    emulated f64 log and ~1000x more accurate than the native f32 one.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | (127 << 23), jnp.float32
+    )  # mantissa in [1, 2)
+    shift = m > _SQRT2
+    m = jnp.where(shift, 0.5 * m, m)
+    e = (e + shift.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    p = 1.0 + t2 * (1.0 / 3.0 + t2 * (1.0 / 5.0 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0))))
+    ln = e * _LN2_F32 + 2.0 * t * p
+    out = ln * _LOG10E_F32
+    # domain guard: non-positive input (r^2 >= 1 after rounding) -> nan, like log10
+    return jnp.where(x > 0.0, out, jnp.nan)
+
+
+def r2lod(r, n, *, fast_log: bool = False):
+    """LOD = -(n/2) * log10(1 - r^2) for correlation r and sample size n.
+
+    ``fast_log``: form the cancellation-sensitive ``1 - r^2`` in the input
+    dtype (f64 in mixed mode), then take the log in f32 via
+    :func:`log10_f32_accurate` — f64 transcendentals are emulated and slow on
+    TPU, and the native f32 log is too inaccurate (~1e-4 abs).
+    """
+    one_minus_r2 = 1.0 - r * r
+    if fast_log:
+        return -(n / 2.0) * log10_f32_accurate(one_minus_r2.astype(jnp.float32))
+    return -(n / 2.0) * jnp.log10(one_minus_r2)
 
 
 def rss2lod(rss1, rss0, n):
