@@ -1,0 +1,167 @@
+"""Command-line interface: kinship / scan / bulkscan from CSV files.
+
+The reference has no CLI (driven from the Julia REPL, reference
+README.md:99-361); this is an addition for production use. Output is CSV
+(LOD columns) or ``.npz``.
+
+  python -m bulklmm_tpu kinship --geno geno.csv -o kinship.csv
+  python -m bulklmm_tpu scan --geno geno.csv --pheno pheno.csv --trait 1112 \
+      --nperms 1000 -o scan1112.csv
+  python -m bulklmm_tpu bulkscan --geno geno.csv --pheno pheno.csv \
+      --method null-grid -o lods.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_geno(args):
+    from . import io as bio
+
+    if args.geno.endswith(".npz"):
+        return np.load(args.geno)["geno"]
+    if args.exclude_complements:
+        return bio.read_geno_prob_exclude_complements(args.geno)
+    return bio.read_geno_prob(args.geno)
+
+
+def _load_pheno(args):
+    from . import io as bio
+
+    if args.pheno.endswith(".npz"):
+        return np.load(args.pheno)["pheno"]
+    return bio.read_bxd_pheno(args.pheno)
+
+
+def _kinship(args):
+    from . import calc_kinship
+    from . import io as bio
+
+    K = np.asarray(calc_kinship(_load_geno(args)))
+    if args.output.endswith(".npz"):
+        np.savez_compressed(args.output, kinship=K)
+    else:
+        bio.write_to_file(K, args.output)
+    print(f"kinship {K.shape} -> {args.output}")
+
+
+def _scan(args):
+    from . import calc_kinship, get_thresholds, scan
+    from . import io as bio
+
+    G = _load_geno(args)
+    Y = _load_pheno(args)
+    y = Y[:, args.trait]
+    K = np.asarray(calc_kinship(G))
+    res = scan(
+        y, G, K,
+        reml=args.reml,
+        assumption=args.assumption,
+        permutation_test=args.nperms > 0,
+        nperms=max(args.nperms, 1),
+        rndseed=args.seed,
+        output_pvals=args.pvals,
+    )
+    out = {"lod": np.asarray(res.lod)}
+    meta = {
+        "trait": args.trait,
+        "h2_null": float(res.h2_null),
+        "sigma2_e": float(res.sigma2_e),
+    }
+    if args.nperms > 0:
+        thr = get_thresholds(res.L_perms, [0.10, 0.05, 0.01])
+        meta["thresholds"] = dict(zip(["0.10", "0.05", "0.01"], map(float, thr.thrs)))
+    if args.pvals:
+        out["log10pvals"] = np.asarray(res.log10pvals)
+    if args.output.endswith(".npz"):
+        np.savez_compressed(args.output, **out)
+    else:
+        cols = np.column_stack(list(out.values()))
+        bio.write_to_file(cols, args.output)
+    print(json.dumps(meta))
+
+
+def _bulkscan(args):
+    from . import bulkscan, calc_kinship
+    from .utils.config import EXACT64, FAST32, MIXED
+
+    G = _load_geno(args)
+    Y = _load_pheno(args)
+    K = np.asarray(calc_kinship(G))
+    precision = {"fast32": FAST32, "mixed": MIXED, "exact64": EXACT64}[args.precision]
+    if args.precision != "fast32":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    res = bulkscan(
+        Y, G, K,
+        method=args.method,
+        reml=args.reml,
+        precision=precision,
+        trait_chunk=args.trait_chunk,
+        output_pvals=args.pvals,
+    )
+    out = {"L": np.asarray(res.L)}
+    if res.h2_null_list is not None:
+        out["h2_null_list"] = np.asarray(res.h2_null_list)
+    if res.h2_panel is not None:
+        out["h2_panel"] = np.asarray(res.h2_panel)
+    if args.pvals:
+        out["log10Pvals"] = np.asarray(res.log10Pvals_mat)
+    np.savez_compressed(args.output, **out)
+    print(f"bulkscan {out['L'].shape} ({args.method}) -> {args.output}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bulklmm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, pheno=True):
+        p.add_argument("--geno", required=True, help="genotype-prob CSV or .npz")
+        p.add_argument(
+            "--exclude-complements", action="store_true",
+            help="keep only odd genotype-prob columns (complement pairs)",
+        )
+        if pheno:
+            p.add_argument("--pheno", required=True, help="phenotype CSV or .npz")
+        p.add_argument("-o", "--output", required=True)
+
+    k = sub.add_parser("kinship", help="kinship matrix from genotype probs")
+    common(k, pheno=False)
+    k.set_defaults(fn=_kinship)
+
+    s = sub.add_parser("scan", help="single-trait genome scan")
+    common(s)
+    s.add_argument("--trait", type=int, default=0, help="0-based trait column")
+    s.add_argument("--assumption", choices=["null", "alt"], default="null")
+    s.add_argument("--reml", action="store_true")
+    s.add_argument("--nperms", type=int, default=0, help=">0 enables permutation test")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--pvals", action="store_true")
+    s.set_defaults(fn=_scan)
+
+    b = sub.add_parser("bulkscan", help="all-trait genome scan")
+    common(b)
+    b.add_argument(
+        "--method", choices=["null-grid", "null-exact", "alt-grid"],
+        default="null-grid",
+    )
+    b.add_argument("--reml", action="store_true")
+    b.add_argument(
+        "--precision", choices=["fast32", "mixed", "exact64"], default="mixed"
+    )
+    b.add_argument("--trait-chunk", type=int, default=None)
+    b.add_argument("--pvals", action="store_true")
+    b.set_defaults(fn=_bulkscan)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
