@@ -51,24 +51,29 @@ def main():
 
     G, Y = synth_cohort(n, p, m)
 
+    from bulklmm_tpu.ops.rotation import KinshipDecomposition, kinship_eigen
+
     cache = Path(__file__).parent / f"eigh_cache_n{n}.npz"
     t0 = time.perf_counter()
     if cache.is_file():
         z = np.load(cache)
-        K = z["K"]
+        Ut_np, lam_np = z["Ut"], z["lam"]
         eigh_s = 0.0
     else:
         K = np.asarray(bl.calc_kinship(G))
-        # warm the host eigendecomposition cache via the rotation path
-        from bulklmm_tpu.ops.rotation import kinship_eigen
-
-        Ut, lam = kinship_eigen(K)
-        np.savez(cache, K=K)
+        Ut_np, lam_np = kinship_eigen(K)
+        np.savez(cache, Ut=Ut_np, lam=lam_np)
         eigh_s = time.perf_counter() - t0
+    # decompose once, device-resident — repeated scans skip host eigh + the
+    # n x n transfer entirely (the checkpoint/resume story for large cohorts)
+    K = KinshipDecomposition(
+        Ut=jax.device_put(jnp.asarray(Ut_np, dtype=jnp.float32)),
+        lam=jax.device_put(jnp.asarray(lam_np, dtype=jnp.float32)),
+    )
 
     Gd = jax.device_put(jnp.asarray(G))
     Yd = jax.device_put(jnp.asarray(Y))
-    jax.block_until_ready((Gd, Yd))
+    jax.block_until_ready((Gd, Yd, K.Ut, K.lam))
 
     if args.sharded and len(jax.devices()) > 1:
         from bulklmm_tpu.parallel import bulkscan_sharded, make_mesh

@@ -42,7 +42,9 @@ from .models import (
     scan_perms_lite,
 )
 from .ops import (
+    KinshipDecomposition,
     calc_kinship,
+    decompose_kinship,
     fit_lmm,
     gridbrent,
     lod2log10p,
@@ -87,6 +89,8 @@ __all__ = [
     "scan",
     "scan_perms_lite",
     "calc_kinship",
+    "KinshipDecomposition",
+    "decompose_kinship",
     "fit_lmm",
     "gridbrent",
     "lod2log10p",

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..ops.liteqtl import lods_per_trait, lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p
-from ..ops.rotation import kinship_eigen, transform_rotation
+from ..ops.rotation import kinship_eigen, resolve_kinship, transform_rotation
 from ..ops.weights import make_weights
 from ..ops.wls import wls
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
@@ -248,6 +248,13 @@ def bulkscan(
         covar = covar[:, None] if covar.ndim == 1 else covar
 
     if weights is not None:
+        from ..ops.rotation import KinshipDecomposition
+
+        if isinstance(K, KinshipDecomposition):
+            raise ValueError(
+                "weights rescale the kinship matrix (K -> WKW); pass the raw "
+                "K, not a cached KinshipDecomposition."
+            )
         Y, G, covar, K, add_intercept = _apply_weights(Y, G, covar, K, weights, add_intercept)
 
     prior = (float(prior_variance), float(prior_sample_size))
@@ -258,10 +265,8 @@ def bulkscan(
     X = jnp.concatenate([covar, G], axis=1)
     if add_intercept:
         X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
-    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
     dtype = precision.resolve_solve()
-    Ut = jnp.asarray(Ut_np, dtype=dtype)
-    lam = jnp.asarray(lam_np, dtype=dtype)
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     Y = Y.astype(dtype)
     X = X.astype(dtype)
 

@@ -34,6 +34,7 @@ from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p, r2lod
 from ..ops.rotation import (
     kinship_eigen,
+    resolve_kinship,
     transform_permute,
     transform_reweight,
     transform_rotation,
@@ -195,6 +196,13 @@ def scan(
         covar = covar[:, None] if covar.ndim == 1 else covar
 
     if weights is not None:
+        from ..ops.rotation import KinshipDecomposition
+
+        if isinstance(K, KinshipDecomposition):
+            raise ValueError(
+                "weights rescale the kinship matrix (K -> WKW); pass the raw "
+                "K, not a cached KinshipDecomposition."
+            )
         y, g, covar, K, add_intercept = _apply_weights(y, g, covar, K, weights, add_intercept)
 
     prior = (float(prior_variance), float(prior_sample_size))
@@ -203,10 +211,8 @@ def scan(
     X = jnp.concatenate([covar, g], axis=1)
     if add_intercept:
         X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
-    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
     dtype = precision.resolve_solve()
-    Ut = jnp.asarray(Ut_np, dtype=dtype)
-    lam = jnp.asarray(lam_np, dtype=dtype)
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     y = y.astype(dtype)
     X = X.astype(dtype)
 
@@ -291,10 +297,8 @@ def scan_perms_lite(
     n = y.shape[0]
     if add_intercept:
         X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
-    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
     dtype = precision.resolve_solve()
-    Ut = jnp.asarray(Ut_np, dtype=dtype)
-    lam = jnp.asarray(lam_np, dtype=dtype)
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
     sigma2_e, h2_null, L = _scan_perms_pipeline(
         y.astype(dtype), X.astype(dtype), Ut, lam,

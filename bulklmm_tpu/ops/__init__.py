@@ -11,6 +11,10 @@ from .liteqtl import (
 from .lmm import LMMResult, fit_lmm
 from .lod import lod2log10p, lod2log10p_device, lod2p, p2lod, r2lod, rss2lod
 from .rotation import (
+    KinshipDecomposition,
+    decompose_kinship,
+)
+from .rotation import (
     RotatedData,
     ReweightedData,
     kinship_eigen,
@@ -31,6 +35,8 @@ from .weights import make_weights
 from .wls import WLSResult, resid, rss, wls, wls_multivar
 
 __all__ = [
+    "KinshipDecomposition",
+    "decompose_kinship",
     "brent_min",
     "gridbrent",
     "calc_kinship",

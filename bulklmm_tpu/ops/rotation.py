@@ -40,6 +40,42 @@ class RotatedData(NamedTuple):
     lam: jnp.ndarray
 
 
+class KinshipDecomposition(NamedTuple):
+    """Cached kinship eigendecomposition, device-resident.
+
+    For repeated scans on one cohort, decompose once with
+    :func:`decompose_kinship` and pass this object wherever ``K`` is
+    accepted — skips the O(n^3) host eigendecomposition *and* the
+    host->device transfer of the n x n eigenvector matrix on every call
+    (at n=2000+ those dominate a repeated-scan workflow; the reference
+    re-decomposes inside every scan call, src/transform_helpers.jl:21-49).
+    """
+
+    Ut: jnp.ndarray  # (n, n) transposed eigenvectors, device
+    lam: jnp.ndarray  # (n,) eigenvalues, device
+
+
+def decompose_kinship(
+    K, decomp_scheme: str = "eigen", dtype=None
+) -> KinshipDecomposition:
+    """Host eigendecomposition -> device-resident factors, computed once."""
+    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
+    if dtype is None:
+        dtype = DEFAULT_PRECISION.resolve_solve()
+    return KinshipDecomposition(
+        Ut=jnp.asarray(Ut_np, dtype=dtype), lam=jnp.asarray(lam_np, dtype=dtype)
+    )
+
+
+def resolve_kinship(K, decomp_scheme: str, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Ut, lam) device arrays from either a raw kinship matrix or a cached
+    :class:`KinshipDecomposition`."""
+    if isinstance(K, KinshipDecomposition):
+        return K.Ut.astype(dtype), K.lam.astype(dtype)
+    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
+    return jnp.asarray(Ut_np, dtype=dtype), jnp.asarray(lam_np, dtype=dtype)
+
+
 def kinship_eigen(K, decomp_scheme: str = "eigen") -> Tuple[np.ndarray, np.ndarray]:
     """Host-side (float64 LAPACK) decomposition of the kinship matrix.
 
@@ -81,7 +117,8 @@ def transform_rotation(
     y2 = y[:, None] if y.ndim == 1 else y
     g = jnp.asarray(g)
     n = y2.shape[0]
-    if g.shape[0] != n or np.shape(K)[0] != n:
+    K_n = K.Ut.shape[0] if isinstance(K, KinshipDecomposition) else np.shape(K)[0]
+    if g.shape[0] != n or K_n != n:
         raise ValueError("Dimension mismatch.")
 
     if add_intercept:
@@ -89,10 +126,8 @@ def transform_rotation(
     else:
         X = g
 
-    Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
     dtype = precision.resolve_solve()
-    Ut = jnp.asarray(Ut_np, dtype=dtype)
-    lam = jnp.asarray(lam_np, dtype=dtype)
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
 
     pgp = precision.gemm_precision
     y0 = jnp.matmul(Ut, y2.astype(dtype), precision=pgp)

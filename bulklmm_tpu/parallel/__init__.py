@@ -8,6 +8,7 @@ permutations) become named mesh axes over ICI/DCN, sharded with
 ``jax.sharding.NamedSharding`` so XLA inserts the collectives.
 """
 
+from .distributed import init_distributed, local_trait_slice
 from .sharding import (
     bulkscan_sharded,
     make_mesh,
@@ -17,6 +18,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "init_distributed",
+    "local_trait_slice",
     "bulkscan_sharded",
     "make_mesh",
     "scan_perms_sharded",

@@ -1,3 +1,22 @@
-from .config import DEFAULT_PRECISION, PrecisionConfig, default_float, enable_x64
+from .config import (
+    DEFAULT_PRECISION,
+    EXACT64,
+    FAST32,
+    MIXED,
+    PrecisionConfig,
+    default_float,
+    enable_x64,
+)
+from .profiling import timed, trace
 
-__all__ = ["DEFAULT_PRECISION", "PrecisionConfig", "default_float", "enable_x64"]
+__all__ = [
+    "DEFAULT_PRECISION",
+    "EXACT64",
+    "FAST32",
+    "MIXED",
+    "PrecisionConfig",
+    "default_float",
+    "enable_x64",
+    "timed",
+    "trace",
+]

@@ -114,3 +114,23 @@ def test_scan_prior_regularization(bxd_like):
     assert abs(float(out1.h2_null) - ref["h2_null"]) < 1e-5
     assert np.max(np.abs(np.asarray(out1.lod) - ref["lod"])) < 1e-7
     assert not np.allclose(float(out0.h2_null), float(out1.h2_null))
+
+
+def test_kinship_decomposition_cache(bxd_like):
+    """Passing a precomputed KinshipDecomposition must give identical
+    results to passing the raw kinship matrix, and reject the weights path."""
+    import pytest
+
+    from bulklmm_tpu import bulkscan, decompose_kinship, scan
+
+    K = bxd_like["K"]
+    dec = decompose_kinship(K)
+    y, G = bxd_like["Y"][:, 0], bxd_like["G"]
+    a = scan(y, G, K)
+    b = scan(y, G, dec)
+    assert np.allclose(np.asarray(a.lod), np.asarray(b.lod))
+    ra = bulkscan(bxd_like["Y"], G, K)
+    rb = bulkscan(bxd_like["Y"], G, dec)
+    assert np.allclose(np.asarray(ra.L), np.asarray(rb.L))
+    with pytest.raises(ValueError, match="KinshipDecomposition"):
+        scan(y, G, dec, weights=np.ones(bxd_like["n"]))

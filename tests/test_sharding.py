@@ -72,3 +72,33 @@ def test_sharded_permutations_and_thresholds(bxd_like, mesh):
         permutation_test=True, nperms=199, rndseed=11, prior_variance=1.0,
     )
     assert float(jnp.max(jnp.abs(res.L_perms - ref.L_perms))) < 1e-9
+
+
+def test_calc_kinship_sharded(bxd_like, mesh):
+    """shard_map kinship over the markers axis == single-device kinship."""
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bulklmm_tpu.ops.kinship import calc_kinship, calc_kinship_sharded
+
+    G = jnp.asarray(bxd_like["G"][:, :112])  # 112 divides the 8-way flat axis
+    flat = jax.sharding.Mesh(
+        np.asarray(mesh.devices).reshape(-1), ("markers",)
+    )
+    K_sh = shard_map(
+        lambda g: calc_kinship_sharded(g, "markers"),
+        mesh=flat,
+        in_specs=P(None, "markers"),
+        out_specs=P(None, None),
+    )(G)
+    K_ref = calc_kinship(G)
+    assert float(jnp.max(jnp.abs(K_sh - K_ref))) < 1e-10
+
+
+def test_local_trait_slice_single_process():
+    from bulklmm_tpu.parallel import init_distributed, local_trait_slice
+
+    assert init_distributed() == 0
+    sl = local_trait_slice(100)
+    assert (sl.start, sl.stop) == (0, 100)
