@@ -34,7 +34,7 @@ from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p
 from ..ops.rotation import kinship_eigen, resolve_kinship, transform_rotation
 from ..ops.weights import make_weights
-from ..ops.wls import wls
+from ..ops.wls import wls, wls_ell
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 from .results import BulkScanResult
 from .scan import _apply_weights
@@ -52,39 +52,40 @@ def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False, method="qr"):
 
     def ell_one(h2):
         w = make_weights(h2, lam)
-        return wls(Y0, X0_cov, w, prior, reml=reml, method=method).ell
+        return wls_ell(Y0, X0_cov, w, prior, reml=reml)[0]
 
     return jax.vmap(ell_one)(h2_grid)
 
 
-def _null_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
-    X0_cov = X0[:, :n_covars]
-    ells = grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, reml=reml, method=method)
+def _null_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision):
+    """Covariates (C0) and markers (X0m) stay separate arrays end-to-end —
+    slicing a concatenated design would cross shard boundaries under marker
+    sharding and force an all-gather."""
+    ells = grid_null_ell(Y0, C0, lam, h2_grid, prior, reml=reml, method=method)
     idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
     h2_list = h2_grid[idx]
-    L = lods_per_trait(Y0, X0[:, n_covars:], X0_cov, lam, h2_list, precision=precision)
+    L = lods_per_trait(Y0, X0m, C0, lam, h2_list, precision=precision)
     return L, h2_list
 
 
 def _null_exact_impl(
-    Y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision
+    Y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision
 ):
-    X0_cov = X0[:, :n_covars]
     fits = jax.vmap(
         lambda yj: fit_lmm(
-            yj, X0_cov, lam, prior,
+            yj, C0, lam, prior,
             reml=reml, method=method, optim_interval=optim_interval,
         ),
         in_axes=1,
     )(Y0)
     h2_list = fits.h2
-    L = lods_per_trait(Y0, X0[:, n_covars:], X0_cov, lam, h2_list, precision=precision)
+    L = lods_per_trait(Y0, X0m, C0, lam, h2_list, precision=precision)
     return L, h2_list
 
 
-def _alt_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, precision):
-    X0_cov = X0[:, :n_covars]
-    X0_m = X0[:, n_covars:]
+def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision):
+    X0_cov = C0
+    X0_m = X0m
     p = X0_m.shape[1]
     m = Y0.shape[1]
     dt = Y0.dtype
@@ -93,7 +94,7 @@ def _alt_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, preci
         k, h2 = inputs
         logL1_max, kmax, logL0_max = carry
         lod_k = lods_shared(Y0, X0_m, X0_cov, lam, h2, precision=precision)
-        ell0 = wls(Y0, X0_cov, make_weights(h2, lam), prior, reml=reml, method=method).ell
+        ell0 = wls_ell(Y0, X0_cov, make_weights(h2, lam), prior, reml=reml)[0]
         logL1 = lod_k * _LN10 + ell0[None, :]
         upd = logL1 > logL1_max
         return (
@@ -114,8 +115,8 @@ def _alt_grid_impl(Y0, X0, lam, h2_grid, *, n_covars, prior, reml, method, preci
     return L, h2_panel
 
 
-_STATIC_GRID = ("n_covars", "prior", "reml", "method", "precision")
-_STATIC_EXACT = ("n_covars", "prior", "reml", "method", "optim_interval", "precision")
+_STATIC_GRID = ("prior", "reml", "method", "precision")
+_STATIC_EXACT = ("prior", "reml", "method", "optim_interval", "precision")
 
 
 def _chunk_traits(impl, Y0, *, trait_chunk):
@@ -147,56 +148,56 @@ _bulkscan_null_exact_core = partial(jax.jit, static_argnames=_STATIC_EXACT)(_nul
 _bulkscan_alt_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(_alt_grid_impl)
 
 
-def _rotate(Y, X, Ut):
-    return jnp.matmul(Ut, Y), jnp.matmul(Ut, X)
+def _rotate(Y, Xm, C, Ut):
+    return jnp.matmul(Ut, Y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
 
 
 @partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
 def _null_grid_pipeline(
-    Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision, trait_chunk=None
+    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
 ):
     """Rotation + grid fit + LOD kernel as ONE jitted computation — a single
     device dispatch per bulkscan call, with the rotation GEMMs fused into the
     same XLA program as the scan. ``trait_chunk`` bounds peak memory by
     ``lax.map``-ing trait blocks (for f64 runs / biobank-scale matrices)."""
-    Y0, X0 = _rotate(Y, X, Ut)
-    kw = dict(n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision)
+    Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
+    kw = dict(prior=prior, reml=reml, method=method, precision=precision)
     if trait_chunk is None:
-        return _null_grid_impl(Y0, X0, lam, h2_grid, **kw)
+        return _null_grid_impl(Y0, X0m, C0, lam, h2_grid, **kw)
     return _chunk_traits(
-        lambda Yc: _null_grid_impl(Yc, X0, lam, h2_grid, **kw),
+        lambda Yc: _null_grid_impl(Yc, X0m, C0, lam, h2_grid, **kw),
         Y0, trait_chunk=trait_chunk,
     )
 
 
 @partial(jax.jit, static_argnames=_STATIC_EXACT + ("trait_chunk",))
 def _null_exact_pipeline(
-    Y, X, Ut, lam, *, n_covars, prior, reml, method, optim_interval, precision,
+    Y, Xm, C, Ut, lam, *, prior, reml, method, optim_interval, precision,
     trait_chunk=None,
 ):
-    Y0, X0 = _rotate(Y, X, Ut)
+    Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
     kw = dict(
-        n_covars=n_covars, prior=prior, reml=reml, method=method,
+        prior=prior, reml=reml, method=method,
         optim_interval=optim_interval, precision=precision,
     )
     if trait_chunk is None:
-        return _null_exact_impl(Y0, X0, lam, **kw)
+        return _null_exact_impl(Y0, X0m, C0, lam, **kw)
     return _chunk_traits(
-        lambda Yc: _null_exact_impl(Yc, X0, lam, **kw),
+        lambda Yc: _null_exact_impl(Yc, X0m, C0, lam, **kw),
         Y0, trait_chunk=trait_chunk,
     )
 
 
 @partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
 def _alt_grid_pipeline(
-    Y, X, Ut, lam, h2_grid, *, n_covars, prior, reml, method, precision, trait_chunk=None
+    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
 ):
-    Y0, X0 = _rotate(Y, X, Ut)
-    kw = dict(n_covars=n_covars, prior=prior, reml=reml, method=method, precision=precision)
+    Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
+    kw = dict(prior=prior, reml=reml, method=method, precision=precision)
     if trait_chunk is None:
-        return _alt_grid_impl(Y0, X0, lam, h2_grid, **kw)
+        return _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, **kw)
     return _chunk_traits(
-        lambda Yc: _alt_grid_impl(Yc, X0, lam, h2_grid, **kw),
+        lambda Yc: _alt_grid_impl(Yc, X0m, C0, lam, h2_grid, **kw),
         Y0, trait_chunk=trait_chunk,
     )
 
@@ -258,37 +259,36 @@ def bulkscan(
         Y, G, covar, K, add_intercept = _apply_weights(Y, G, covar, K, weights, add_intercept)
 
     prior = (float(prior_variance), float(prior_sample_size))
-    n_covars = covar.shape[1] + (1 if add_intercept else 0)
 
     # host-side O(n^3) eigendecomposition; everything after is ONE jitted
     # device program (rotation GEMMs fused with the scan)
-    X = jnp.concatenate([covar, G], axis=1)
     if add_intercept:
-        X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
+        covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     Y = Y.astype(dtype)
-    X = X.astype(dtype)
+    C = covar.astype(dtype)
+    Xm = G.astype(dtype)
 
     if method == "null-grid":
         L, h2_list = _null_grid_pipeline(
-            Y, X, Ut, lam, h2_grid.astype(dtype),
-            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
+            prior=prior, reml=reml, method=solve_method,
             precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "null-exact":
         L, h2_list = _null_exact_pipeline(
-            Y, X, Ut, lam,
-            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            Y, Xm, C, Ut, lam,
+            prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
             trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "alt-grid":
         L, h2_panel = _alt_grid_pipeline(
-            Y, X, Ut, lam, h2_grid.astype(dtype),
-            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
+            prior=prior, reml=reml, method=solve_method,
             precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_panel=h2_panel)

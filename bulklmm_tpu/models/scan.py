@@ -45,61 +45,71 @@ from .results import ScanResult
 _LN10 = math.log(10.0)
 
 
-def _scan_null_impl(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision):
-    X0_cov = X0[:, :n_covars]
+def _scan_null_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision):
+    """Covariates (C0) and markers (X0m) stay separate arrays end-to-end:
+    slicing them out of one concatenated design would cross shard boundaries
+    under marker sharding and force an all-gather."""
     vc = fit_lmm(
-        y0, X0_cov, lam, prior,
+        y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
     )
-    lod = lods_shared(y0, X0[:, n_covars:], X0_cov, lam, vc.h2, precision=precision)[:, 0]
+    lod = lods_shared(y0, X0m, C0, lam, vc.h2, precision=precision)[:, 0]
     return vc.sigma2, vc.h2, lod
 
 
-def _scan_alt_impl(y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, precision):
-    X0_cov = X0[:, :n_covars]
-    X0_m = X0[:, n_covars:]
+def _scan_alt_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision):
     out00 = fit_lmm(
-        y0, X0_cov, lam, prior,
+        y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
     )
 
     def fit_one(x_col):
-        X = jnp.concatenate([X0_cov, x_col[:, None]], axis=1)
+        X = jnp.concatenate([C0, x_col[:, None]], axis=1)
         out11 = fit_lmm(
             y0, X, lam, prior,
             reml=reml, method=method, optim_interval=optim_interval,
         )
         return out11.ell, out11.h2
 
-    ells, h2s = jax.vmap(fit_one, in_axes=1)(X0_m)
+    ells, h2s = jax.vmap(fit_one, in_axes=1)(X0m)
     lod = (ells - out00.ell) / _LN10
     return out00.sigma2, out00.h2, h2s, lod
 
 
 def _scan_perms_impl(
-    y0, X0, lam, *, n_covars, prior, reml, method, optim_interval, nperms, rndseed, precision
+    y0, X0m, C0, lam, *, prior, reml, method, optim_interval, nperms, rndseed, precision
 ):
-    rw = transform_reweight(
-        y0, X0, lam,
-        n_covars=n_covars, prior_a=prior[0], prior_b=prior[1],
+    # transform_reweight with the design kept split (covariates vs markers):
+    # fit the null VC on C0, residualize, sqrt-reweight, project C0 out of
+    # the markers (reference src/transform_helpers.jl:57-92).
+    from ..ops.weights import make_weights
+    from ..ops.wls import resid
+
+    vc = fit_lmm(
+        y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
     )
-    r0perm = transform_permute(rw.r0, nperms=nperms, rndseed=rndseed, original=True)
+    r0 = y0 - C0 @ vc.b
+    sqrtw = jnp.sqrt(make_weights(vc.h2, lam))
+    w_r0 = r0 * sqrtw[:, None]
+    X00 = resid(X0m * sqrtw[:, None], C0 * sqrtw[:, None], method=method)
+
+    r0perm = transform_permute(w_r0, nperms=nperms, rndseed=rndseed, original=True)
 
     norm_y = jnp.sqrt(jnp.sum(r0perm * r0perm, axis=0))
-    norm_x = jnp.sqrt(jnp.sum(rw.X00 * rw.X00, axis=0))
+    norm_x = jnp.sqrt(jnp.sum(X00 * X00, axis=0))
     r0n = r0perm / norm_y
-    X00n = rw.X00 / norm_x
+    X00n = X00 / norm_x
 
     gdt = precision.resolve_gemm()
     L = jnp.matmul(
         X00n.T.astype(gdt), r0n.astype(gdt), precision=precision.gemm_precision
     )
     L = r2lod(L, y0.shape[0])
-    return rw.sigma2_e, rw.h2_null, L
+    return vc.sigma2, vc.h2, L
 
 
-_STATIC = ("n_covars", "prior", "reml", "method", "optim_interval", "precision")
+_STATIC = ("prior", "reml", "method", "optim_interval", "precision")
 _STATIC_PERMS = _STATIC + ("nperms", "rndseed")
 
 # jitted cores over pre-rotated data (the permutation core is reused by
@@ -110,19 +120,25 @@ _scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(_scan_perms_i
 
 
 @partial(jax.jit, static_argnames=_STATIC)
-def _scan_null_pipeline(y, X, Ut, lam, **kw):
+def _scan_null_pipeline(y, Xm, C, Ut, lam, **kw):
     """Rotation + null scan fused into one jitted device program."""
-    return _scan_null_impl(jnp.matmul(Ut, y), jnp.matmul(Ut, X), lam, **kw)
+    return _scan_null_impl(
+        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
+    )
 
 
 @partial(jax.jit, static_argnames=_STATIC)
-def _scan_alt_pipeline(y, X, Ut, lam, **kw):
-    return _scan_alt_impl(jnp.matmul(Ut, y), jnp.matmul(Ut, X), lam, **kw)
+def _scan_alt_pipeline(y, Xm, C, Ut, lam, **kw):
+    return _scan_alt_impl(
+        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
+    )
 
 
 @partial(jax.jit, static_argnames=_STATIC_PERMS)
-def _scan_perms_pipeline(y, X, Ut, lam, **kw):
-    return _scan_perms_impl(jnp.matmul(Ut, y), jnp.matmul(Ut, X), lam, **kw)
+def _scan_perms_pipeline(y, Xm, C, Ut, lam, **kw):
+    return _scan_perms_impl(
+        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
+    )
 
 
 def _apply_weights(y, g, covar, K, weights, add_intercept):
@@ -206,25 +222,24 @@ def scan(
         y, g, covar, K, add_intercept = _apply_weights(y, g, covar, K, weights, add_intercept)
 
     prior = (float(prior_variance), float(prior_sample_size))
-    n_covars = covar.shape[1] + (1 if add_intercept else 0)
 
-    X = jnp.concatenate([covar, g], axis=1)
     if add_intercept:
-        X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
+        covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     y = y.astype(dtype)
-    X = X.astype(dtype)
+    C = covar.astype(dtype)
+    Xm = g.astype(dtype)
 
     common = dict(
-        n_covars=n_covars, prior=prior, reml=reml,
+        prior=prior, reml=reml,
         method=method, optim_interval=optim_interval, precision=precision,
     )
 
     if assumption == "null":
         if permutation_test:
             sigma2_e, h2_null, L = _scan_perms_pipeline(
-                y, X, Ut, lam, nperms=nperms, rndseed=rndseed, **common
+                y, Xm, C, Ut, lam, nperms=nperms, rndseed=rndseed, **common
             )
             result = ScanResult(
                 sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:]
@@ -233,7 +248,7 @@ def scan(
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
                 result.log10Pvals_perms = lod2log10p(result.L_perms, chisq_df)
         else:
-            sigma2_e, h2_null, lod = _scan_null_pipeline(y, X, Ut, lam, **common)
+            sigma2_e, h2_null, lod = _scan_null_pipeline(y, Xm, C, Ut, lam, **common)
             result = ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=lod)
             if output_pvals:
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
@@ -242,7 +257,7 @@ def scan(
             raise ValueError(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
-        sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(y, X, Ut, lam, **common)
+        sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(y, Xm, C, Ut, lam, **common)
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2_null, h2_each_marker=h2_each, lod=lod
         )
@@ -293,16 +308,14 @@ def scan_perms_lite(
     if y.shape[1] != 1:
         raise ValueError("Can only handle one trait.")
     covar = jnp.asarray(covar)
-    X = jnp.concatenate([covar, jnp.asarray(g)], axis=1)
     n = y.shape[0]
     if add_intercept:
-        X = jnp.concatenate([jnp.ones((n, 1), dtype=X.dtype), X], axis=1)
+        covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
-    n_covars = covar.shape[1] + (1 if add_intercept else 0)
     sigma2_e, h2_null, L = _scan_perms_pipeline(
-        y.astype(dtype), X.astype(dtype), Ut, lam,
-        n_covars=n_covars, prior=(float(prior_variance), float(prior_sample_size)),
+        y.astype(dtype), jnp.asarray(g).astype(dtype), covar.astype(dtype), Ut, lam,
+        prior=(float(prior_variance), float(prior_sample_size)),
         reml=reml, method=method, optim_interval=optim_interval,
         nperms=nperms, rndseed=rndseed, precision=precision,
     )

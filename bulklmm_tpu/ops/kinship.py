@@ -17,12 +17,37 @@ import jax.numpy as jnp
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 
 
-def calc_kinship(geno, precision: PrecisionConfig = DEFAULT_PRECISION):
-    """Kinship matrix from an (n, p) genotype-probability matrix."""
+def calc_kinship(
+    geno,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    *,
+    marker_chunk: int = 0,
+):
+    """Kinship matrix from an (n, p) genotype-probability matrix.
+
+    ``marker_chunk`` > 0 streams marker blocks through a ``lax.scan``
+    accumulation so panels too large for device memory (biobank p ~ 10^6)
+    never materialize at once; 0 (default) is the single-GEMM path.
+    """
     dtype = precision.resolve_solve()
     X = jnp.asarray(geno, dtype=dtype) - 0.5
     p = X.shape[1]
-    K = 2.0 * jnp.matmul(X, X.T, precision=precision.gemm_precision) / p + 0.5
+    if marker_chunk and marker_chunk < p:
+        pad = (-p) % marker_chunk
+        if pad:
+            # zero-pad: (X - 0.5) padding contributes 0 to the cross-product
+            X = jnp.concatenate([X, jnp.zeros((X.shape[0], pad), dtype=dtype)], axis=1)
+        k = X.shape[1] // marker_chunk
+        blocks = jnp.moveaxis(X.reshape(X.shape[0], k, marker_chunk), 1, 0)
+
+        def step(acc, blk):
+            return acc + jnp.matmul(blk, blk.T, precision=precision.gemm_precision), None
+
+        acc0 = jnp.zeros((X.shape[0], X.shape[0]), dtype=dtype)
+        XXt, _ = jax.lax.scan(step, acc0, blocks)
+    else:
+        XXt = jnp.matmul(X, X.T, precision=precision.gemm_precision)
+    K = 2.0 * XXt / p + 0.5
     K = jnp.fill_diagonal(K, 1.0, inplace=False)
     return K
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .brent import gridbrent
 from .weights import make_weights
-from .wls import WLSResult, wls
+from .wls import WLSResult, wls, wls_ell
 
 
 class LMMResult(NamedTuple):
@@ -49,7 +49,8 @@ def fit_lmm(
 
     def neg_ll(h2):
         w = make_weights(h2, lam)
-        return -wls(y2, X0, w, prior, reml=reml, method=method).ell[0]
+        # likelihood-only evaluation: no coefficient solve per Brent step
+        return -wls_ell(y2, X0, w, prior, reml=reml)[0][0]
 
     lb = max(h20 - d, 0.0)
     ub = min(h20 + d, 1.0)

@@ -120,6 +120,52 @@ def wls(
     return WLSResult(b=coef, sigma2=sigma2, ell=ell, rss=rss0)
 
 
+def wls_ell(
+    y: jnp.ndarray,
+    X: jnp.ndarray,
+    w: jnp.ndarray,
+    prior: Tuple[float, float] = (0.0, 0.0),
+    *,
+    reml: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ell, sigma2) per column of ``y`` — likelihood only, NO coefficient
+    solve.
+
+    Uses the orthogonal-projection identity
+    ``rss = ||yy||^2 - ||Q^T yy||^2`` (Q from the reduced QR of the weighted
+    design), which needs no triangular solve. This matters twice: every
+    Brent/grid likelihood evaluation skips the solve, and under trait
+    sharding XLA partitions the projection GEMMs locally whereas a
+    ``triangular_solve`` with a sharded right-hand side forces an
+    all-gather. Same formulas as :func:`wls` (reference src/wls.jl:69-93).
+    """
+    y = jnp.atleast_2d(y.T).T if y.ndim == 1 else y
+    n, p = X.shape
+    prior_a, prior_b = prior
+
+    sqrtw = jnp.sqrt(w)
+    yy = y * sqrtw[:, None]
+    XX = X * sqrtw[:, None]
+
+    q, r = jnp.linalg.qr(XX, mode="reduced")
+    qty = q.T @ yy
+    rss0 = jnp.sum(yy * yy, axis=0) - jnp.sum(qty * qty, axis=0)
+
+    prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
+    denom = (n - p if reml else n) + prior_df
+    sigma2 = (rss0 + prior_a * prior_b) / denom
+
+    ell = -0.5 * (
+        (n + prior_b) * jnp.log(sigma2)
+        - jnp.sum(jnp.log(w))
+        + (rss0 + prior_a * prior_b) / sigma2
+    )
+    if reml:
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(r))))
+        ell = ell + 0.5 * (p * jnp.log(sigma2) - logdet)
+    return ell, sigma2
+
+
 def wls_multivar(
     Y: jnp.ndarray,
     X: jnp.ndarray,

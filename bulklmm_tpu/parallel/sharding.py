@@ -81,9 +81,12 @@ def _pad_cols(A: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
 def shard_rotated(y0, X0, lam, n_covars: int, mesh: Mesh):
     """Place rotated data on the mesh: traits sharded, markers sharded,
     covariates + eigenvalues replicated. Pads trait/marker counts up to the
-    mesh axis sizes (padding is sliced off the results).
+    mesh axis sizes (padding is sliced off the results). Covariates and
+    markers stay separate arrays — concatenating then re-slicing would cross
+    shard boundaries and force an all-gather of the marker matrix.
 
-    Returns (y0_sharded, X0_sharded, lam_replicated, m_orig, p_orig).
+    Returns (y0_sharded, X0m_sharded, C0_replicated, lam_replicated,
+    m_orig, p_orig).
     """
     tshards = mesh.shape[TRAITS_AXIS]
     mshards = mesh.shape[MARKERS_AXIS]
@@ -93,11 +96,10 @@ def shard_rotated(y0, X0, lam, n_covars: int, mesh: Mesh):
     Xm, p = _pad_cols(X0[:, n_covars:], mshards)
 
     y0s = jax.device_put(y0p, NamedSharding(mesh, P(None, TRAITS_AXIS)))
-    covs = jax.device_put(cov, NamedSharding(mesh, P(None, None)))
-    Xms = jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))
-    X0s = jnp.concatenate([covs, Xms], axis=1)
+    C0s = jax.device_put(cov, NamedSharding(mesh, P(None, None)))
+    X0ms = jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))
     lams = jax.device_put(lam, NamedSharding(mesh, P(None)))
-    return y0s, X0s, lams, m, p
+    return y0s, X0ms, C0s, lams, m, p
 
 
 def bulkscan_sharded(
@@ -148,26 +150,26 @@ def bulkscan_sharded(
         Y, jnp.concatenate([covar, G], axis=1), K,
         add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
     )
-    y0s, X0s, lams, m, p = shard_rotated(rot.y0, rot.X0, rot.lam, n_covars, mesh)
+    y0s, X0ms, C0s, lams, m, p = shard_rotated(rot.y0, rot.X0, rot.lam, n_covars, mesh)
 
     if method == "null-grid":
         L, h2_list = _bulkscan_null_grid_core(
-            y0s, X0s, lams, h2_grid.astype(y0s.dtype),
-            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
+            prior=prior, reml=reml, method=solve_method,
             precision=precision,
         )
         return BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
     elif method == "null-exact":
         L, h2_list = _bulkscan_null_exact_core(
-            y0s, X0s, lams,
-            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            y0s, X0ms, C0s, lams,
+            prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
         )
         return BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
     elif method == "alt-grid":
         L, h2_panel = _bulkscan_alt_grid_core(
-            y0s, X0s, lams, h2_grid.astype(y0s.dtype),
-            n_covars=n_covars, prior=prior, reml=reml, method=solve_method,
+            y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
+            prior=prior, reml=reml, method=solve_method,
             precision=precision,
         )
         return BulkScanResult(L=L[:p, :m], h2_panel=h2_panel[:p, :m])
@@ -229,16 +231,12 @@ def scan_perms_sharded(
     cov = rot.X0[:, :n_covars]
     Xm, p = _pad_cols(rot.X0[:, n_covars:], mesh.shape[MARKERS_AXIS])
     y0s = jax.device_put(rot.y0, NamedSharding(mesh, P(None, None)))
-    X0s = jnp.concatenate(
-        [jax.device_put(cov, NamedSharding(mesh, P(None, None))),
-         jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))],
-        axis=1,
-    )
+    C0s = jax.device_put(cov, NamedSharding(mesh, P(None, None)))
+    X0ms = jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))
     lams = jax.device_put(rot.lam, NamedSharding(mesh, P(None)))
 
     sigma2_e, h2_null, L = _scan_perms_core(
-        y0s, X0s, lams,
-        n_covars=n_covars,
+        y0s, X0ms, C0s, lams,
         prior=(float(prior_variance), float(prior_sample_size)),
         reml=reml, method=method, optim_interval=optim_interval,
         nperms=nperms_run, rndseed=rndseed, precision=precision,

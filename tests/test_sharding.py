@@ -32,7 +32,10 @@ def test_sharded_matches_unsharded(bxd_like, mesh, method):
     r_sh = bulkscan_sharded(Y, G, K, mesh=mesh, method=method)
     r_ref = bulkscan(Y, G, K, method=method)
     assert r_sh.L.shape == r_ref.L.shape == (bxd_like["p"], bxd_like["m"])
-    assert float(jnp.max(jnp.abs(r_sh.L - r_ref.L))) < 1e-9
+    # null-exact runs Brent per trait: SPMD reduction reordering perturbs
+    # ell at machine eps and Brent amplifies it into ~1e-7 LOD differences
+    tol = 1e-6 if method == "null-exact" else 1e-9
+    assert float(jnp.max(jnp.abs(r_sh.L - r_ref.L))) < tol
     if method != "alt-grid":
         assert np.allclose(
             np.asarray(r_sh.h2_null_list), np.asarray(r_ref.h2_null_list)
@@ -102,3 +105,38 @@ def test_local_trait_slice_single_process():
     assert init_distributed() == 0
     sl = local_trait_slice(100)
     assert (sl.start, sl.stop) == (0, 100)
+
+
+def test_sharded_hot_path_has_no_collectives(bxd_like, mesh):
+    """Trait/marker sharding is embarrassingly parallel: the compiled
+    null-grid program must contain NO cross-device collectives — the static
+    guarantee behind linear multi-chip scaling (replicated n-sized factors,
+    sharded (p, m) outputs)."""
+    from bulklmm_tpu.models.bulkscan import _bulkscan_null_grid_core
+    from bulklmm_tpu.parallel.sharding import shard_rotated
+    from bulklmm_tpu.ops.rotation import transform_rotation
+    from bulklmm_tpu.utils.config import DEFAULT_PRECISION
+
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    n = Y.shape[0]
+    rot = transform_rotation(jnp.asarray(Y), jnp.asarray(G), K, add_intercept=True)
+    y0s, X0ms, C0s, lams, m, p = shard_rotated(rot.y0, rot.X0, rot.lam, 1, mesh)
+    h2_grid = jnp.arange(0.0, 0.91, 0.1, dtype=y0s.dtype)
+    lowered = _bulkscan_null_grid_core.lower(
+        y0s, X0ms, C0s, lams, h2_grid,
+        prior=(1.0, 0.0), reml=False, method="qr",
+        precision=DEFAULT_PRECISION,
+    )
+    hlo = lowered.compile().as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+                 "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in sharded scan"
+
+
+def test_kinship_marker_chunking(bxd_like):
+    from bulklmm_tpu.ops.kinship import calc_kinship
+
+    G = bxd_like["G"]
+    K_full = calc_kinship(G)
+    K_chunk = calc_kinship(G, marker_chunk=17)  # non-divisible chunk
+    assert float(jnp.max(jnp.abs(K_full - K_chunk))) < 1e-12
