@@ -157,6 +157,14 @@ def transform_bxd_geno_to_gemma(inputfile, outputfile) -> np.ndarray:
     return out
 
 
+def read_gemma_lods(file) -> np.ndarray:
+    """Per-marker LOD vector from a GEMMA output export (one value per line;
+    the reference bundles data/bxdData/GEMMA_BXDTrait1112/gemma_lod_1112.txt
+    for its README comparison plot, reference README.md:257-279)."""
+    with open(file) as fh:
+        return np.asarray([float(line) for line in fh if line.strip()])
+
+
 # ---------------------------------------------------------------------------
 # Marker map / trait annotations (bundled gmap.csv, phenocovar.csv)
 # ---------------------------------------------------------------------------

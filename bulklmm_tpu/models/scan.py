@@ -148,7 +148,13 @@ def _apply_weights(y, g, covar, K, weights, add_intercept):
     multiplied by diag(weights) and K -> W K W; the intercept (if requested)
     is materialized first so it is scaled too.
     """
+    import numpy as _np
+    import warnings as _warnings
+
     wv = jnp.asarray(weights)
+    if _np.any(_np.asarray(weights) <= 0.0):
+        # parity: reference warns on non-positive weights (src/wls.jl:35-37)
+        _warnings.warn("Some of the weights are not positive.")
     n = y.shape[0]
     if add_intercept:
         covar = jnp.concatenate([jnp.ones((n, 1), dtype=y.dtype), covar], axis=1)

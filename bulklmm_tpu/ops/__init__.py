@@ -32,11 +32,13 @@ from .stats import (
     shuffle_vector,
 )
 from .weights import make_weights
+from .wls import wls_ell
 from .wls import WLSResult, resid, rss, wls, wls_multivar
 
 __all__ = [
     "KinshipDecomposition",
     "decompose_kinship",
+    "wls_ell",
     "brent_min",
     "gridbrent",
     "calc_kinship",

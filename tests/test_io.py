@@ -125,3 +125,13 @@ def test_rotated_checkpoint_roundtrip(tmp_path):
     y0b, X0b, lamb, nc = bio.load_rotated(f)
     assert nc == 2
     assert np.allclose(y0b, y0) and np.allclose(X0b, X0) and np.allclose(lamb, lam)
+
+
+GEMMA_LODS = REF / "data/bxdData/GEMMA_BXDTrait1112/gemma_lod_1112.txt"
+
+
+@pytest.mark.skipif(not GEMMA_LODS.is_file(), reason="reference GEMMA file not mounted")
+def test_gemma_lod_loader():
+    lods = bio.read_gemma_lods(GEMMA_LODS)
+    assert lods.shape == (7321,)  # one LOD per BXD marker
+    assert np.isfinite(lods).all() and lods.max() > 4.0  # trait 1112 peak

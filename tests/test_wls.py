@@ -89,3 +89,20 @@ def test_true_beta_recovery_heteroskedastic():
         assert np.allclose(bw, beta, atol=0.3)
     # inverse-variance weighting is the BLUE: lower mean squared error
     assert err_w < err_u
+
+
+def test_wls_ell_matches_wls():
+    """The solve-free likelihood path must agree with full wls in every mode."""
+    import itertools
+
+    from bulklmm_tpu.ops.wls import wls, wls_ell
+
+    r = np.random.default_rng(11)
+    y = jnp.asarray(r.normal(size=(40, 6)))
+    X = jnp.asarray(np.column_stack([np.ones(40), r.normal(size=(40, 3))]))
+    w = jnp.asarray(r.uniform(0.2, 2.0, 40))
+    for reml, prior in itertools.product((False, True), ((0.0, 0.0), (1.0, 3.0))):
+        full = wls(y, X, w, prior, reml=reml)
+        ell, sigma2 = wls_ell(y, X, w, prior, reml=reml)
+        assert np.allclose(np.asarray(ell), np.asarray(full.ell), atol=1e-10)
+        assert np.allclose(np.asarray(sigma2), np.asarray(full.sigma2), atol=1e-12)
