@@ -47,8 +47,19 @@ def brent_min(
     d = jnp.zeros_like(x)
     e = jnp.zeros_like(x)
 
-    def body(_, st):
-        a, b, x, w, v, fx, fw, fv, d, e = st
+    def cond(st):
+        # run until every lane converged (vmap batches the test) or the
+        # iteration budget is exhausted — typical convergence is ~30-45
+        # iterations, so the early exit halves fixed-budget wall time
+        a, b, x, w, v, fx, fw, fv, d, e, it = st
+        xm = 0.5 * (a + b)
+        tol1 = rel_tol * jnp.abs(x) + abs_tol
+        tol2 = 2.0 * tol1
+        done = jnp.abs(x - xm) <= (tol2 - 0.5 * (b - a))
+        return jnp.logical_and(it < maxiter, ~jnp.all(done))
+
+    def body(st):
+        a, b, x, w, v, fx, fw, fv, d, e, it = st
         xm = 0.5 * (a + b)
         tol1 = rel_tol * jnp.abs(x) + abs_tol
         tol2 = 2.0 * tol1
@@ -108,9 +119,11 @@ def brent_min(
 
         new = (a_n, b_n, x_n, w_n, v_n, fx_n, fw_n, fv_n, d_new, e_new)
         old = (a, b, x, w, v, fx, fw, fv, d, e)
-        return tuple(jnp.where(done, o, nv) for o, nv in zip(old, new))
+        frozen = tuple(jnp.where(done, o, nv) for o, nv in zip(old, new))
+        return frozen + (it + 1,)
 
-    st = jax.lax.fori_loop(0, maxiter, body, (a, b, x, w, v, fx, fw, fv, d, e))
+    it0 = jnp.zeros((), dtype=jnp.int32)
+    st = jax.lax.while_loop(cond, body, (a, b, x, w, v, fx, fw, fv, d, e, it0))
     return st[5], st[2]
 
 

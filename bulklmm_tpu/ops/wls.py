@@ -143,13 +143,38 @@ def wls_ell(
     n, p = X.shape
     prior_a, prior_b = prior
 
-    sqrtw = jnp.sqrt(w)
-    yy = y * sqrtw[:, None]
-    XX = X * sqrtw[:, None]
+    # Weighted Gram + unrolled Cholesky (p = #covariates is tiny & static):
+    # no jnp.linalg primitive at all — batched Householder QR is slow on TPU
+    # and dominated the Brent iterations in the null-exact path.
+    wy = y * w[:, None]
+    G = {}
+    for k in range(p):
+        for l in range(k, p):
+            G[(k, l)] = jnp.sum(X[:, k] * X[:, l] * w)
+    t = [X[:, k] @ wy for k in range(p)]  # (q,) each
 
-    q, r = jnp.linalg.qr(XX, mode="reduced")
-    qty = q.T @ yy
-    rss0 = jnp.sum(yy * yy, axis=0) - jnp.sum(qty * qty, axis=0)
+    Lc = {}
+    for k in range(p):
+        s = G[(k, k)]
+        for q_ in range(k):
+            s = s - Lc[(k, q_)] * Lc[(k, q_)]
+        Lc[(k, k)] = jnp.sqrt(s)
+        for i in range(k + 1, p):
+            s = G[(k, i)]
+            for q_ in range(k):
+                s = s - Lc[(i, q_)] * Lc[(k, q_)]
+            Lc[(i, k)] = s / Lc[(k, k)]
+
+    zeta = []
+    for k in range(p):
+        s = t[k]
+        for q_ in range(k):
+            s = s - Lc[(k, q_)] * zeta[q_]
+        zeta.append(s / Lc[(k, k)])
+
+    rss0 = jnp.sum(wy * y, axis=0)
+    for k in range(p):
+        rss0 = rss0 - zeta[k] * zeta[k]
 
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - p if reml else n) + prior_df
@@ -161,7 +186,9 @@ def wls_ell(
         + (rss0 + prior_a * prior_b) / sigma2
     )
     if reml:
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(r))))
+        logdet = 0.0
+        for k in range(p):
+            logdet = logdet + 2.0 * jnp.log(Lc[(k, k)])
         ell = ell + 0.5 * (p * jnp.log(sigma2) - logdet)
     return ell, sigma2
 
