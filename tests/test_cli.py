@@ -1,0 +1,67 @@
+"""CLI end-to-end: kinship / scan / bulkscan subprocesses on synthetic CSVs
+(the user-facing command surface; runs on CPU by stripping the TPU env)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def csv_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    n, p, m = 30, 40, 6
+    G = rng.uniform(0, 1, (n, 2 * p))
+    hdr = "id," + ",".join(f"m{i}_{a}" for i in range(p) for a in "AB")
+    with open(d / "geno.csv", "w") as f:
+        f.write(hdr + "\n")
+        for i, row in enumerate(G):
+            f.write(f"s{i}," + ",".join(map(str, row)) + "\n")
+    Y = rng.normal(size=(n, m))
+    with open(d / "pheno.csv", "w") as f:
+        f.write("id," + ",".join(f"t{i}" for i in range(m)) + ",sex\n")
+        for i, row in enumerate(Y):
+            f.write(f"s{i}," + ",".join(map(str, row)) + ",1\n")
+    return d
+
+
+def _run(args, cwd):
+    env = {k: v for k, v in os.environ.items() if "AXON" not in k and "PALLAS" not in k}
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "bulklmm_tpu"] + args,
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=300,
+    )
+
+
+def test_cli_kinship(csv_data):
+    r = _run(["kinship", "--geno", "geno.csv", "--exclude-complements",
+              "-o", "K.csv"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    K = np.loadtxt(csv_data / "K.csv", delimiter=",")
+    assert K.shape == (30, 30) and np.allclose(np.diag(K), 1.0)
+
+
+def test_cli_scan_with_perms(csv_data):
+    r = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--trait", "0", "--nperms", "50",
+              "-o", "scan.csv"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert set(meta) >= {"trait", "h2_null", "sigma2_e", "thresholds"}
+    lods = np.loadtxt(csv_data / "scan.csv", delimiter=",")
+    assert lods.shape == (40,) and np.isfinite(lods).all()
+
+
+def test_cli_bulkscan(csv_data):
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--precision", "fast32",
+              "-o", "lods.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    z = np.load(csv_data / "lods.npz")
+    assert z["L"].shape == (40, 6) and np.isfinite(z["L"]).all()
+    assert z["h2_null_list"].shape == (6,)
