@@ -32,9 +32,9 @@ import jax.numpy as jnp
 from ..ops.liteqtl import lods_per_trait, lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p
-from ..ops.rotation import kinship_eigen, resolve_kinship, transform_rotation
+from ..ops.rotation import resolve_kinship
 from ..ops.weights import make_weights
-from ..ops.wls import wls, wls_ell
+from ..ops.wls import wls_ell
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 from .results import BulkScanResult
 from .scan import _apply_weights

@@ -24,21 +24,13 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from ..ops.liteqtl import lods_per_trait, lods_shared
+from ..ops.liteqtl import lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p, r2lod
-from ..ops.rotation import (
-    kinship_eigen,
-    resolve_kinship,
-    transform_permute,
-    transform_reweight,
-    transform_rotation,
-)
+from ..ops.rotation import resolve_kinship, transform_permute
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 from .results import ScanResult
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
@@ -128,15 +127,15 @@ def wls_ell(
     *,
     reml: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(ell, sigma2) per column of ``y`` — likelihood only, NO coefficient
-    solve.
+    """(ell, sigma2) per column of ``y`` — likelihood only, NO linalg
+    primitive.
 
-    Uses the orthogonal-projection identity
-    ``rss = ||yy||^2 - ||Q^T yy||^2`` (Q from the reduced QR of the weighted
-    design), which needs no triangular solve. This matters twice: every
-    Brent/grid likelihood evaluation skips the solve, and under trait
-    sharding XLA partitions the projection GEMMs locally whereas a
-    ``triangular_solve`` with a sharded right-hand side forces an
+    Uses the projection identity ``rss = ||yy||^2 - ||L^{-1} X^T W y||^2``
+    with ``L`` the unrolled Cholesky factor of the weighted Gram
+    ``X^T W X`` (the covariate count is tiny and static). This matters
+    twice on TPU: batched Householder QR inside every vmapped Brent/grid
+    likelihood evaluation cost ~30x on the exact scan paths, and a
+    ``triangular_solve`` with a trait-sharded right-hand side forces an
     all-gather. Same formulas as :func:`wls` (reference src/wls.jl:69-93).
     """
     y = jnp.atleast_2d(y.T).T if y.ndim == 1 else y
