@@ -2,6 +2,7 @@
 test/lmm_test.jl)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,3 +97,15 @@ def test_fit_lmm_optim_interval():
     # unimodal here: both find the same optimum; ell can only improve with more intervals
     assert float(b.ell) >= float(a.ell) - 1e-10
     assert abs(float(a.h2) - float(b.h2)) < 1e-5
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
+def test_fit_lmm_oracle_many_seeds(seed):
+    """Property-style repetition across seeds (reference testHelper runs
+    each block 10x, test/testHelpers.jl:1-3)."""
+    y, K = _simulate(n=90, h2=0.3 + 0.05 * (seed % 7), seed=seed)
+    rot = transform_rotation(jnp.asarray(y), jnp.zeros((len(y), 0)), K, add_intercept=True)
+    mine = fit_lmm(rot.y0, rot.X0, rot.lam)
+    ref = oracle.fit_lmm(np.asarray(rot.y0), np.asarray(rot.X0), np.asarray(rot.lam))
+    assert abs(float(mine.h2) - ref["h2"]) < 1e-5
+    assert abs(float(mine.ell) - ref["ell"]) < 1e-7

@@ -76,3 +76,23 @@ def test_weights_equal_manual_prescaling(bxd_like):
     b = scan(y_st, G_st, K_st, covar=covar_st, add_intercept=False)
     assert np.max(np.abs(np.asarray(a.lod) - np.asarray(b.lod))) < 1e-9
     assert abs(float(a.h2_null) - float(b.h2_null)) < 1e-8
+
+
+def test_bulkscan_weights_equal_manual_prescaling(bxd_like):
+    """Weighted bulkscan (all three methods) == manually pre-scaled data
+    (reference test/weighted_error_test.jl:42-141 covers scan,
+    bulkscan_null and bulkscan_null_grid)."""
+    from bulklmm_tpu import bulkscan
+
+    rng2 = np.random.default_rng(5)
+    Y, G, K = bxd_like["Y"][:, :6], bxd_like["G"], bxd_like["K"]
+    n = bxd_like["n"]
+    w = rng2.uniform(0.5, 2.0, n)
+    W = np.diag(w)
+    Ym, Gm = W @ Y, W @ G
+    covm = W @ np.ones((n, 1))
+    Km = W @ K @ W
+    for method in ("null-grid", "null-exact", "alt-grid"):
+        a = bulkscan(Y, G, K, weights=w, method=method)
+        b = bulkscan(Ym, Gm, Km, covar=covm, add_intercept=False, method=method)
+        assert np.allclose(np.asarray(a.L), np.asarray(b.L), atol=1e-8), method
