@@ -9,10 +9,11 @@ the same-shape problem on synthetic BXD-scale data and prints one JSON line:
 
 ``vs_baseline`` > 1 means faster than the reference.
 
-Mode: MIXED precision (f64 likelihood/combining + f32 HIGHEST MXU GEMMs +
-accurate-f32 polynomial log, trait-chunked) — max |LOD error| vs the f64
-oracle is 6.8e-6, inside the 1e-5 reference-parity bar. The FAST32
-throughput mode runs the same scan in ~66 ms (~32x) at 1.4e-5.
+Mode: BALANCED precision (f64 rotation + likelihood/grid math, f32 HIGHEST
+MXU GEMMs and f32 kernel combines, accurate-f32 polynomial log) — max
+|LOD error| vs the f64 oracle is 7.7e-6, inside the 1e-5 reference-parity
+bar, with no trait chunking needed. FAST32 runs the same scan in ~48 ms
+(~44x) at 1.4e-5; MIXED (f64 combines) gives 6.8e-6 at ~90 ms.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from bulklmm_tpu import bulkscan
-    from bulklmm_tpu.utils.config import MIXED
+    from bulklmm_tpu.utils.config import BALANCED
 
     G, K, Y = synth_bxd()
     # Data resident in accelerator memory before timing — the analog of the
@@ -58,7 +59,7 @@ def main():
 
     def run():
         t0 = time.perf_counter()
-        res = bulkscan(Yd, Gd, K, method="null-grid", precision=MIXED, trait_chunk=4096)
+        res = bulkscan(Yd, Gd, K, method="null-grid", precision=BALANCED)
         # Force completion with a device-side checksum + scalar fetch:
         # block_until_ready alone under-reports on asynchronous backends.
         checksum = float(jnp.sum(res.L))

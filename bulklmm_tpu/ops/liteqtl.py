@@ -62,7 +62,7 @@ def weighted_correlation_per_trait(
     (src/bulkscan_helpers.jl:138) for slightly negative kinship eigenvalues.
     """
     gdt = precision.resolve_gemm()
-    sdt = precision.resolve_solve()
+    sdt = precision.resolve_kernel()
     pgp = precision.gemm_precision
     n, c = C0.shape
 
@@ -162,10 +162,10 @@ def weighted_correlation_shared(
     permutation hot path (src/scan.jl:534-543) reduce to this.
     """
     gdt = precision.resolve_gemm()
-    sdt = precision.resolve_solve()
+    sdt = precision.resolve_kernel()
     pgp = precision.gemm_precision
 
-    # Residualization/normalization in the solve dtype (cancellation-prone);
+    # Residualization/normalization in the kernel dtype (cancellation-prone);
     # only the final (p x m) correlation GEMM drops to the gemm dtype.
     w = jnp.abs(make_weights(h2, lam))  # (n,)
     s = jnp.sqrt(w).astype(sdt)

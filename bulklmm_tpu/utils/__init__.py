@@ -1,4 +1,5 @@
 from .config import (
+    BALANCED,
     DEFAULT_PRECISION,
     EXACT64,
     FAST32,
@@ -10,6 +11,7 @@ from .config import (
 from .profiling import timed, trace
 
 __all__ = [
+    "BALANCED",
     "DEFAULT_PRECISION",
     "EXACT64",
     "FAST32",
