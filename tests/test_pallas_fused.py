@@ -9,7 +9,7 @@ import pytest
 from bulklmm_tpu.ops.liteqtl import lods_per_trait
 from bulklmm_tpu.ops.lod import log10_f32_accurate
 from bulklmm_tpu.pallas import fused_lods_per_trait
-from bulklmm_tpu.utils.config import EXACT64, FAST32, MIXED
+from bulklmm_tpu.utils.config import BALANCED, EXACT64, FAST32, MIXED
 
 rng = np.random.default_rng(3)
 
@@ -61,10 +61,15 @@ def test_precision_presets_agree(bxd_like):
     Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
     exact = bulkscan(Y, G, K, precision=EXACT64)
     mixed = bulkscan(Y, G, K, precision=MIXED)
+    balanced = bulkscan(Y, G, K, precision=BALANCED)
     fast = bulkscan(Y, G, K, precision=FAST32)
     assert float(jnp.max(jnp.abs(mixed.L - exact.L))) < 1e-4
+    assert float(jnp.max(jnp.abs(balanced.L - exact.L))) < 1e-4
     assert float(jnp.max(jnp.abs(fast.L.astype(jnp.float64) - exact.L))) < 1e-3
-    # h2 grid selection must be identical across precisions
+    # h2 grid selection must be identical across the f64-grid precisions
     assert np.array_equal(
         np.asarray(mixed.h2_null_list), np.asarray(exact.h2_null_list)
+    )
+    assert np.array_equal(
+        np.asarray(balanced.h2_null_list), np.asarray(exact.h2_null_list)
     )
