@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASELINES = {
     "scan_single_trait": 0.059,
+    "scan_single_trait_reml": 0.059,  # reference publishes the ML timing
     "scan_perms_1000": 0.079,
     "bulkscan_null_grid": 2.112,
     "bulkscan_null_exact": None,  # reference publishes no number
@@ -92,6 +93,12 @@ def main():
         r = bl.scan(yd, Gd, K)
         return float(jnp.sum(r.lod))
     record("scan_single_trait", timeit(f))
+
+    # 1b. single-trait REML scan (BASELINE.json config)
+    def f():
+        r = bl.scan(yd, Gd, K, reml=True)
+        return float(jnp.sum(r.lod))
+    record("scan_single_trait_reml", timeit(f))
 
     # 2. single-trait + 1,000 permutations
     def f():

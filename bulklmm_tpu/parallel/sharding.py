@@ -112,11 +112,14 @@ def bulkscan_sharded(
     method: str = "null-grid",
     h2_grid=None,
     add_intercept: bool = True,
+    weights=None,
     prior_variance: float = 1.0,
     prior_sample_size: float = 0.0,
     reml: bool = False,
     optim_interval: int = 1,
     decomp_scheme: str = "eigen",
+    output_pvals: bool = False,
+    chisq_df: int = 1,
     solve_method: str = "qr",
     precision: PrecisionConfig = DEFAULT_PRECISION,
 ) -> BulkScanResult:
@@ -143,6 +146,20 @@ def bulkscan_sharded(
     else:
         covar = jnp.asarray(covar)
         covar = covar[:, None] if covar.ndim == 1 else covar
+
+    if weights is not None:
+        from ..models.scan import _apply_weights
+        from ..ops.rotation import KinshipDecomposition
+
+        if isinstance(K, KinshipDecomposition):
+            raise ValueError(
+                "weights rescale the kinship matrix (K -> WKW); pass the raw "
+                "K, not a cached KinshipDecomposition."
+            )
+        Y, G, covar, K, add_intercept = _apply_weights(
+            Y, G, covar, K, weights, add_intercept
+        )
+
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
     prior = (float(prior_variance), float(prior_sample_size))
 
@@ -158,22 +175,31 @@ def bulkscan_sharded(
             prior=prior, reml=reml, method=solve_method,
             precision=precision,
         )
-        return BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+        result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
     elif method == "null-exact":
         L, h2_list = _bulkscan_null_exact_core(
             y0s, X0ms, C0s, lams,
             prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
         )
-        return BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+        result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
     elif method == "alt-grid":
         L, h2_panel = _bulkscan_alt_grid_core(
             y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
             prior=prior, reml=reml, method=solve_method,
             precision=precision,
         )
-        return BulkScanResult(L=L[:p, :m], h2_panel=h2_panel[:p, :m])
-    raise ValueError("method must be one of 'null-grid', 'null-exact', 'alt-grid'")
+        result = BulkScanResult(L=L[:p, :m], h2_panel=h2_panel[:p, :m])
+    else:
+        raise ValueError(
+            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+        )
+    if output_pvals:
+        from ..ops.lod import lod2log10p
+
+        result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
+        result.chisq_df = chisq_df
+    return result
 
 
 def scan_perms_sharded(

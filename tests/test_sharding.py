@@ -140,3 +140,13 @@ def test_kinship_marker_chunking(bxd_like):
     K_full = calc_kinship(G)
     K_chunk = calc_kinship(G, marker_chunk=17)  # non-divisible chunk
     assert float(jnp.max(jnp.abs(K_full - K_chunk))) < 1e-12
+
+
+def test_sharded_weights_and_pvals(bxd_like, mesh):
+    rng2 = np.random.default_rng(9)
+    Y, G, K = bxd_like["Y"][:, :6], bxd_like["G"], bxd_like["K"]
+    w = rng2.uniform(0.5, 2.0, bxd_like["n"])
+    a = bulkscan_sharded(Y, G, K, mesh=mesh, weights=w, output_pvals=True)
+    b = bulkscan(Y, G, K, weights=w, output_pvals=True)
+    assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-9
+    assert np.allclose(np.asarray(a.log10Pvals_mat), np.asarray(b.log10Pvals_mat))
