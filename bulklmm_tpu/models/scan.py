@@ -267,6 +267,11 @@ def scan(
     if profile_ll:
         from ..analysis.profile_ll import profile_LL
 
+        if h2_grid is None:
+            # reference requires the caller to supply the grid for profileLL
+            # (its default is an undef 1-array, src/scan.jl:104); a usable
+            # default is friendlier
+            h2_grid = jnp.arange(0.0, 1.0, 0.05)
         prof = profile_LL(
             y, g, covar, K, jnp.asarray(h2_grid), marker_id,
             prior=prior, reml=reml,
