@@ -120,11 +120,15 @@ _STATIC_EXACT = ("prior", "reml", "method", "optim_interval", "precision")
 
 
 def _chunk_traits(impl, Y0, *, trait_chunk):
-    """Run ``impl(Y_chunk) -> pytree`` over trait chunks with ``lax.map``.
+    """Run ``impl(Y_chunk) -> tuple of arrays`` over trait chunks.
 
-    Bounds peak memory: the (p, m) intermediates exist only at (p, chunk)
-    size per step. Outputs whose last axis is the trait axis are
-    re-assembled; m is zero-padded up to a chunk multiple and sliced back.
+    Bounds peak memory: (p, m)-scale intermediates exist only at (p, chunk)
+    size per step, and chunk results are written in place
+    (``dynamic_update_slice`` inside a ``fori_loop``) into ONE preallocated
+    output per leaf — a ``lax.map`` + concatenate formulation held both the
+    stacked (k, p, chunk) results AND the merged (p, m) copy live at once,
+    OOMing the biobank config. m is zero-padded up to a chunk multiple and
+    sliced back.
     """
     m = Y0.shape[1]
     pad = (-m) % trait_chunk
@@ -132,14 +136,24 @@ def _chunk_traits(impl, Y0, *, trait_chunk):
         Y0 = jnp.concatenate(
             [Y0, jnp.zeros((Y0.shape[0], pad), dtype=Y0.dtype)], axis=1
         )
-    k = Y0.shape[1] // trait_chunk
-    # (k, n, chunk) stack of trait blocks
-    Yc = jnp.moveaxis(Y0.reshape(Y0.shape[0], k, trait_chunk), 1, 0)
-    outs = jax.lax.map(impl, Yc)  # each leaf: (k, ..., chunk)
-    merged = tuple(
-        jnp.concatenate([o[i] for i in range(k)], axis=-1)[..., :m] for o in outs
+    mp = Y0.shape[1]
+    k = mp // trait_chunk
+
+    probe = jax.eval_shape(
+        impl, jax.ShapeDtypeStruct((Y0.shape[0], trait_chunk), Y0.dtype)
     )
-    return merged
+    outs0 = tuple(jnp.zeros(s.shape[:-1] + (mp,), s.dtype) for s in probe)
+
+    def body(i, outs):
+        Yc = jax.lax.dynamic_slice_in_dim(Y0, i * trait_chunk, trait_chunk, axis=1)
+        res = impl(Yc)
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(o, r, i * trait_chunk, axis=o.ndim - 1)
+            for o, r in zip(outs, res)
+        )
+
+    outs = jax.lax.fori_loop(0, k, body, outs0)
+    return tuple(o[..., :m] for o in outs)
 
 # jitted cores over pre-rotated data (used by bulklmm_tpu.parallel, which
 # device_puts sharded rotated arrays before the call)
