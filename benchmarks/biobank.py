@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--trait-chunk", type=int, default=4096)
+    ap.add_argument(
+        "--host-blocks", type=int, default=1,
+        help="split traits into N sequential bulkscan calls (production "
+             "pattern: each block's LOD matrix is consumed/written before "
+             "the next; needed when the full (p, m) result exceeds one "
+             "chip's HBM)",
+    )
     args = ap.parse_args()
 
     n, p, m = (5000, 100_000, 20_000) if args.full else (2000, 30_000, 8_000)
@@ -84,10 +91,15 @@ def main():
             r = bulkscan_sharded(Yd, Gd, K, mesh=mesh)
             return float(jnp.sum(r.L))
     else:
+        mb = -(-m // args.host_blocks)
 
         def run():
-            r = bl.bulkscan(Yd, Gd, K, trait_chunk=args.trait_chunk)
-            return float(jnp.sum(r.L))
+            s = 0.0
+            for b in range(args.host_blocks):
+                Yb = Yd[:, b * mb : (b + 1) * mb]
+                r = bl.bulkscan(Yb, Gd, K, trait_chunk=args.trait_chunk)
+                s += float(jnp.sum(r.L))  # consume block before the next
+            return s
 
     run()  # compile + absorb async compile latency
     t0 = time.perf_counter()

@@ -173,7 +173,7 @@ def _null_grid_pipeline(
     """Rotation + grid fit + LOD kernel as ONE jitted computation — a single
     device dispatch per bulkscan call, with the rotation GEMMs fused into the
     same XLA program as the scan. ``trait_chunk`` bounds peak memory by
-    ``lax.map``-ing trait blocks (for f64 runs / biobank-scale matrices)."""
+    streaming trait blocks (for f64 runs / biobank-scale matrices)."""
     Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
     kw = dict(prior=prior, reml=reml, method=method, precision=precision)
     if trait_chunk is None:

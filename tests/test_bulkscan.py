@@ -116,3 +116,6 @@ def test_trait_chunking_matches_unchunked(bxd_like):
         chunked = bulkscan(Y, G, K, method=method, trait_chunk=5)  # 16 % 5 != 0
         assert chunked.L.shape == full.L.shape
         assert float(jnp.max(jnp.abs(chunked.L - full.L))) < 1e-12
+        # chunk larger than m: single padded block
+        big = bulkscan(Y, G, K, method=method, trait_chunk=64)
+        assert float(jnp.max(jnp.abs(big.L - full.L))) < 1e-12
