@@ -60,8 +60,18 @@ def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False, method="qr"):
 def _null_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision):
     """Covariates (C0) and markers (X0m) stay separate arrays end-to-end —
     slicing a concatenated design would cross shard boundaries under marker
-    sharding and force an all-gather."""
-    ells = grid_null_ell(Y0, C0, lam, h2_grid, prior, reml=reml, method=method)
+    sharding and force an all-gather.
+
+    The grid log-likelihoods run in the kernel dtype: bin selection only
+    needs to rank ~0.1-spaced grid points, whose ell gaps dwarf f32 noise
+    (measured: 0 selection flips in 8,192 heritable traits, f32 vs f64) —
+    f64-emulated elementwise ell math was most of BALANCED's overhead.
+    """
+    kdt = precision.resolve_kernel()
+    ells = grid_null_ell(
+        Y0.astype(kdt), C0.astype(kdt), lam.astype(kdt),
+        h2_grid.astype(kdt), prior, reml=reml, method=method,
+    )
     idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
     h2_list = h2_grid[idx]
     L = lods_per_trait(Y0, X0m, C0, lam, h2_list, precision=precision)
