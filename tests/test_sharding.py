@@ -150,3 +150,12 @@ def test_sharded_weights_and_pvals(bxd_like, mesh):
     b = bulkscan(Y, G, K, weights=w, output_pvals=True)
     assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-9
     assert np.allclose(np.asarray(a.log10Pvals_mat), np.asarray(b.log10Pvals_mat))
+
+
+def test_sharded_with_covariates(bxd_like, mesh):
+    rng3 = np.random.default_rng(21)
+    Y, G, K = bxd_like["Y"][:, :8], bxd_like["G"], bxd_like["K"]
+    covar = rng3.normal(size=(bxd_like["n"], 2))
+    a = bulkscan_sharded(Y, G, K, covar, mesh=mesh)
+    b = bulkscan(Y, G, K, covar)
+    assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-9
