@@ -48,8 +48,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB.is_file() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _compile():
+        needs_build = not _LIB.is_file() or (
+            _SRC.is_file() and _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        )
+        if needs_build and (not _SRC.is_file() or not _compile()):
+            # keep the contract: availability checks never raise; a stale
+            # prebuilt library (source not shipped) is still usable
+            if not _LIB.is_file():
                 return None
         try:
             lib = ctypes.CDLL(str(_LIB))

@@ -87,17 +87,23 @@ def _scan(args):
 
 
 def _bulkscan(args):
+    from .utils.config import BALANCED, EXACT64, FAST32, MIXED
+
+    precision = {
+        "fast32": FAST32, "balanced": BALANCED, "mixed": MIXED,
+        "exact64": EXACT64,
+    }[args.precision]
+    if args.precision != "fast32":
+        # must happen before any array work (kinship included)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     from . import bulkscan, calc_kinship
-    from .utils.config import EXACT64, FAST32, MIXED
 
     G = _load_geno(args)
     Y = _load_pheno(args)
     K = np.asarray(calc_kinship(G))
-    precision = {"fast32": FAST32, "mixed": MIXED, "exact64": EXACT64}[args.precision]
-    if args.precision != "fast32":
-        import jax
-
-        jax.config.update("jax_enable_x64", True)
     res = bulkscan(
         Y, G, K,
         method=args.method,
@@ -153,7 +159,8 @@ def main(argv=None):
     )
     b.add_argument("--reml", action="store_true")
     b.add_argument(
-        "--precision", choices=["fast32", "mixed", "exact64"], default="mixed"
+        "--precision", choices=["fast32", "balanced", "mixed", "exact64"],
+        default="balanced",
     )
     b.add_argument("--trait-chunk", type=int, default=None)
     b.add_argument("--pvals", action="store_true")

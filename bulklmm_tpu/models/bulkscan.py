@@ -35,7 +35,7 @@ from ..ops.lod import lod2log10p
 from ..ops.rotation import resolve_kinship
 from ..ops.weights import make_weights
 from ..ops.wls import wls_ell
-from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .results import BulkScanResult
 from .scan import _apply_weights
 
@@ -167,9 +167,15 @@ def _chunk_traits(impl, Y0, *, trait_chunk):
 
 # jitted cores over pre-rotated data (used by bulklmm_tpu.parallel, which
 # device_puts sharded rotated arrays before the call)
-_bulkscan_null_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(_null_grid_impl)
-_bulkscan_null_exact_core = partial(jax.jit, static_argnames=_STATIC_EXACT)(_null_exact_impl)
-_bulkscan_alt_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(_alt_grid_impl)
+_bulkscan_null_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(
+    with_highest_matmul(_null_grid_impl)
+)
+_bulkscan_null_exact_core = partial(jax.jit, static_argnames=_STATIC_EXACT)(
+    with_highest_matmul(_null_exact_impl)
+)
+_bulkscan_alt_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(
+    with_highest_matmul(_alt_grid_impl)
+)
 
 
 def _rotate(Y, Xm, C, Ut):
@@ -177,6 +183,7 @@ def _rotate(Y, Xm, C, Ut):
 
 
 @partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+@with_highest_matmul
 def _null_grid_pipeline(
     Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
 ):
@@ -195,6 +202,7 @@ def _null_grid_pipeline(
 
 
 @partial(jax.jit, static_argnames=_STATIC_EXACT + ("trait_chunk",))
+@with_highest_matmul
 def _null_exact_pipeline(
     Y, Xm, C, Ut, lam, *, prior, reml, method, optim_interval, precision,
     trait_chunk=None,
@@ -213,6 +221,7 @@ def _null_exact_pipeline(
 
 
 @partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+@with_highest_matmul
 def _alt_grid_pipeline(
     Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
 ):

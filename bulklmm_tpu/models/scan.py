@@ -31,7 +31,7 @@ from ..ops.liteqtl import lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p, r2lod
 from ..ops.rotation import resolve_kinship, transform_permute
-from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .results import ScanResult
 
 _LN10 = math.log(10.0)
@@ -93,11 +93,13 @@ def _scan_perms_impl(
     r0n = r0perm / norm_y
     X00n = X00 / norm_x
 
+    from ..ops.liteqtl import _fast_log
+
     gdt = precision.resolve_gemm()
     L = jnp.matmul(
         X00n.T.astype(gdt), r0n.astype(gdt), precision=precision.gemm_precision
     )
-    L = r2lod(L, y0.shape[0])
+    L = r2lod(L, y0.shape[0], fast_log=_fast_log(precision))
     return vc.sigma2, vc.h2, L
 
 
@@ -106,12 +108,19 @@ _STATIC_PERMS = _STATIC + ("nperms", "rndseed")
 
 # jitted cores over pre-rotated data (the permutation core is reused by
 # bulklmm_tpu.parallel with sharded inputs)
-_scan_null_core = partial(jax.jit, static_argnames=_STATIC)(_scan_null_impl)
-_scan_alt_core = partial(jax.jit, static_argnames=_STATIC)(_scan_alt_impl)
-_scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(_scan_perms_impl)
+_scan_null_core = partial(jax.jit, static_argnames=_STATIC)(
+    with_highest_matmul(_scan_null_impl)
+)
+_scan_alt_core = partial(jax.jit, static_argnames=_STATIC)(
+    with_highest_matmul(_scan_alt_impl)
+)
+_scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(
+    with_highest_matmul(_scan_perms_impl)
+)
 
 
 @partial(jax.jit, static_argnames=_STATIC)
+@with_highest_matmul
 def _scan_null_pipeline(y, Xm, C, Ut, lam, **kw):
     """Rotation + null scan fused into one jitted device program."""
     return _scan_null_impl(
@@ -120,6 +129,7 @@ def _scan_null_pipeline(y, Xm, C, Ut, lam, **kw):
 
 
 @partial(jax.jit, static_argnames=_STATIC)
+@with_highest_matmul
 def _scan_alt_pipeline(y, Xm, C, Ut, lam, **kw):
     return _scan_alt_impl(
         jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
@@ -127,6 +137,7 @@ def _scan_alt_pipeline(y, Xm, C, Ut, lam, **kw):
 
 
 @partial(jax.jit, static_argnames=_STATIC_PERMS)
+@with_highest_matmul
 def _scan_perms_pipeline(y, Xm, C, Ut, lam, **kw):
     return _scan_perms_impl(
         jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
@@ -266,15 +277,18 @@ def scan(
 
     if profile_ll:
         from ..analysis.profile_ll import profile_LL
+        from ..ops.rotation import KinshipDecomposition
 
         if h2_grid is None:
             # reference requires the caller to supply the grid for profileLL
             # (its default is an undef 1-array, src/scan.jl:104); a usable
             # default is friendlier
             h2_grid = jnp.arange(0.0, 1.0, 0.05)
+        # reuse the factors already computed for the scan — avoids a second
+        # O(n^3) host eigendecomposition + rotation
         prof = profile_LL(
-            y, g, covar, K, jnp.asarray(h2_grid), marker_id,
-            prior=prior, reml=reml,
+            y, g, covar, KinshipDecomposition(Ut=Ut, lam=lam), jnp.asarray(h2_grid),
+            marker_id, prior=prior, reml=reml,
         )
         result.ll_list_null, result.ll_list_alt = prof
         return result, prof

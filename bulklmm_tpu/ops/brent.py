@@ -27,17 +27,26 @@ def brent_min(
     lo,
     hi,
     *,
-    rel_tol: float = 1.4901161193847656e-08,
-    abs_tol: float = 2.220446049250313e-16,
+    rel_tol: float = None,
+    abs_tol: float = None,
     maxiter: int = 96,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize scalar ``f`` on [lo, hi]; returns ``(fmin, xmin)``.
 
     ``f`` must be traceable; endpoints are never evaluated exactly (the first
     probe is the interior golden point), matching Brent's bracketing.
+    Tolerances default to Optim.jl's dtype-adaptive values
+    (rel_tol = sqrt(eps(T)), abs_tol = eps(T)) — hardcoded float64 values
+    would sit below one float32 ulp and the convergence test (and the
+    all-lanes early exit) could never fire in f32 mode.
     """
     lo = jnp.asarray(lo, dtype=jnp.result_type(lo, 0.0))
     hi = jnp.asarray(hi, dtype=lo.dtype)
+    eps = float(jnp.finfo(lo.dtype).eps)
+    if rel_tol is None:
+        rel_tol = eps ** 0.5
+    if abs_tol is None:
+        abs_tol = eps
 
     a, b = lo, hi
     x = a + _CGOLD * (b - a)

@@ -58,6 +58,14 @@ def calc_kinship_sharded(geno_shard, axis_name: str):
     ``geno_shard`` is this device's (n, p_local) slice; the cross-product and
     the marker count are both summed over ``axis_name`` so every device ends
     with the identical full (n, n) kinship.
+
+    IMPORTANT: shards must contain REAL marker columns only. Zero-padding a
+    shard would be silently wrong here: the ``- 0.5`` shift turns padded
+    zeros into -0.5 columns that contribute 0.25 to every cross-product
+    entry, and the psum'd marker count would include them. Pad-then-scan
+    callers should drop pad columns before calling (or use
+    :func:`calc_kinship` with ``marker_chunk``, which pads *after* the
+    shift).
     """
     X = geno_shard - 0.5
     local = jnp.matmul(X, X.T, precision=jax.lax.Precision.HIGHEST)

@@ -34,16 +34,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .lod import r2lod
+from .smallchol import fwd_subst, pair_indices, residual_sq, unrolled_cholesky
 from .weights import make_weights
 
 
-def _pair_indices(c: int):
-    """Upper-triangular (k, l) pairs for the c x c weighted Gram."""
-    return [(k, l) for k in range(c) for l in range(k, c)]
-
-
+@with_highest_matmul
 def weighted_correlation_per_trait(
     Y0,
     X0m,
@@ -78,49 +75,22 @@ def weighted_correlation_per_trait(
 
     WY = W * Y  # (n, m)
 
-    # Per-trait covariate Grams via thin (c-row) GEMMs — solve dtype (cheap).
+    # Per-trait covariate Grams via thin (c-row) GEMMs, factored with the
+    # shared unrolled Cholesky (ops/smallchol.py) — c is a tiny static int;
+    # batched (m, c, c) linalg lane-pads catastrophically on TPU.
     t = jnp.matmul(C.T, WY, precision=pgp)  # (c, m)
-    pairs = _pair_indices(c)
+    pairs = pair_indices(c)
     CC = jnp.stack([C[:, k] * C[:, l] for k, l in pairs], axis=1)  # (n, npair)
     Gv = jnp.matmul(CC.T, W, precision=pgp)  # (npair, m)
-    Gd = {}
-    for idx, (k, l) in enumerate(pairs):
-        Gd[(k, l)] = Gv[idx]
-
-    # Unrolled per-trait Cholesky G_j = L_j L_j^T over (m,)-vectors. c is a
-    # tiny static int, so this is c^3/6 fused elementwise ops — NO batched
-    # linalg (batched (m, c, c) LU/inv with c < 8 lane-pads catastrophically
-    # on TPU and was ~10x slower than the GEMMs themselves).
-    Lc = {}
-    for k in range(c):
-        s = Gd[(k, k)]
-        for q_ in range(k):
-            s = s - Lc[(k, q_)] * Lc[(k, q_)]
-        Lc[(k, k)] = jnp.sqrt(s)
-        for i in range(k + 1, c):
-            s = Gd[(k, i)] if (k, i) in Gd else Gd[(i, k)]
-            for q_ in range(k):
-                s = s - Lc[(i, q_)] * Lc[(k, q_)]
-            Lc[(i, k)] = s / Lc[(k, k)]
-
-    def fwd_subst(rows):
-        """Solve L z = rows for a list of c arrays (each (m,) or (p, m))."""
-        z = []
-        for k in range(c):
-            s = rows[k]
-            for q_ in range(k):
-                s = s - Lc[(k, q_)] * z[q_]
-            z.append(s / Lc[(k, k)])
-        return z
+    Gd = {kl: Gv[i] for i, kl in enumerate(pairs)}
+    Lc = unrolled_cholesky(Gd, c)
 
     # zeta = L^{-1} t  -> per-trait projection coefficients in the
     # orthonormalized covariate basis (same basis as Q = W^1/2 C L^{-T}).
-    zeta = fwd_subst([t[k] for k in range(c)])  # c x (m,)
+    zeta = fwd_subst(Lc, [t[k] for k in range(c)], c)  # c x (m,)
 
     yty = jnp.sum(WY * Y, axis=0)  # (m,)
-    nrm2 = yty
-    for k in range(c):
-        nrm2 = nrm2 - zeta[k] * zeta[k]
+    nrm2 = residual_sq(yty, zeta)
 
     # Marker-side GEMMs in the gemm dtype, combined in the solve dtype.
     Xg = X.astype(gdt)
@@ -134,17 +104,17 @@ def weighted_correlation_per_trait(
 
     # Z = L^{-1} U (broadcast over markers): same orthonormal projection for
     # the marker side; then everything combines elementwise:
-    #   N = B - sum_k Z_k zeta_k,  D = D1 - sum_k Z_k^2
-    Z = fwd_subst(U)  # c x (p, m); Lc entries broadcast (m,) over rows
+    #   N = B - sum_k Z_k zeta_k,  D = D1 - sum_k Z_k^2 (guarded)
+    Z = fwd_subst(Lc, U, c)  # c x (p, m); Lc entries broadcast (m,) over rows
     N = B
-    D = D1
     for k in range(c):
         N = N - Z[k] * zeta[k][None, :]
-        D = D - Z[k] * Z[k]
+    D = residual_sq(D1, Z)
 
     return N / jnp.sqrt(D * nrm2[None, :])
 
 
+@with_highest_matmul
 def weighted_correlation_shared(
     Y0,
     X0m,

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .stats import shuffle_vector
 from .weights import make_weights
 from .wls import resid
@@ -142,6 +142,7 @@ class ReweightedData(NamedTuple):
     h2_null: jnp.ndarray
 
 
+@with_highest_matmul
 def transform_reweight(
     y0,
     X0,

@@ -27,6 +27,8 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from ..utils.config import with_highest_matmul
+
 
 class WLSResult(NamedTuple):
     """Estimates from one weighted LS fit.
@@ -63,6 +65,7 @@ def _solve_cholesky(XX: jnp.ndarray, yy: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.
     return coef, logdet
 
 
+@with_highest_matmul
 def wls(
     y: jnp.ndarray,
     X: jnp.ndarray,
@@ -119,6 +122,7 @@ def wls(
     return WLSResult(b=coef, sigma2=sigma2, ell=ell, rss=rss0)
 
 
+@with_highest_matmul
 def wls_ell(
     y: jnp.ndarray,
     X: jnp.ndarray,
@@ -142,9 +146,12 @@ def wls_ell(
     n, p = X.shape
     prior_a, prior_b = prior
 
-    # Weighted Gram + unrolled Cholesky (p = #covariates is tiny & static):
-    # no jnp.linalg primitive at all — batched Householder QR is slow on TPU
-    # and dominated the Brent iterations in the null-exact path.
+    # Weighted Gram + the shared unrolled Cholesky (ops/smallchol.py;
+    # p = #covariates is tiny & static): no jnp.linalg primitive at all —
+    # batched Householder QR is slow on TPU and dominated the Brent
+    # iterations in the null-exact path.
+    from .smallchol import fwd_subst, residual_sq, unrolled_cholesky
+
     wy = y * w[:, None]
     G = {}
     for k in range(p):
@@ -152,28 +159,9 @@ def wls_ell(
             G[(k, l)] = jnp.sum(X[:, k] * X[:, l] * w)
     t = [X[:, k] @ wy for k in range(p)]  # (q,) each
 
-    Lc = {}
-    for k in range(p):
-        s = G[(k, k)]
-        for q_ in range(k):
-            s = s - Lc[(k, q_)] * Lc[(k, q_)]
-        Lc[(k, k)] = jnp.sqrt(s)
-        for i in range(k + 1, p):
-            s = G[(k, i)]
-            for q_ in range(k):
-                s = s - Lc[(i, q_)] * Lc[(k, q_)]
-            Lc[(i, k)] = s / Lc[(k, k)]
-
-    zeta = []
-    for k in range(p):
-        s = t[k]
-        for q_ in range(k):
-            s = s - Lc[(k, q_)] * zeta[q_]
-        zeta.append(s / Lc[(k, k)])
-
-    rss0 = jnp.sum(wy * y, axis=0)
-    for k in range(p):
-        rss0 = rss0 - zeta[k] * zeta[k]
+    Lc = unrolled_cholesky(G, p)
+    zeta = fwd_subst(Lc, t, p)
+    rss0 = residual_sq(jnp.sum(wy * y, axis=0), zeta)
 
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - p if reml else n) + prior_df
@@ -210,6 +198,7 @@ def wls_multivar(
     return wls(Y, X, w, prior, reml=reml, method=method)
 
 
+@with_highest_matmul
 def resid(y: jnp.ndarray, X: jnp.ndarray, *, method: str = "qr") -> jnp.ndarray:
     """Residuals of (possibly multi-column) ``y`` after OLS on ``X``.
 
@@ -227,6 +216,7 @@ def resid(y: jnp.ndarray, X: jnp.ndarray, *, method: str = "qr") -> jnp.ndarray:
     return out[:, 0] if y.ndim == 1 else out
 
 
+@with_highest_matmul
 def rss(y: jnp.ndarray, X: jnp.ndarray, *, method: str = "qr") -> jnp.ndarray:
     """Residual sum of squares per column of ``y``.
 

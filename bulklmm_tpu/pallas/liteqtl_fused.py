@@ -33,25 +33,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.lod import log10_f32_accurate
+from ..ops.smallchol import fwd_subst, pair_indices, residual_sq, unrolled_cholesky
 from ..ops.weights import make_weights
-
-_LN2 = 0.6931471805599453
-_LOG10E = 0.4342944819032518
-_SQRT2 = 1.4142135623730951
-
-
-def _log10_poly(x):
-    """Accurate f32 log10 (see ops/lod.py::log10_f32_accurate)."""
-    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-    e = ((bits >> 23) & 0xFF) - 127
-    m = jax.lax.bitcast_convert_type((bits & 0x007FFFFF) | (127 << 23), jnp.float32)
-    shift = m > _SQRT2
-    m = jnp.where(shift, 0.5 * m, m)
-    ef = (e + shift.astype(jnp.int32)).astype(jnp.float32)
-    t = (m - 1.0) / (m + 1.0)
-    t2 = t * t
-    p = 1.0 + t2 * (1.0 / 3.0 + t2 * (1.0 / 5.0 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0))))
-    return (ef * _LN2 + 2.0 * t * p) * _LOG10E
 
 
 def _kernel(xt_ref, xct_refs, xxt_ref, w_ref, wy_ref, scal_ref, out_ref, *, c, n):
@@ -98,7 +82,7 @@ def _kernel(xt_ref, xct_refs, xxt_ref, w_ref, wy_ref, scal_ref, out_ref, *, c, n
 
     r2 = (N * N) * inv_nrm2[None, :] / D
     one_minus = jnp.maximum(1.0 - r2, 1e-38)
-    out_ref[:] = (-0.5 * n) * _log10_poly(one_minus)
+    out_ref[:] = (-0.5 * n) * log10_f32_accurate(one_minus)
 
 
 @functools.partial(
@@ -132,35 +116,15 @@ def fused_lods_per_trait(
     W = jnp.abs(make_weights(h2_per_trait.astype(f32), lam.astype(f32))).T  # (n, m)
     WY = W * Y
 
-    # --- thin per-trait scalar pipeline (same math as ops/liteqtl.py) ---
+    # --- thin per-trait scalar pipeline (shared ops/smallchol helpers) ---
     t = jnp.matmul(C.T, WY, precision=jax.lax.Precision.HIGHEST)  # (c, m)
-    pairs = [(k, l) for k in range(c) for l in range(k, c)]
+    pairs = pair_indices(c)
     CC = jnp.stack([C[:, k] * C[:, l] for k, l in pairs], axis=1)  # (n, npair)
     Gv = jnp.matmul(CC.T, W, precision=jax.lax.Precision.HIGHEST)  # (npair, m)
     Gd = {kl: Gv[i] for i, kl in enumerate(pairs)}
-
-    Lc = {}
-    for k in range(c):
-        s = Gd[(k, k)]
-        for q in range(k):
-            s = s - Lc[(k, q)] * Lc[(k, q)]
-        Lc[(k, k)] = jnp.sqrt(s)
-        for i in range(k + 1, c):
-            s = Gd[(k, i)] if (k, i) in Gd else Gd[(i, k)]
-            for q in range(k):
-                s = s - Lc[(i, q)] * Lc[(k, q)]
-            Lc[(i, k)] = s / Lc[(k, k)]
-
-    zeta = []
-    for k in range(c):
-        s = t[k]
-        for q in range(k):
-            s = s - Lc[(k, q)] * zeta[q]
-        zeta.append(s / Lc[(k, k)])
-
-    nrm2 = jnp.sum(WY * Y, axis=0)
-    for k in range(c):
-        nrm2 = nrm2 - zeta[k] * zeta[k]
+    Lc = unrolled_cholesky(Gd, c)
+    zeta = fwd_subst(Lc, [t[k] for k in range(c)], c)
+    nrm2 = residual_sq(jnp.sum(WY * Y, axis=0), zeta)
 
     # rows: tri entries (col-major lower), zeta, 1/nrm2
     scal = jnp.stack(

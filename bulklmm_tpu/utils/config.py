@@ -18,18 +18,32 @@ small frozen dataclass passed as a keyword.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 
-# Statistical numerics first: TPU matmuls default to bf16 inputs, which
-# costs ~1e-2 absolute LOD error through the likelihood path. Pin the
-# *default* to highest (f32 via bf16x6 passes on the MXU); the big
-# correlation GEMMs take their precision explicitly from PrecisionConfig, so
-# throughput-critical code still has the knob.
-jax.config.update("jax_default_matmul_precision", "highest")
+def with_highest_matmul(fn):
+    """Scope ``jax.default_matmul_precision('highest')`` around ``fn``.
+
+    Statistical numerics first: TPU matmuls default to bf16 operands, which
+    costs ~1e-2 absolute LOD error through the likelihood path — including
+    inside primitives that take no precision argument (``jnp.linalg.qr``'s
+    internal matmuls). Every engine entry point wraps its math in this
+    context instead of mutating process-global JAX config at import time
+    (which would silently change the numerics/performance of unrelated user
+    code in the same process). The big correlation GEMMs still take their
+    precision explicitly from PrecisionConfig.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def default_float() -> Any:
