@@ -90,3 +90,34 @@ def test_r2lod():
     r = jnp.asarray([0.0, 0.3, -0.8])
     out = np.asarray(lodmod.r2lod(r, 100))
     assert np.allclose(out, -(100 / 2) * np.log10(1 - np.asarray(r) ** 2))
+
+
+def test_smallchol_matches_numpy():
+    """Unrolled Cholesky/substitution vs numpy for c=1..4, batched operands."""
+    import numpy.linalg as la
+
+    from bulklmm_tpu.ops.smallchol import (
+        fwd_subst,
+        pair_indices,
+        residual_sq,
+        unrolled_cholesky,
+    )
+
+    r = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        A = r.normal(size=(10, c))
+        Gm = A.T @ A + 0.1 * np.eye(c)
+        G = {(k, l): jnp.asarray(Gm[k, l]) for k, l in pair_indices(c)}
+        L = unrolled_cholesky(G, c)
+        L_np = la.cholesky(Gm)
+        for i in range(c):
+            for k in range(i + 1):
+                assert abs(float(L[(i, k)]) - L_np[i, k]) < 1e-12
+        rhs = [jnp.asarray(r.normal(size=5)) for _ in range(c)]
+        z = fwd_subst(L, rhs, c)
+        z_np = la.solve(L_np, np.stack([np.asarray(x) for x in rhs]))
+        for k in range(c):
+            assert np.allclose(np.asarray(z[k]), z_np[k], atol=1e-12)
+    # cancellation floor: never negative
+    out = residual_sq(jnp.asarray(1.0), [jnp.asarray(1.0000001)])
+    assert float(out) > 0.0
