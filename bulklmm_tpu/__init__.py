@@ -20,7 +20,15 @@ Public API mapping to the reference exports (reference src/BulkLMM.jl:9-47):
 """
 
 from . import io, parallel
-from .analysis import ProfileLL, Thresholds, getLL, get_thresholds, profile_LL
+from .analysis import (
+    ProfileLL,
+    Thresholds,
+    bh_adjust,
+    getLL,
+    get_thresholds,
+    lod_fdr,
+    profile_LL,
+)
 from .io import (
     read_bxd_geno,
     read_bxd_pheno,
@@ -77,6 +85,8 @@ __all__ = [
     "write_to_file",
     "ProfileLL",
     "Thresholds",
+    "bh_adjust",
+    "lod_fdr",
     "getLL",
     "get_thresholds",
     "profile_LL",

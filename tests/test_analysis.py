@@ -79,3 +79,30 @@ def test_scan_profile_ll_flag(bxd_like):
     )
     assert result.ll_list_null is not None
     assert prof.ll_list_null.shape == (8,)
+
+
+def test_bh_adjust_matches_scipy():
+    from scipy.stats import false_discovery_control
+
+    from bulklmm_tpu.analysis import bh_adjust
+
+    p = rng.uniform(0, 1, 500)
+    q = bh_adjust(p)
+    q_ref = false_discovery_control(p, method="bh")
+    assert np.allclose(q, q_ref, atol=1e-12)
+    qy = bh_adjust(p, dependent=True)
+    qy_ref = false_discovery_control(p, method="by")
+    assert np.allclose(qy, qy_ref, atol=1e-12)
+
+
+def test_lod_fdr_shapes_and_monotonicity(bxd_like):
+    from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.analysis import lod_fdr
+
+    out = bulkscan(bxd_like["Y"], bxd_like["G"], bxd_like["K"])
+    qv, sig = lod_fdr(out.L, alpha=0.10)
+    assert qv.shape == out.L.shape and sig.dtype == bool
+    # larger LOD -> smaller (or equal) q-value
+    L = np.asarray(out.L).ravel()
+    order = np.argsort(L)
+    assert np.all(np.diff(qv.ravel()[order]) <= 1e-12)
