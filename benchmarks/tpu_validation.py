@@ -1,0 +1,134 @@
+"""Cross-backend validation sweep: every public scan path on the REAL TPU
+vs the same library on CPU float64 (which the test suite ties to the
+independent scipy oracle).
+
+Run on the TPU host:   python benchmarks/tpu_validation.py
+It spawns a CPU-f64 subprocess for the goldens, runs the TPU side in
+BALANCED precision, and prints one PASS/FAIL line per path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TOL = {
+    "scan_null": 2e-5,
+    "scan_reml": 2e-5,
+    "scan_covar": 2e-5,
+    "scan_weights": 2e-4,      # weighted path rescales K; larger conditioning
+    "scan_alt": 5e-3,          # per-marker Brent in f64 vs f32 h2 resolution
+    "perms": 2e-4,             # shared-h2 kernel correlates at f32
+    "bulk_null_grid": 2e-5,
+    "bulk_null_exact": 5e-3,   # per-trait Brent h2 differs at f32 resolution
+    "bulk_alt_grid": 2e-4,
+}
+
+CHILD = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, sys.argv[3])
+import bulklmm_tpu as bl
+
+data = np.load(sys.argv[1])
+Y, G, K, w, covar = data["Y"], data["G"], data["K"], data["w"], data["covar"]
+y = Y[:, 0]
+out = {}
+out["scan_null"] = np.asarray(bl.scan(y, G, K).lod)
+out["scan_reml"] = np.asarray(bl.scan(y, G, K, reml=True).lod)
+out["scan_covar"] = np.asarray(bl.scan(y, G, K, covar=covar).lod)
+out["scan_weights"] = np.asarray(bl.scan(y, G, K, weights=w).lod)
+out["scan_alt"] = np.asarray(bl.scan(y, G, K, assumption="alt").lod)
+out["perms"] = np.asarray(
+    bl.scan(y, G, K, permutation_test=True, nperms=100, rndseed=7).L_perms
+)
+out["bulk_null_grid"] = np.asarray(bl.bulkscan(Y, G, K).L)
+out["bulk_null_exact"] = np.asarray(bl.bulkscan(Y, G, K, method="null-exact").L)
+out["bulk_alt_grid"] = np.asarray(bl.bulkscan(Y, G, K, method="alt-grid").L)
+np.savez(sys.argv[2], **out)
+print("cpu goldens done")
+"""
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    import bulklmm_tpu as bl
+    from bulklmm_tpu.utils.config import BALANCED
+
+    rng = np.random.default_rng(17)
+    n, p, m = 79, 512, 64
+    G = rng.uniform(0, 1, (n, p)).astype(np.float32)
+    X = G.astype(np.float64) - 0.5
+    K = 2 * X @ X.T / p + 0.5
+    np.fill_diagonal(K, 1.0)
+    Lc = np.linalg.cholesky(K + 1e-9 * np.eye(n))
+    h2s = rng.uniform(0.1, 0.9, m)
+    Y = (
+        np.sqrt(h2s) * (Lc @ rng.normal(size=(n, m)))
+        + np.sqrt(1 - h2s) * rng.normal(size=(n, m))
+    ).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, n)
+    covar = rng.normal(size=(n, 2))
+
+    tmp = Path(tempfile.mkdtemp())
+    np.savez(tmp / "data.npz", Y=Y, G=G, K=K, w=w, covar=covar)
+
+    env = {k: v for k, v in os.environ.items() if "AXON" not in k and "PALLAS" not in k}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", CHILD, str(tmp / "data.npz"), str(tmp / "gold.npz"),
+         str(Path(__file__).resolve().parent.parent)],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    if r.returncode != 0:
+        print(r.stderr[-2000:])
+        raise SystemExit("CPU golden generation failed")
+    gold = np.load(tmp / "gold.npz")
+
+    y = Y[:, 0]
+    results = {}
+    results["scan_null"] = np.asarray(bl.scan(y, G, K, precision=BALANCED).lod)
+    results["scan_reml"] = np.asarray(bl.scan(y, G, K, reml=True, precision=BALANCED).lod)
+    results["scan_covar"] = np.asarray(bl.scan(y, G, K, covar=covar, precision=BALANCED).lod)
+    results["scan_weights"] = np.asarray(bl.scan(y, G, K, weights=w, precision=BALANCED).lod)
+    results["scan_alt"] = np.asarray(bl.scan(y, G, K, assumption="alt", precision=BALANCED).lod)
+    results["perms"] = np.asarray(
+        bl.scan(y, G, K, permutation_test=True, nperms=100, rndseed=7,
+                precision=BALANCED).L_perms
+    )
+    results["bulk_null_grid"] = np.asarray(bl.bulkscan(Y, G, K, precision=BALANCED).L)
+    results["bulk_null_exact"] = np.asarray(
+        bl.bulkscan(Y, G, K, method="null-exact", precision=BALANCED).L
+    )
+    results["bulk_alt_grid"] = np.asarray(
+        bl.bulkscan(Y, G, K, method="alt-grid", precision=BALANCED).L
+    )
+
+    ok = True
+    for name, tpu in results.items():
+        err = float(np.max(np.abs(tpu - gold[name])))
+        passed = err <= TOL[name]
+        ok &= passed
+        print(json.dumps({"path": name, "max_abs_err": err, "tol": TOL[name],
+                          "pass": passed}))
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
