@@ -1,5 +1,6 @@
 from .config import (
     BALANCED,
+    THROUGHPUT,
     DEFAULT_PRECISION,
     EXACT64,
     FAST32,
@@ -12,6 +13,7 @@ from .profiling import timed, trace
 
 __all__ = [
     "BALANCED",
+    "THROUGHPUT",
     "DEFAULT_PRECISION",
     "EXACT64",
     "FAST32",

@@ -100,6 +100,15 @@ EXACT64 = PrecisionConfig(solve_dtype=jnp.float64, gemm_dtype=jnp.float64)
 BALANCED = PrecisionConfig(
     solve_dtype=jnp.float64, gemm_dtype=jnp.float32, kernel_dtype=jnp.float32
 )
+# THROUGHPUT: like FAST32 but GEMMs at Precision.HIGH (bf16x3 instead of
+# bf16x6) — measured ~1.5x on FLOP-bound (large-n) cohorts at ~4e-3 absolute
+# LOD accuracy. Screening-grade: rank candidate loci fast, confirm peaks
+# with BALANCED/EXACT64.
+THROUGHPUT = PrecisionConfig(
+    solve_dtype=jnp.float32,
+    gemm_dtype=jnp.float32,
+    gemm_precision=jax.lax.Precision.HIGH,
+)
 
 
 def enable_x64() -> None:
