@@ -100,6 +100,12 @@ def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision)
     m = Y0.shape[1]
     dt = Y0.dtype
 
+    # argmax index carried as int8: the (p, m) kmax array is read+written
+    # every grid step, so 4 bytes -> 1 byte saves real HBM traffic (grids
+    # are tiny; 127 points is far beyond any practical h2 grid)
+    g = h2_grid.shape[0]
+    idx_dt = jnp.int8 if g <= 127 else jnp.int32
+
     def step(carry, inputs):
         k, h2 = inputs
         logL1_max, kmax, logL0_max = carry
@@ -115,10 +121,10 @@ def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision)
 
     init = (
         jnp.full((p, m), -jnp.inf, dtype=dt),
-        jnp.zeros((p, m), dtype=jnp.int32),
+        jnp.zeros((p, m), dtype=idx_dt),
         jnp.full((m,), -jnp.inf, dtype=dt),
     )
-    ks = jnp.arange(h2_grid.shape[0], dtype=jnp.int32)
+    ks = jnp.arange(g, dtype=idx_dt)
     (logL1_max, kmax, logL0_max), _ = jax.lax.scan(step, init, (ks, h2_grid))
     L = (logL1_max - logL0_max[None, :]) / _LN10
     h2_panel = h2_grid[kmax]
