@@ -109,3 +109,12 @@ def test_fit_lmm_oracle_many_seeds(seed):
     ref = oracle.fit_lmm(np.asarray(rot.y0), np.asarray(rot.X0), np.asarray(rot.lam))
     assert abs(float(mine.h2) - ref["h2"]) < 1e-5
     assert abs(float(mine.ell) - ref["ell"]) < 1e-7
+
+
+def test_brent_f32_converges():
+    """Dtype-adaptive tolerances: in float32 the convergence test must fire
+    (hardcoded f64 tolerances sat below one f32 ulp and never converged)."""
+    f = lambda x: (x - jnp.float32(0.3217)) ** 2
+    fmin, xmin = brent_min(f, jnp.float32(0.0), jnp.float32(1.0))
+    assert xmin.dtype == jnp.float32
+    assert abs(float(xmin) - 0.3217) < 2e-4  # sqrt(eps(f32)) ~ 3.5e-4
