@@ -14,6 +14,7 @@ directory and cached; import never fails — callers check
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -31,15 +32,24 @@ _tried = False
 
 
 def _compile() -> bool:
+    # Build to a per-process temp name and rename into place: concurrent
+    # processes (pytest-xdist, parallel CLI runs) must never CDLL a
+    # half-written library, and rename() within one directory is atomic.
+    tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        str(_SRC), "-o", str(_LIB),
+        str(_SRC), "-o", str(tmp),
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0 and _LIB.is_file()
+        if res.returncode == 0 and tmp.is_file():
+            os.replace(tmp, _LIB)
+            return _LIB.is_file()
+        return False
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _load() -> Optional[ctypes.CDLL]:

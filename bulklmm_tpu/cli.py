@@ -38,7 +38,24 @@ def _load_pheno(args):
     return bio.read_bxd_pheno(args.pheno)
 
 
+def _resolve_precision(args):
+    """Map --precision to a PrecisionConfig, enabling x64 first when needed
+    (must happen before any array work, kinship included)."""
+    from .utils.config import BALANCED, EXACT64, FAST32, MIXED
+
+    precision = {
+        "fast32": FAST32, "balanced": BALANCED, "mixed": MIXED,
+        "exact64": EXACT64,
+    }[args.precision]
+    if args.precision != "fast32":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    return precision
+
+
 def _kinship(args):
+    _resolve_precision(args)
     from . import calc_kinship
     from . import io as bio
 
@@ -51,6 +68,7 @@ def _kinship(args):
 
 
 def _scan(args):
+    precision = _resolve_precision(args)
     from . import calc_kinship, get_thresholds, scan
     from . import io as bio
 
@@ -66,6 +84,7 @@ def _scan(args):
         nperms=max(args.nperms, 1),
         rndseed=args.seed,
         output_pvals=args.pvals,
+        precision=precision,
     )
     out = {"lod": np.asarray(res.lod)}
     meta = {
@@ -87,18 +106,7 @@ def _scan(args):
 
 
 def _bulkscan(args):
-    from .utils.config import BALANCED, EXACT64, FAST32, MIXED
-
-    precision = {
-        "fast32": FAST32, "balanced": BALANCED, "mixed": MIXED,
-        "exact64": EXACT64,
-    }[args.precision]
-    if args.precision != "fast32":
-        # must happen before any array work (kinship included)
-        import jax
-
-        jax.config.update("jax_enable_x64", True)
-
+    precision = _resolve_precision(args)
     from . import bulkscan, calc_kinship
 
     G = _load_geno(args)
@@ -136,6 +144,10 @@ def main(argv=None):
         if pheno:
             p.add_argument("--pheno", required=True, help="phenotype CSV or .npz")
         p.add_argument("-o", "--output", required=True)
+        p.add_argument(
+            "--precision", choices=["fast32", "balanced", "mixed", "exact64"],
+            default="balanced",
+        )
 
     k = sub.add_parser("kinship", help="kinship matrix from genotype probs")
     common(k, pheno=False)
@@ -158,10 +170,6 @@ def main(argv=None):
         default="null-grid",
     )
     b.add_argument("--reml", action="store_true")
-    b.add_argument(
-        "--precision", choices=["fast32", "balanced", "mixed", "exact64"],
-        default="balanced",
-    )
     b.add_argument("--trait-chunk", type=int, default=None)
     b.add_argument("--pvals", action="store_true")
     b.set_defaults(fn=_bulkscan)

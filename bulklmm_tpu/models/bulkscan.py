@@ -42,12 +42,14 @@ from .scan import _apply_weights
 _LN10 = math.log(10.0)
 
 
-def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False, method="qr"):
+def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False):
     """(g, m) null-model log-likelihoods over the h2 grid.
 
     One vmapped batched WLS per grid point — the reference's
     ``map(h2 -> wls_multivar(...).Ell, grid)`` (src/bulkscan_helpers.jl:267-269)
-    as a single fused device computation.
+    as a single fused device computation. Likelihoods go through the
+    solve-free ``wls_ell`` path, which has no QR/Cholesky choice — the
+    ``solve_method`` kwarg applies only to coefficient solves.
     """
 
     def ell_one(h2):
@@ -70,7 +72,7 @@ def _null_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision
     kdt = precision.resolve_kernel()
     ells = grid_null_ell(
         Y0.astype(kdt), C0.astype(kdt), lam.astype(kdt),
-        h2_grid.astype(kdt), prior, reml=reml, method=method,
+        h2_grid.astype(kdt), prior, reml=reml,
     )
     idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
     h2_list = h2_grid[idx]
@@ -269,7 +271,9 @@ def bulkscan(
     Exact-LMM). Keyword surface mirrors the reference (src/bulkscan.jl:81-162;
     the reference's ``nb``/``nt_blas`` CPU-threading knobs have no TPU
     equivalent — parallelism comes from the device mesh, see
-    ``bulklmm_tpu.parallel``).
+    ``bulklmm_tpu.parallel``). ``solve_method`` ("qr"/"cholesky") applies
+    only to coefficient solves (Brent refits); the grid likelihoods use the
+    solve-free ``wls_ell`` path, which has no such choice.
     """
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y

@@ -147,7 +147,7 @@ def _scan_perms_pipeline(y, Xm, C, Ut, lam, **kw):
 def _apply_weights(y, g, covar, K, weights, add_intercept):
     """Pre-scale data for heteroskedastic residual variances.
 
-    Mirrors the reference exactly (src/scan.jl:302-328): y, G, covariates are
+    Mirrors the reference exactly (src/scan.jl:201-227): y, G, covariates are
     multiplied by diag(weights) and K -> W K W; the intercept (if requested)
     is materialized first so it is scaled too.
     """
@@ -315,10 +315,10 @@ def scan_perms_lite(
     chisq_df: int = 1,
     precision: PrecisionConfig = DEFAULT_PRECISION,
 ):
-    """Standalone eigen-rotated permutation scan (reference src/scan.jl:586-658).
+    """Standalone eigen-rotated permutation scan (reference src/scan.jl:485-557).
 
     Note the reference's standalone default ``prior_variance = 1.0`` differs
-    from ``scan``'s 0.0 (src/scan.jl:587 vs :199); both defaults are mirrored.
+    from ``scan``'s 0.0 (src/scan.jl:487 vs :98); both defaults are mirrored.
     """
     y = jnp.asarray(y)
     y = y[:, None] if y.ndim == 1 else y

@@ -51,7 +51,8 @@ def _kernel(xt_ref, xct_refs, xxt_ref, w_ref, wy_ref, scal_ref, out_ref, *, c, n
     """
     f32 = jnp.float32
     B = jnp.dot(xt_ref[:], wy_ref[:], preferred_element_type=f32)
-    D = jnp.dot(xxt_ref[:], w_ref[:], preferred_element_type=f32)
+    D1 = jnp.dot(xxt_ref[:], w_ref[:], preferred_element_type=f32)
+    D = D1
     U = [
         jnp.dot(xct_refs[k][:], w_ref[:], preferred_element_type=f32)
         for k in range(c)
@@ -80,8 +81,15 @@ def _kernel(xt_ref, xct_refs, xxt_ref, w_ref, wy_ref, scal_ref, out_ref, *, c, n
         N = N - Z[kk] * zeta[kk][None, :]
         D = D - Z[kk] * Z[kk]
 
+    # Same cancellation floor as the XLA path (ops/smallchol.residual_sq):
+    # D can go <= 0 for markers (near-)collinear with the covariates, which
+    # would produce NaN / negative LOD. The 1-r^2 floor must stay at or above
+    # f32 tiny — TPU flushes subnormals to zero and the log10 bit extraction
+    # assumes a normal input.
+    eps = jnp.finfo(f32).eps
+    D = jnp.maximum(D, 4.0 * eps * D1)
     r2 = (N * N) * inv_nrm2[None, :] / D
-    one_minus = jnp.maximum(1.0 - r2, 1e-38)
+    one_minus = jnp.maximum(1.0 - r2, jnp.finfo(f32).tiny)
     out_ref[:] = (-0.5 * n) * log10_f32_accurate(one_minus)
 
 
