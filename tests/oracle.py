@@ -81,14 +81,14 @@ def rotate(y, g, K, add_intercept=True):
     return U.T @ y, U.T @ X, lam
 
 
-def scan_null(y, g, K, prior=(0.0, 0.0), reml=False):
+def scan_null(y, g, K, prior=(0.0, 0.0), reml=False, ninterval=1):
     """Reference-path single-trait null scan: per-marker RSS swap loop
     (reference src/scan.jl:411-459)."""
     g = np.asarray(g, dtype=np.float64)
     n, p = g.shape
     y0, X0, lam = rotate(y, g, K, add_intercept=True)
     X0_cov = X0[:, :1]
-    fit = fit_lmm(y0, X0_cov, lam, prior, reml=reml)
+    fit = fit_lmm(y0, X0_cov, lam, prior, reml=reml, ninterval=ninterval)
     sw = np.sqrt(make_weights(fit["h2"], lam))
     y0w = y0 * sw[:, None]
     X0w = X0 * sw[:, None]
@@ -103,19 +103,19 @@ def scan_null(y, g, K, prior=(0.0, 0.0), reml=False):
     return dict(sigma2_e=fit["sigma2"], h2_null=fit["h2"], lod=lod)
 
 
-def scan_alt(y, g, K, prior=(0.0, 0.0), reml=False):
+def scan_alt(y, g, K, prior=(0.0, 0.0), reml=False, ninterval=1):
     """Per-marker exact VC scan with correctly-scaled weights
     (the reference's intent, without its sqrt-weights quirk)."""
     g = np.asarray(g, dtype=np.float64)
     n, p = g.shape
     y0, X0, lam = rotate(y, g, K, add_intercept=True)
     X0_cov = X0[:, :1]
-    fit0 = fit_lmm(y0, X0_cov, lam, prior, reml=reml)
+    fit0 = fit_lmm(y0, X0_cov, lam, prior, reml=reml, ninterval=ninterval)
     lod = np.zeros(p)
     h2s = np.zeros(p)
     for i in range(p):
         X = np.concatenate([X0_cov, X0[:, 1 + i : 2 + i]], axis=1)
-        fit1 = fit_lmm(y0, X, lam, prior, reml=reml)
+        fit1 = fit_lmm(y0, X, lam, prior, reml=reml, ninterval=ninterval)
         lod[i] = (fit1["ell"] - fit0["ell"]) / np.log(10.0)
         h2s[i] = fit1["h2"]
     return dict(
