@@ -49,7 +49,10 @@ def _scan_null_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, pr
     return vc.sigma2, vc.h2, lod
 
 
-def _scan_alt_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision):
+def _scan_alt_impl(
+    y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision,
+    compat_sqrt_weights=False,
+):
     out00 = fit_lmm(
         y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
@@ -64,7 +67,30 @@ def _scan_alt_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, pre
         return out11.ell, out11.h2
 
     ells, h2s = jax.vmap(fit_one, in_axes=1)(X0m)
-    lod = (ells - out00.ell) / _LN10
+
+    if compat_sqrt_weights:
+        # Reference-compat mode: reproduce the reference's sqrt-weights quirk
+        # exactly (src/scan.jl:432-440) — after fitting h2 properly, both
+        # likelihoods are RE-evaluated with sqrt(makeweights(h2, lam)) passed
+        # where weights are expected (an effective double square root), and
+        # always with ML (the re-evaluating `wls` calls omit the reml kwarg,
+        # whose default is false, src/wls.jl:29).
+        from ..ops.weights import make_weights
+        from ..ops.wls import wls_ell
+
+        ell_null_q = wls_ell(
+            y0, C0, jnp.sqrt(make_weights(out00.h2, lam)), prior, reml=False
+        )[0][0]
+
+        def ell_alt_one(x_col, h2_i):
+            X = jnp.concatenate([C0, x_col[:, None]], axis=1)
+            w = jnp.sqrt(make_weights(h2_i, lam))
+            return wls_ell(y0, X, w, prior, reml=False)[0][0]
+
+        ells_q = jax.vmap(ell_alt_one, in_axes=(1, 0))(X0m, h2s)
+        lod = (ells_q - ell_null_q) / _LN10
+    else:
+        lod = (ells - out00.ell) / _LN10
     return out00.sigma2, out00.h2, h2s, lod
 
 
@@ -105,13 +131,14 @@ def _scan_perms_impl(
 
 _STATIC = ("prior", "reml", "method", "optim_interval", "precision")
 _STATIC_PERMS = _STATIC + ("nperms", "rndseed")
+_STATIC_ALT = _STATIC + ("compat_sqrt_weights",)
 
 # jitted cores over pre-rotated data (the permutation core is reused by
 # bulklmm_tpu.parallel with sharded inputs)
 _scan_null_core = partial(jax.jit, static_argnames=_STATIC)(
     with_highest_matmul(_scan_null_impl)
 )
-_scan_alt_core = partial(jax.jit, static_argnames=_STATIC)(
+_scan_alt_core = partial(jax.jit, static_argnames=_STATIC_ALT)(
     with_highest_matmul(_scan_alt_impl)
 )
 _scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(
@@ -128,7 +155,7 @@ def _scan_null_pipeline(y, Xm, C, Ut, lam, **kw):
     )
 
 
-@partial(jax.jit, static_argnames=_STATIC)
+@partial(jax.jit, static_argnames=_STATIC_ALT)
 @with_highest_matmul
 def _scan_alt_pipeline(y, Xm, C, Ut, lam, **kw):
     return _scan_alt_impl(
@@ -192,6 +219,7 @@ def scan(
     output_pvals: bool = False,
     chisq_df: int = 1,
     precision: PrecisionConfig = DEFAULT_PRECISION,
+    compat_sqrt_weights: bool = False,
 ):
     """Genome scan for a single quantitative trait.
 
@@ -200,6 +228,12 @@ def scan(
     {"qr", "cholesky"}; optional covariates, heteroskedastic ``weights``,
     Scaled-Inv-Chi^2 prior, REML/ML, permutation testing, profile likelihood,
     eigen/svd kinship decomposition, and -log10 p-value output.
+
+    ``compat_sqrt_weights`` (alt path only) reproduces the reference's
+    sqrt-weights quirk bit-for-bit (src/scan.jl:432-440): the final LOD
+    re-evaluates both likelihoods with sqrt-weights and ML. Off by default —
+    the default evaluates the likelihood ratio with correctly-scaled weights
+    (see COMPAT.md #1).
 
     Returns a :class:`ScanResult`; when ``profile_ll`` is set, returns a
     ``(ScanResult, (ll_list_null, ll_list_alt))`` tuple like the reference.
@@ -266,7 +300,9 @@ def scan(
             raise ValueError(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
-        sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(y, Xm, C, Ut, lam, **common)
+        sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(
+            y, Xm, C, Ut, lam, compat_sqrt_weights=compat_sqrt_weights, **common
+        )
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2_null, h2_each_marker=h2_each, lod=lod
         )

@@ -121,3 +121,30 @@ def scan_alt(y, g, K, prior=(0.0, 0.0), reml=False, ninterval=1):
     return dict(
         sigma2_e=fit0["sigma2"], h2_null=fit0["h2"], lod=lod, h2_each_marker=h2s
     )
+
+
+def scan_alt_compat(y, g, K, prior=(0.0, 0.0), reml=False, ninterval=1):
+    """Per-marker exact VC scan reproducing the reference's sqrt-weights
+    quirk (reference src/scan.jl:432-440): h2 is fitted properly per model,
+    but the final LOD re-evaluates both likelihoods with
+    sqrt(makeweights(h2)) passed as the weights — and always ML (the
+    re-evaluating wls calls leave reml at its default false)."""
+    g = np.asarray(g, dtype=np.float64)
+    n, p = g.shape
+    y0, X0, lam = rotate(y, g, K, add_intercept=True)
+    X0_cov = X0[:, :1]
+    fit0 = fit_lmm(y0, X0_cov, lam, prior, reml=reml, ninterval=ninterval)
+    sqrtw_null = np.sqrt(make_weights(fit0["h2"], lam))
+    ell_null_q = wls(y0, X0_cov, sqrtw_null, prior, reml=False)[2][0]
+    lod = np.zeros(p)
+    h2s = np.zeros(p)
+    for i in range(p):
+        X = np.concatenate([X0_cov, X0[:, 1 + i : 2 + i]], axis=1)
+        fit1 = fit_lmm(y0, X, lam, prior, reml=reml, ninterval=ninterval)
+        sqrtw_alt = np.sqrt(make_weights(fit1["h2"], lam))
+        ell_alt_q = wls(y0, X, sqrtw_alt, prior, reml=False)[2][0]
+        lod[i] = (ell_alt_q - ell_null_q) / np.log(10.0)
+        h2s[i] = fit1["h2"]
+    return dict(
+        sigma2_e=fit0["sigma2"], h2_null=fit0["h2"], lod=lod, h2_each_marker=h2s
+    )

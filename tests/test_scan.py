@@ -50,6 +50,38 @@ def test_scan_alt_matches_oracle(bxd_like):
     assert np.all(np.asarray(mine.lod) >= np.asarray(null.lod) - 1e-6)
 
 
+def test_scan_alt_compat_sqrt_weights(bxd_like):
+    """compat_sqrt_weights=True reproduces the reference's sqrt-weights quirk
+    (reference src/scan.jl:432-440) exactly, against an oracle implementing
+    the quirk — making alt-path parity vs real reference output falsifiable."""
+    y = bxd_like["Y"][:, 5]  # interior fitted h2 (~0.52): the quirk bites
+    G = bxd_like["G"][:, :30]
+    mine = scan(y, G, bxd_like["K"], assumption="alt", compat_sqrt_weights=True)
+    ref = oracle.scan_alt_compat(y, G, bxd_like["K"])
+    assert np.mean(ref["h2_each_marker"]) > 0.05  # quirk is not a no-op here
+    assert np.max(np.abs(np.asarray(mine.lod) - ref["lod"])) < 1e-6
+    assert np.max(np.abs(np.asarray(mine.h2_each_marker) - ref["h2_each_marker"])) < 1e-4
+    # h2 estimates agree between modes (only the LOD evaluation changes);
+    # the LODs themselves genuinely differ
+    default = scan(y, G, bxd_like["K"], assumption="alt")
+    assert np.allclose(
+        np.asarray(mine.h2_each_marker), np.asarray(default.h2_each_marker),
+        atol=1e-9,
+    )
+    assert np.max(np.abs(np.asarray(mine.lod) - np.asarray(default.lod))) > 1e-4
+
+
+def test_scan_alt_compat_reml_reeval_is_ml(bxd_like):
+    """Under reml=True the quirk path still re-evaluates with ML (the
+    reference's re-evaluating wls calls leave reml at its default false)."""
+    y = bxd_like["Y"][:, 9]  # interior fitted h2 (~0.71)
+    G = bxd_like["G"][:, :20]
+    mine = scan(y, G, bxd_like["K"], assumption="alt", reml=True,
+                compat_sqrt_weights=True)
+    ref = oracle.scan_alt_compat(y, G, bxd_like["K"], reml=True)
+    assert np.max(np.abs(np.asarray(mine.lod) - ref["lod"])) < 1e-6
+
+
 def test_scan_vector_vs_matrix_input(bxd_like):
     y = bxd_like["Y"][:, 2]
     a = scan(y, bxd_like["G"], bxd_like["K"])
