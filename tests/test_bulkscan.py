@@ -119,3 +119,29 @@ def test_trait_chunking_matches_unchunked(bxd_like):
         # chunk larger than m: single padded block
         big = bulkscan(Y, G, K, method=method, trait_chunk=64)
         assert float(jnp.max(jnp.abs(big.L - full.L))) < 1e-12
+
+
+def test_precision_presets_accuracy_bounds(bxd_like):
+    """Every shipped precision preset must stay within its documented
+    absolute-LOD bound of the f64 reference path (utils/config.py preset
+    docs). On CPU the GEMM precision knob is a no-op, so this pins the
+    preset *plumbing* and the f32 floor; the measured TPU bounds are
+    enforced on hardware by benchmarks/tpu_validation.py."""
+    from bulklmm_tpu.utils.config import BALANCED, EXACT64, FAST32, MIXED, THROUGHPUT
+
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    ref = bulkscan(Y, G, K, precision=EXACT64)
+    bounds = {
+        "fast32": (FAST32, 1e-3),
+        "mixed": (MIXED, 1e-5),
+        "balanced": (BALANCED, 1e-5),
+        "throughput": (THROUGHPUT, 4e-3),
+    }
+    for name, (preset, bound) in bounds.items():
+        out = bulkscan(Y, G, K, precision=preset)
+        err = float(np.max(np.abs(np.asarray(out.L, dtype=np.float64)
+                                  - np.asarray(ref.L))))
+        assert err < bound, (name, err)
+        # grid h2 selection must be identical across presets at 0.1 spacing
+        assert np.allclose(np.asarray(out.h2_null_list, dtype=np.float64),
+                           np.asarray(ref.h2_null_list))

@@ -65,3 +65,49 @@ def test_cli_bulkscan(csv_data):
     z = np.load(csv_data / "lods.npz")
     assert z["L"].shape == (40, 6) and np.isfinite(z["L"]).all()
     assert z["h2_null_list"].shape == (6,)
+
+
+def test_cli_scan_alt_assumption_and_precision(csv_data):
+    """--assumption alt runs the per-marker VC path; --precision exact64
+    enables x64 in the subprocess (both were previously undriven flags)."""
+    r = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--trait", "1",
+              "--assumption", "alt", "--precision", "exact64",
+              "-o", "alt.csv"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0.0 <= meta["h2_null"] <= 1.0
+    lods = np.loadtxt(csv_data / "alt.csv", delimiter=",")
+    assert lods.shape == (40,) and np.isfinite(lods).all()
+
+
+def test_cli_bulkscan_trait_chunk_and_alt_grid(csv_data):
+    """--trait-chunk (streaming path) must reproduce the unchunked result;
+    alt-grid method must emit h2_panel."""
+    r1 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "fast32",
+               "--trait-chunk", "4", "-o", "chunked.npz"], csv_data)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    full = np.load(csv_data / "lods.npz")  # from test_cli_bulkscan
+    chunked = np.load(csv_data / "chunked.npz")
+    assert np.allclose(chunked["L"], full["L"], atol=1e-12)
+
+    r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "fast32",
+               "--method", "alt-grid", "-o", "alt.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    z = np.load(csv_data / "alt.npz")
+    assert z["L"].shape == (40, 6) and np.isfinite(z["L"]).all()
+    assert z["h2_panel"].shape == (40, 6)
+
+
+def test_cli_kinship_precision_flag(csv_data):
+    """kinship --precision exact64 produces an f64 kinship identical (to
+    1e-12) to the fast32 one on this well-conditioned input."""
+    r = _run(["kinship", "--geno", "geno.csv", "--exclude-complements",
+              "--precision", "exact64", "-o", "K64.csv"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    K64 = np.loadtxt(csv_data / "K64.csv", delimiter=",")
+    K32 = np.loadtxt(csv_data / "K.csv", delimiter=",")  # from test_cli_kinship
+    assert np.allclose(K64, K32, atol=1e-6)
+    assert np.allclose(np.diag(K64), 1.0)

@@ -47,6 +47,46 @@ def test_scan_perms_lite_standalone(bxd_like):
     assert np.max(np.abs(np.asarray(out.lod) - np.asarray(base.lod))) < 1e-10
 
 
+def test_perm_output_pvals(bxd_like):
+    """The permutation path's p-value outputs (log10pvals + log10Pvals_perms)
+    — the fix for the reference's UndefVarError at src/scan.jl:551
+    (COMPAT.md #2) — must match a direct host-scipy conversion of the LODs
+    and be shape-consistent with L_perms."""
+    from scipy.stats import chi2
+
+    from bulklmm_tpu.ops import lod as lodmod
+
+    y = bxd_like["Y"][:, 4]
+    res = scan(y, bxd_like["G"], bxd_like["K"], permutation_test=True,
+               nperms=64, output_pvals=True, chisq_df=1)
+    assert res.log10Pvals_perms is not None
+    assert res.log10Pvals_perms.shape == res.L_perms.shape
+    assert res.log10pvals.shape == res.lod.shape
+
+    # independent host-scipy conversion: LOD -> chi2 LRT -> -log10 p
+    def ref_log10p(lods, df=1):
+        chisq = 2.0 * np.log(10.0) * np.asarray(lods)
+        return -np.log10(chi2.sf(chisq, df))
+
+    assert np.allclose(np.asarray(res.log10pvals), ref_log10p(res.lod), atol=1e-10)
+    assert np.allclose(
+        np.asarray(res.log10Pvals_perms), ref_log10p(res.L_perms), atol=1e-10
+    )
+    # the jit-usable device variant agrees with host scipy on the same output
+    dev = np.asarray(lodmod.lod2log10p_device(jnp.asarray(res.L_perms), 1))
+    assert np.allclose(dev, ref_log10p(res.L_perms), atol=1e-8)
+
+    # scan_perms_lite exposes the same outputs
+    covar = np.ones((bxd_like["n"], 1))
+    lite = scan_perms_lite(y, bxd_like["G"], covar, bxd_like["K"],
+                           add_intercept=False, nperms=32, output_pvals=True)
+    assert lite.log10Pvals_perms is not None
+    assert lite.log10Pvals_perms.shape == lite.L_perms.shape
+    assert np.allclose(
+        np.asarray(lite.log10Pvals_perms), ref_log10p(lite.L_perms), atol=1e-10
+    )
+
+
 def test_identity_weights_equal_unweighted(bxd_like):
     """weights == ones reproduces the unweighted scan exactly (reference
     test/weighted_error_test.jl:42-141)."""
