@@ -20,16 +20,20 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Every path holds 2e-5 on real TPU hardware since the backend-deterministic
+# host null fit (ops/hostfit.py): measured max errors are 1.1e-6 (scan_null),
+# 1.1e-6 (reml), 9.3e-7 (covar), 1.1e-6 (weights), 9.6e-13 (alt), 1.3e-6
+# (perms), 9.7e-6 (bulk null-grid / null-exact), 1.8e-6 (bulk alt-grid).
 TOL = {
     "scan_null": 2e-5,
     "scan_reml": 2e-5,
     "scan_covar": 2e-5,
-    "scan_weights": 2e-4,      # weighted path rescales K; larger conditioning
-    "scan_alt": 5e-3,          # per-marker Brent in f64 vs f32 h2 resolution
-    "perms": 2e-4,             # shared-h2 kernel correlates at f32
+    "scan_weights": 2e-5,
+    "scan_alt": 2e-5,
+    "perms": 2e-5,
     "bulk_null_grid": 2e-5,
-    "bulk_null_exact": 5e-3,   # per-trait Brent h2 differs at f32 resolution
-    "bulk_alt_grid": 2e-4,
+    "bulk_null_exact": 2e-5,
+    "bulk_alt_grid": 2e-5,
 }
 
 CHILD = r"""

@@ -30,18 +30,26 @@ import jax.numpy as jnp
 from ..ops.liteqtl import lods_shared
 from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p, r2lod
-from ..ops.rotation import resolve_kinship, transform_permute
+from ..ops.rotation import resolve_kinship_with_host, transform_permute
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .results import ScanResult
 
 _LN10 = math.log(10.0)
 
 
-def _scan_null_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision):
+def _scan_null_impl(
+    y0, X0m, C0, lam, null_fit=None, *, prior, reml, method, optim_interval, precision
+):
     """Covariates (C0) and markers (X0m) stay separate arrays end-to-end:
     slicing them out of one concatenated design would cross shard boundaries
-    under marker sharding and force an all-gather."""
-    vc = fit_lmm(
+    under marker sharding and force an all-gather.
+
+    ``null_fit``: precomputed null-model LMMResult (host float64 fit,
+    ops/hostfit.py) — backend-deterministic h2; ``None`` falls back to the
+    on-device Brent fit (used by the sharded perm engine, where inputs are
+    already device-resident).
+    """
+    vc = null_fit if null_fit is not None else fit_lmm(
         y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
     )
@@ -50,10 +58,10 @@ def _scan_null_impl(y0, X0m, C0, lam, *, prior, reml, method, optim_interval, pr
 
 
 def _scan_alt_impl(
-    y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision,
+    y0, X0m, C0, lam, null_fit=None, *, prior, reml, method, optim_interval, precision,
     compat_sqrt_weights=False,
 ):
-    out00 = fit_lmm(
+    out00 = null_fit if null_fit is not None else fit_lmm(
         y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
     )
@@ -95,7 +103,8 @@ def _scan_alt_impl(
 
 
 def _scan_perms_impl(
-    y0, X0m, C0, lam, *, prior, reml, method, optim_interval, nperms, rndseed, precision
+    y0, X0m, C0, lam, null_fit=None, *,
+    prior, reml, method, optim_interval, nperms, rndseed, precision
 ):
     # transform_reweight with the design kept split (covariates vs markers):
     # fit the null VC on C0, residualize, sqrt-reweight, project C0 out of
@@ -103,7 +112,7 @@ def _scan_perms_impl(
     from ..ops.weights import make_weights
     from ..ops.wls import resid
 
-    vc = fit_lmm(
+    vc = null_fit if null_fit is not None else fit_lmm(
         y0, C0, lam, prior,
         reml=reml, method=method, optim_interval=optim_interval,
     )
@@ -148,26 +157,48 @@ _scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(
 
 @partial(jax.jit, static_argnames=_STATIC)
 @with_highest_matmul
-def _scan_null_pipeline(y, Xm, C, Ut, lam, **kw):
+def _scan_null_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
     """Rotation + null scan fused into one jitted device program."""
     return _scan_null_impl(
-        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
+        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, null_fit, **kw
     )
 
 
 @partial(jax.jit, static_argnames=_STATIC_ALT)
 @with_highest_matmul
-def _scan_alt_pipeline(y, Xm, C, Ut, lam, **kw):
+def _scan_alt_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
     return _scan_alt_impl(
-        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
+        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, null_fit, **kw
     )
 
 
 @partial(jax.jit, static_argnames=_STATIC_PERMS)
 @with_highest_matmul
-def _scan_perms_pipeline(y, Xm, C, Ut, lam, **kw):
+def _scan_perms_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
     return _scan_perms_impl(
-        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, **kw
+        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, null_fit, **kw
+    )
+
+
+def _host_null_fit(y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype):
+    """Rotate y/covariates on the host in float64 and fit the null model
+    there (ops/hostfit.py) so h2 is bit-identical on every backend; returns
+    an LMMResult of device scalars in the engine dtype."""
+    import numpy as np
+
+    from ..ops.hostfit import fit_lmm_host
+    from ..ops.lmm import LMMResult
+
+    y_h = Ut_h @ np.asarray(y, dtype=np.float64)
+    C_h = Ut_h @ np.asarray(covar, dtype=np.float64)
+    nf = fit_lmm_host(
+        y_h, C_h, lam_h, prior, reml=reml, optim_interval=optim_interval
+    )
+    return LMMResult(
+        b=jnp.asarray(nf.b, dtype=dtype),
+        sigma2=jnp.asarray(nf.sigma2, dtype=dtype),
+        h2=jnp.asarray(nf.h2, dtype=dtype),
+        ell=jnp.asarray(nf.ell, dtype=dtype),
     )
 
 
@@ -177,21 +208,29 @@ def _apply_weights(y, g, covar, K, weights, add_intercept):
     Mirrors the reference exactly (src/scan.jl:201-227): y, G, covariates are
     multiplied by diag(weights) and K -> W K W; the intercept (if requested)
     is materialized first so it is scaled too.
+
+    Runs in float64 ON THE HOST: the K -> WKW rescale squares the
+    conditioning and feeds the host eigendecomposition, so it must not pass
+    through TPU-emulated f64 (and the unweighted rotation path is already
+    host-f64 end-to-end through ``kinship_eigen``).
     """
     import numpy as _np
     import warnings as _warnings
 
-    wv = jnp.asarray(weights)
-    if _np.any(_np.asarray(weights) <= 0.0):
+    wv = _np.asarray(weights, dtype=_np.float64)
+    if _np.any(wv <= 0.0):
         # parity: reference warns on non-positive weights (src/wls.jl:35-37)
         _warnings.warn("Some of the weights are not positive.")
+    y = _np.asarray(y, dtype=_np.float64)
+    g = _np.asarray(g, dtype=_np.float64)
+    covar = _np.asarray(covar, dtype=_np.float64)
     n = y.shape[0]
     if add_intercept:
-        covar = jnp.concatenate([jnp.ones((n, 1), dtype=y.dtype), covar], axis=1)
-    y = y * wv[:, None]
-    g = g * wv[:, None]
-    covar = covar * wv[:, None]
-    K = wv[:, None] * jnp.asarray(K) * wv[None, :]
+        covar = _np.concatenate([_np.ones((n, 1)), covar], axis=1)
+    y = jnp.asarray(y * wv[:, None])
+    g = jnp.asarray(g * wv[:, None])
+    covar = jnp.asarray(covar * wv[:, None])
+    K = wv[:, None] * _np.asarray(K, dtype=_np.float64) * wv[None, :]
     return y, g, covar, K, False  # add_intercept now consumed
 
 
@@ -269,7 +308,10 @@ def scan(
     if add_intercept:
         covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
-    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+    Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+    null_fit = _host_null_fit(
+        y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype
+    )
     y = y.astype(dtype)
     C = covar.astype(dtype)
     Xm = g.astype(dtype)
@@ -282,7 +324,7 @@ def scan(
     if assumption == "null":
         if permutation_test:
             sigma2_e, h2_null, L = _scan_perms_pipeline(
-                y, Xm, C, Ut, lam, nperms=nperms, rndseed=rndseed, **common
+                y, Xm, C, Ut, lam, null_fit, nperms=nperms, rndseed=rndseed, **common
             )
             result = ScanResult(
                 sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:]
@@ -291,7 +333,9 @@ def scan(
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
                 result.log10Pvals_perms = lod2log10p(result.L_perms, chisq_df)
         else:
-            sigma2_e, h2_null, lod = _scan_null_pipeline(y, Xm, C, Ut, lam, **common)
+            sigma2_e, h2_null, lod = _scan_null_pipeline(
+                y, Xm, C, Ut, lam, null_fit, **common
+            )
             result = ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=lod)
             if output_pvals:
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
@@ -301,7 +345,8 @@ def scan(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
         sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(
-            y, Xm, C, Ut, lam, compat_sqrt_weights=compat_sqrt_weights, **common
+            y, Xm, C, Ut, lam, null_fit,
+            compat_sqrt_weights=compat_sqrt_weights, **common
         )
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2_null, h2_each_marker=h2_each, lod=lod
@@ -365,10 +410,15 @@ def scan_perms_lite(
     if add_intercept:
         covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
-    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+    prior = (float(prior_variance), float(prior_sample_size))
+    Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+    null_fit = _host_null_fit(
+        y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype
+    )
     sigma2_e, h2_null, L = _scan_perms_pipeline(
         y.astype(dtype), jnp.asarray(g).astype(dtype), covar.astype(dtype), Ut, lam,
-        prior=(float(prior_variance), float(prior_sample_size)),
+        null_fit,
+        prior=prior,
         reml=reml, method=method, optim_interval=optim_interval,
         nperms=nperms, rndseed=rndseed, precision=precision,
     )

@@ -76,6 +76,21 @@ def resolve_kinship(K, decomp_scheme: str, dtype) -> Tuple[jnp.ndarray, jnp.ndar
     return jnp.asarray(Ut_np, dtype=dtype), jnp.asarray(lam_np, dtype=dtype)
 
 
+def resolve_kinship_with_host(K, decomp_scheme: str, dtype):
+    """Like :func:`resolve_kinship`, but also returns host float64 copies
+    ``(Ut, lam, Ut_host, lam_host)`` — the host pair feeds the
+    backend-deterministic null fit (ops/hostfit.py)."""
+    if isinstance(K, KinshipDecomposition):
+        return (
+            K.Ut.astype(dtype),
+            K.lam.astype(dtype),
+            np.asarray(K.Ut, dtype=np.float64),
+            np.asarray(K.lam, dtype=np.float64),
+        )
+    Ut_h, lam_h = kinship_eigen(K, decomp_scheme)
+    return jnp.asarray(Ut_h, dtype=dtype), jnp.asarray(lam_h, dtype=dtype), Ut_h, lam_h
+
+
 def kinship_eigen(K, decomp_scheme: str = "eigen") -> Tuple[np.ndarray, np.ndarray]:
     """Host-side (float64 LAPACK) decomposition of the kinship matrix.
 

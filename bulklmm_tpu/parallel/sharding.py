@@ -247,6 +247,23 @@ def scan_perms_sharded(
         y, jnp.concatenate([covar, g], axis=1), K,
         add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
     )
+    # Host float64 null fit: identical h2/coefficients to the unsharded
+    # engine (bit-equal across backends and mesh shapes; ops/hostfit.py).
+    from ..models.scan import _host_null_fit
+    from ..ops.rotation import resolve_kinship_with_host
+
+    dtype = precision.resolve_solve()
+    _, _, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+    design = np.concatenate(
+        [np.ones((n, 1))] * (1 if add_intercept else 0)
+        + [np.asarray(covar, dtype=np.float64)],
+        axis=1,
+    )
+    null_fit = _host_null_fit(
+        np.asarray(y, dtype=np.float64), design, Ut_h, lam_h,
+        (float(prior_variance), float(prior_sample_size)),
+        reml, optim_interval, dtype,
+    )
     # Permutation columns ride the traits axis; nperms+1 must land on a
     # sharding-friendly count, so round the *requested* perms up.
     tshards = mesh.shape[TRAITS_AXIS]
@@ -262,7 +279,7 @@ def scan_perms_sharded(
     lams = jax.device_put(rot.lam, NamedSharding(mesh, P(None)))
 
     sigma2_e, h2_null, L = _scan_perms_core(
-        y0s, X0ms, C0s, lams,
+        y0s, X0ms, C0s, lams, null_fit,
         prior=(float(prior_variance), float(prior_sample_size)),
         reml=reml, method=method, optim_interval=optim_interval,
         nperms=nperms_run, rndseed=rndseed, precision=precision,
