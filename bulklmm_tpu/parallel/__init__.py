@@ -8,7 +8,13 @@ permutations) become named mesh axes over ICI/DCN, sharded with
 ``jax.sharding.NamedSharding`` so XLA inserts the collectives.
 """
 
-from .distributed import init_distributed, local_trait_slice
+from .distributed import (
+    bulkscan_distributed,
+    init_distributed,
+    local_trait_slice,
+    make_global_mesh,
+    merge_shards,
+)
 from .sharding import (
     bulkscan_sharded,
     make_mesh,
@@ -18,8 +24,11 @@ from .sharding import (
 )
 
 __all__ = [
+    "bulkscan_distributed",
     "init_distributed",
     "local_trait_slice",
+    "make_global_mesh",
+    "merge_shards",
     "bulkscan_sharded",
     "make_mesh",
     "scan_perms_sharded",

@@ -1,24 +1,44 @@
-"""Multi-host (pod) support.
+"""Multi-host (pod) execution: per-process trait feeding + sharded output.
 
 The reference explicitly defers multi-machine distribution to future work
 (reference README.md:66-72). Here a pod run is:
 
   1. ``init_distributed()`` on every host (jax.distributed handshake);
-  2. build one global mesh with :func:`bulklmm_tpu.parallel.make_mesh`
-     (jax.devices() is then the global device list);
-  3. each host feeds its local trait block; results stay sharded — write
-     per-shard outputs rather than gathering the (p x m) LOD matrix.
+  2. one global ("traits",) mesh over every device of every process
+     (:func:`make_global_mesh`);
+  3. each process feeds ONLY its local trait block
+     (:func:`local_trait_slice` -> :func:`bulkscan_distributed`), which is
+     assembled into one global trait-sharded array via
+     ``jax.make_array_from_process_local_data`` — no host ever holds the
+     full trait matrix;
+  4. results stay sharded: each process reads back / writes only its own
+     LOD columns (``save_dir=...`` writes one ``lod_shard_<pid>.npz`` per
+     process).
 
 Trait sharding is embarrassingly parallel: the only cross-host traffic is
-eigen-factor replication (n x n, tiny) and any final reductions
-(per-permutation maxima via max-``psum``), which ride ICI/DCN collectives.
+eigen-factor replication (n x n, tiny; rides ICI/DCN once) — the scan
+kernels themselves run collective-free, and every process executes the same
+jitted SPMD program.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.bulkscan import (
+    _bulkscan_alt_grid_core,
+    _bulkscan_null_exact_core,
+    _bulkscan_null_grid_core,
+)
+from ..ops.rotation import resolve_kinship_with_host
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+
+TRAITS_AXIS = "traits"
 
 
 def init_distributed(
@@ -43,9 +63,250 @@ def init_distributed(
     return jax.process_index()
 
 
-def local_trait_slice(m_total: int) -> slice:
-    """The trait columns this host owns under even trait sharding."""
+def make_global_mesh() -> Mesh:
+    """A 1-D ("traits",) mesh over every device of every process, ordered so
+    each process's devices own one contiguous block of the traits axis."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(devs), (TRAITS_AXIS,))
+
+
+def _shard_geometry(m_total: int, mesh: Mesh):
+    """(per_shard, M_padded, local_ndev, col_lo, col_hi) for this process."""
+    tshards = mesh.shape[TRAITS_AXIS]
     nproc = jax.process_count()
+    if tshards % nproc != 0:
+        raise ValueError(
+            f"traits-axis size {tshards} must be a multiple of the process "
+            f"count {nproc} (every process contributes the same device count)"
+        )
+    per_shard = -(-m_total // tshards)
+    M = per_shard * tshards
+    ld = tshards // nproc
     pid = jax.process_index()
-    per = -(-m_total // nproc)
-    return slice(pid * per, min((pid + 1) * per, m_total))
+    # A tail process can own nothing but padding (m_total < lo): clamp both
+    # ends so its slice is empty rather than negative.
+    lo = min(pid * ld * per_shard, m_total)
+    hi = min(lo + ld * per_shard, m_total)
+    return per_shard, M, ld, lo, hi
+
+
+def local_trait_slice(m_total: int, mesh: Optional[Mesh] = None) -> slice:
+    """The trait columns this process owns under even trait sharding.
+
+    With a ``mesh``, blocks align to the padded per-device shard width, so a
+    slice of the global trait matrix fed to :func:`bulkscan_distributed`
+    lands exactly on this process's devices. Without one, plain
+    ceil-division by process count (the two agree whenever the device count
+    per process divides the per-process trait block).
+    """
+    if mesh is None:
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        per = -(-m_total // nproc)
+        return slice(pid * per, min((pid + 1) * per, m_total))
+    _, _, _, lo, hi = _shard_geometry(m_total, mesh)
+    return slice(lo, hi)
+
+
+class DistributedScanResult(NamedTuple):
+    """Output of :func:`bulkscan_distributed` — sharded-first.
+
+    L: (p, M_padded) global trait-sharded LOD matrix (a multi-host
+       ``jax.Array``; only this process's columns are addressable).
+    h2: (M_padded,) per-trait h2 (null engines) or (p, M_padded) panel
+       (alt-grid), trait-sharded like ``L``.
+    trait_lo / trait_hi: the [lo, hi) global trait columns this process owns.
+    L_local: (p, hi - lo) numpy copy of this process's unpadded LOD columns.
+    h2_local: matching local h2 columns.
+    """
+
+    L: jax.Array
+    h2: jax.Array
+    trait_lo: int
+    trait_hi: int
+    L_local: np.ndarray
+    h2_local: np.ndarray
+
+
+def _local_cols(arr: jax.Array, axis: int) -> np.ndarray:
+    """Concatenate this process's addressable shards along ``axis``."""
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[axis].start or 0)
+    blocks, seen = [], set()
+    for s in shards:
+        key = (s.index[axis].start, s.index[axis].stop)
+        if key in seen:  # replicated over another mesh axis
+            continue
+        seen.add(key)
+        blocks.append(np.asarray(s.data))
+    return np.concatenate(blocks, axis=axis)
+
+
+def _replicated(x, mesh: Mesh, dtype) -> jax.Array:
+    """A fully-replicated global array from identical per-process data."""
+    x = np.asarray(x, dtype=dtype)
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(*((None,) * x.ndim))), x, x.shape
+    )
+
+
+def bulkscan_distributed(
+    Y_local,
+    G,
+    K,
+    covar=None,
+    *,
+    m_total: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    method: str = "null-grid",
+    h2_grid=None,
+    add_intercept: bool = True,
+    weights=None,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    solve_method: str = "qr",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    save_dir: Optional[str] = None,
+) -> DistributedScanResult:
+    """Multi-trait scan where each process supplies ONLY its trait block.
+
+    ``Y_local`` must be exactly ``Y_global[:, local_trait_slice(m_total,
+    mesh)]``; genotypes / covariates / kinship are small and replicated
+    (every process passes the same arrays). Numerics are identical to
+    :func:`bulklmm_tpu.bulkscan` — the jitted cores are shared; only data
+    placement differs. Single-process calls work too (m_total defaults to
+    ``Y_local.shape[1]``), exercising the same assembly path.
+
+    With ``save_dir``, this process writes its own LOD columns to
+    ``<save_dir>/lod_shard_<pid>.npz`` (fields: trait_lo, trait_hi, lod,
+    h2) — the pod-scale output path where no host gathers the full matrix.
+    """
+    if mesh is None:
+        mesh = make_global_mesh()
+    if m_total is None:
+        if jax.process_count() > 1:
+            raise ValueError("m_total (global trait count) is required multi-process")
+        m_total = np.shape(Y_local)[1]
+
+    per_shard, M, ld, lo, hi = _shard_geometry(m_total, mesh)
+    Y_local = np.asarray(Y_local, dtype=np.float64)
+    Y_local = Y_local[:, None] if Y_local.ndim == 1 else Y_local
+    if Y_local.shape[1] != hi - lo:
+        raise ValueError(
+            f"process {jax.process_index()} expected {hi - lo} local trait "
+            f"columns (= local_trait_slice({m_total})), got {Y_local.shape[1]}"
+        )
+    n = Y_local.shape[0]
+    G = np.asarray(G, dtype=np.float64)
+
+    if covar is None:
+        covar = np.ones((n, 1))
+        add_intercept = False
+    else:
+        covar = np.asarray(covar, dtype=np.float64)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+
+    if weights is not None:
+        # Weights scale rows (individuals): local trait blocks scale
+        # independently; K -> WKW is identical on every process.
+        w = np.asarray(weights, dtype=np.float64)
+        if add_intercept:
+            covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
+            add_intercept = False
+        Y_local = Y_local * w[:, None]
+        G = G * w[:, None]
+        covar = covar * w[:, None]
+        K = w[:, None] * np.asarray(K, dtype=np.float64) * w[None, :]
+
+    if add_intercept:
+        covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
+
+    dtype = precision.resolve_solve()
+    _, _, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+
+    # Host-side rotation of the LOCAL trait block only (f64, backend-
+    # deterministic like the single-process path); pad to this process's
+    # device block width.
+    y0_local = Ut_h @ Y_local
+    pad = ld * per_shard - y0_local.shape[1]
+    if pad:
+        y0_local = np.concatenate([y0_local, np.zeros((n, pad))], axis=1)
+    C0_h = Ut_h @ covar
+    X0m_h = Ut_h @ G
+
+    y0s = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, TRAITS_AXIS)),
+        y0_local.astype(dtype),
+        (n, M),
+    )
+    C0s = _replicated(C0_h, mesh, dtype)
+    X0ms = _replicated(X0m_h, mesh, dtype)
+    lams = _replicated(lam_h, mesh, dtype)
+
+    prior = (float(prior_variance), float(prior_sample_size))
+    if h2_grid is None:
+        h2_grid = np.arange(0.0, 0.91, 0.1)
+    grid = jnp.asarray(np.asarray(h2_grid), dtype=dtype)
+
+    p = G.shape[1]
+    if method == "null-grid":
+        L, h2 = _bulkscan_null_grid_core(
+            y0s, X0ms, C0s, lams, grid,
+            prior=prior, reml=reml, method=solve_method, precision=precision,
+        )
+        h2_axis = 0
+    elif method == "null-exact":
+        L, h2 = _bulkscan_null_exact_core(
+            y0s, X0ms, C0s, lams,
+            prior=prior, reml=reml, method=solve_method,
+            optim_interval=optim_interval, precision=precision,
+        )
+        h2_axis = 0
+    elif method == "alt-grid":
+        L, h2 = _bulkscan_alt_grid_core(
+            y0s, X0ms, C0s, lams, grid,
+            prior=prior, reml=reml, method=solve_method, precision=precision,
+        )
+        h2_axis = 1
+    else:
+        raise ValueError("method must be one of 'null-grid', 'null-exact', 'alt-grid'")
+
+    keep = hi - lo
+    L_local = _local_cols(L, axis=1)[:p, :keep]
+    h2_local = _local_cols(h2, axis=h2_axis)
+    h2_local = h2_local[:keep] if h2_axis == 0 else h2_local[:p, :keep]
+
+    if save_dir is not None:
+        from pathlib import Path
+
+        out = Path(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            out / f"lod_shard_{jax.process_index():05d}.npz",
+            trait_lo=lo, trait_hi=hi, lod=L_local, h2=h2_local,
+        )
+
+    return DistributedScanResult(
+        L=L, h2=h2, trait_lo=lo, trait_hi=hi, L_local=L_local, h2_local=h2_local
+    )
+
+
+def merge_shards(save_dir) -> np.ndarray:
+    """Assemble the global (p, m) LOD matrix from per-process shard files.
+
+    An offline/driver utility — pod runs themselves never gather.
+    """
+    from pathlib import Path
+
+    shards = sorted(Path(save_dir).glob("lod_shard_*.npz"))
+    if not shards:
+        raise FileNotFoundError(f"no lod_shard_*.npz under {save_dir}")
+    loaded = [np.load(s) for s in shards]
+    m = max(int(d["trait_hi"]) for d in loaded)
+    p = loaded[0]["lod"].shape[0]
+    L = np.zeros((p, m))
+    for d in loaded:
+        L[:, int(d["trait_lo"]):int(d["trait_hi"])] = d["lod"]
+    return L

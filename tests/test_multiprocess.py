@@ -1,0 +1,125 @@
+"""True multi-process execution tests: N separate jax.distributed processes
+(2 CPU devices each) compute a trait-sharded bulkscan where every process
+feeds only its own trait block, and the merged per-process shards must equal
+the single-process engine to 1e-9.
+
+This executes the multi-host path the reference defers to future work
+(reference README.md:66-72) — process handshake, per-host input assembly via
+``jax.make_array_from_process_local_data``, SPMD execution, and independent
+per-process shard output.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "mp_worker.py"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _synth(seed=11, n=40, p=30, m=10):
+    rng = np.random.default_rng(seed)
+    G = rng.uniform(0, 1, (n, p))
+    X = G - 0.5
+    K = 2.0 * X @ X.T / p + 0.5
+    np.fill_diagonal(K, 1.0)
+    Y = rng.normal(size=(n, m))
+    Y[:, 0] += 0.8 * (G[:, 3] - G[:, 3].mean())
+    return Y, G, K
+
+
+def _worker_env(devices_per_proc: int) -> dict:
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # the axon TPU plugin env would steal the backend inside workers
+        if not k.startswith(("AXON_", "PALLAS_"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
+    return env
+
+
+def _run_pod(nproc: int, method: str, tmp_path, m=10, devices_per_proc=2):
+    Y, G, K = _synth(m=m)
+    data = tmp_path / "data.npz"
+    np.savez(data, Y=Y, G=G, K=K)
+    outdir = tmp_path / "shards"
+    coord = f"127.0.0.1:{_free_port()}"
+    env = _worker_env(devices_per_proc)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coord, str(nproc), str(i),
+             str(data), str(outdir), method],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    shard_files = sorted(outdir.glob("lod_shard_*.npz"))
+    assert len(shard_files) == nproc, "each process must write its own shard"
+    return Y, G, K, outdir
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multiprocess_bulkscan_matches_single_process(nproc, tmp_path):
+    Y, G, K, outdir = _run_pod(nproc, "null-grid", tmp_path)
+
+    from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.parallel import merge_shards
+
+    merged = merge_shards(outdir)
+    single = np.asarray(
+        bulkscan(Y, G, K, method="null-grid", h2_grid=np.arange(0.0, 0.91, 0.1)).L
+    )
+    assert merged.shape == single.shape
+    assert float(np.max(np.abs(merged - single))) < 1e-9
+
+
+def test_multiprocess_alt_grid_matches_single_process(tmp_path):
+    Y, G, K, outdir = _run_pod(2, "alt-grid", tmp_path, m=6)
+
+    from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.parallel import merge_shards
+
+    merged = merge_shards(outdir)
+    single = np.asarray(
+        bulkscan(Y, G, K, method="alt-grid", h2_grid=np.arange(0.0, 0.91, 0.1)).L
+    )
+    assert float(np.max(np.abs(merged - single))) < 1e-9
+
+
+def test_local_trait_slice_partitions_exactly():
+    """Single-process geometry: slices tile [0, m) without gap or overlap."""
+    from bulklmm_tpu.parallel import local_trait_slice
+
+    sl = local_trait_slice(17)
+    assert (sl.start, sl.stop) == (0, 17)
