@@ -67,7 +67,11 @@ def main():
     G, K, Y = synth(n, p, m)
     Gd = jax.device_put(jnp.asarray(G))
     Yd = jax.device_put(jnp.asarray(Y))
-    yd = Yd[:, 0]
+    # single-trait input stays HOST numpy (the CSV-user path): the
+    # backend-deterministic null fit runs on the host, so a host trait
+    # vector costs zero device round-trips; a device-resident trait would
+    # add one fetch RTT over the accelerator link
+    yd = Y[:, 0]
     jax.block_until_ready((Gd, Yd))
 
     results = {}

@@ -243,6 +243,27 @@ def _alt_grid_pipeline(
     )
 
 
+@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+@with_highest_matmul
+def _alt_grid_pallas_pipeline(
+    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
+):
+    """Rotation fused with the VMEM-carry alt-grid kernel
+    (pallas/altgrid_fused.py) — the TPU fast path; ~equal accuracy to the
+    XLA formulation at f32 kernel dtype, without the per-grid-step (p, m)
+    HBM carry traffic."""
+    from ..pallas.altgrid_fused import fused_alt_grid
+
+    Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
+
+    def impl(Yc):
+        return fused_alt_grid(Yc, X0m, C0, lam, h2_grid, prior=prior, reml=reml)
+
+    if trait_chunk is None:
+        return impl(Y0)
+    return _chunk_traits(impl, Y0, trait_chunk=trait_chunk)
+
+
 def bulkscan(
     Y,
     G,
@@ -263,6 +284,7 @@ def bulkscan(
     solve_method: str = "qr",
     precision: PrecisionConfig = DEFAULT_PRECISION,
     trait_chunk=None,
+    engine: str = "auto",
 ) -> BulkScanResult:
     """Genome scan for many traits at once.
 
@@ -274,6 +296,13 @@ def bulkscan(
     ``bulklmm_tpu.parallel``). ``solve_method`` ("qr"/"cholesky") applies
     only to coefficient solves (Brent refits); the grid likelihoods use the
     solve-free ``wls_ell`` path, which has no such choice.
+
+    ``engine``: "auto" (default), "xla", or "pallas" — implementation of the
+    alt-grid method. "auto" picks the fused Pallas kernel
+    (pallas/altgrid_fused.py) on TPU backends with an f32 GEMM dtype, where
+    keeping the running-max carry in VMEM beats the XLA ``lax.scan``
+    formulation ~3x; other backends/dtypes use XLA. The null engines are
+    XLA-only (profiling favors XLA there; docs/PERF.md "Pallas status").
     """
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y
@@ -313,6 +342,11 @@ def bulkscan(
     C = covar.astype(dtype)
     Xm = G.astype(dtype)
 
+    if method != "alt-grid" and engine == "pallas":
+        raise ValueError(
+            "engine='pallas' is only available for method='alt-grid' "
+            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
+        )
     if method == "null-grid":
         L, h2_list = _null_grid_pipeline(
             Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
@@ -329,7 +363,16 @@ def bulkscan(
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "alt-grid":
-        L, h2_panel = _alt_grid_pipeline(
+        if engine not in ("auto", "xla", "pallas"):
+            raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+        use_pallas = engine == "pallas" or (
+            engine == "auto"
+            and jax.default_backend() == "tpu"
+            and precision.resolve_gemm() == jnp.float32
+            and h2_grid.shape[0] <= 127
+        )
+        pipeline = _alt_grid_pallas_pipeline if use_pallas else _alt_grid_pipeline
+        L, h2_panel = pipeline(
             Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
             prior=prior, reml=reml, method=solve_method,
             precision=precision, trait_chunk=trait_chunk,

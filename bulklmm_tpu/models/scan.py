@@ -227,9 +227,12 @@ def _apply_weights(y, g, covar, K, weights, add_intercept):
     n = y.shape[0]
     if add_intercept:
         covar = _np.concatenate([_np.ones((n, 1)), covar], axis=1)
-    y = jnp.asarray(y * wv[:, None])
-    g = jnp.asarray(g * wv[:, None])
-    covar = jnp.asarray(covar * wv[:, None])
+    # returned as HOST numpy: the single-trait engines feed y/covar to the
+    # host null fit next (zero device round-trips), and the device cast
+    # happens once, at the final .astype(dtype)
+    y = y * wv[:, None]
+    g = g * wv[:, None]
+    covar = covar * wv[:, None]
     K = wv[:, None] * _np.asarray(K, dtype=_np.float64) * wv[None, :]
     return y, g, covar, K, False  # add_intercept now consumed
 
@@ -277,7 +280,15 @@ def scan(
     Returns a :class:`ScanResult`; when ``profile_ll`` is set, returns a
     ``(ScanResult, (ll_list_null, ll_list_alt))`` tuple like the reference.
     """
-    y = jnp.asarray(y)
+    import numpy as np
+
+    # Single-trait prep (y, covariates, weights — all (n,)-scale) happens on
+    # the HOST in float64: the backend-deterministic null fit below consumes
+    # host arrays, so numpy inputs (the CSV path) reach it with ZERO device
+    # round-trips, and device-resident inputs cost one fetch here instead of
+    # per-use fetches inside the fit. Only the (n, p) marker matrix goes
+    # straight to the device.
+    y = np.asarray(y, dtype=np.float64)
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("scan handles one trait; use bulkscan for multiple traits.")
@@ -287,10 +298,10 @@ def scan(
     if covar is None:
         if not add_intercept:
             raise ValueError("Intercept has to be added when no other covariate is given.")
-        covar = jnp.ones((n, 1), dtype=y.dtype)
+        covar = np.ones((n, 1))
         add_intercept = False
     else:
-        covar = jnp.asarray(covar)
+        covar = np.asarray(covar, dtype=np.float64)
         covar = covar[:, None] if covar.ndim == 1 else covar
 
     if weights is not None:
@@ -306,14 +317,14 @@ def scan(
     prior = (float(prior_variance), float(prior_sample_size))
 
     if add_intercept:
-        covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
+        covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
     dtype = precision.resolve_solve()
     Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
     null_fit = _host_null_fit(
         y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype
     )
-    y = y.astype(dtype)
-    C = covar.astype(dtype)
+    y = jnp.asarray(y, dtype=dtype)
+    C = jnp.asarray(covar, dtype=dtype)
     Xm = g.astype(dtype)
 
     common = dict(

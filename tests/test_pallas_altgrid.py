@@ -1,0 +1,84 @@
+"""Fused alt-grid Pallas kernel (pallas/altgrid_fused.py) vs the XLA
+``lax.scan`` formulation, in interpreter mode on CPU.
+
+The real-hardware equivalence check is benchmarks/tpu_validation.py's
+``bulk_alt_grid`` row, which exercises this kernel (engine="auto" selects it
+on TPU) against the CPU float64 oracle at 2e-5.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bulklmm_tpu.models.bulkscan import _alt_grid_impl, bulkscan
+from bulklmm_tpu.pallas.altgrid_fused import fused_alt_grid
+from bulklmm_tpu.utils.config import BALANCED
+
+
+@pytest.fixture(scope="module")
+def rotated():
+    rng = np.random.default_rng(3)
+    n, p, m, c = 40, 96, 48, 2
+    return dict(
+        Y0=jnp.asarray(rng.normal(size=(n, m))),
+        X0m=jnp.asarray(rng.normal(size=(n, p))),
+        C0=jnp.asarray(np.column_stack([np.ones(n), rng.normal(size=n)])),
+        lam=jnp.asarray(np.sort(rng.uniform(0.05, 3.0, n))),
+    )
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_fused_matches_xla_impl(rotated, reml):
+    h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    prior = (1.0, 0.0)
+    L_ref, h2_ref = _alt_grid_impl(
+        rotated["Y0"], rotated["X0m"], rotated["C0"], rotated["lam"], h2_grid,
+        prior=prior, reml=reml, method="qr", precision=BALANCED,
+    )
+    L_pl, h2_pl = fused_alt_grid(
+        rotated["Y0"], rotated["X0m"], rotated["C0"], rotated["lam"], h2_grid,
+        prior=prior, reml=reml, interpret=True, tile_p=32, tile_m=128,
+    )
+    # f32 kernel vs f64 XLA combine: f32-level agreement
+    assert float(jnp.max(jnp.abs(L_pl - L_ref))) < 5e-5
+    assert float(jnp.mean((h2_pl != h2_ref).astype(jnp.float32))) == 0.0
+
+
+def test_fused_single_grid_point(rotated):
+    """g=1 runs the k==0 and k==g-1 branches in the same kernel invocation."""
+    h2_grid = jnp.asarray([0.3])
+    L_ref, _ = _alt_grid_impl(
+        rotated["Y0"], rotated["X0m"], rotated["C0"], rotated["lam"], h2_grid,
+        prior=(1.0, 0.0), reml=False, method="qr", precision=BALANCED,
+    )
+    L_pl, h2_pl = fused_alt_grid(
+        rotated["Y0"], rotated["X0m"], rotated["C0"], rotated["lam"], h2_grid,
+        prior=(1.0, 0.0), reml=False, interpret=True, tile_p=32, tile_m=128,
+    )
+    assert float(jnp.max(jnp.abs(L_pl - L_ref))) < 5e-5
+    assert float(jnp.max(jnp.abs(h2_pl - 0.3))) < 1e-12
+
+
+def test_engine_kwarg_validation():
+    rng = np.random.default_rng(0)
+    n = 20
+    Y = rng.normal(size=(n, 4))
+    G = rng.uniform(0, 1, (n, 8))
+    K = np.eye(n) * 0.9 + 0.1
+    with pytest.raises(ValueError, match="engine"):
+        bulkscan(Y, G, K, method="alt-grid", engine="banana")
+    with pytest.raises(ValueError, match="alt-grid"):
+        bulkscan(Y, G, K, method="null-grid", engine="pallas")
+    # engine="xla" always valid; "auto" on CPU resolves to XLA
+    a = bulkscan(Y, G, K, method="alt-grid", engine="xla")
+    b = bulkscan(Y, G, K, method="alt-grid", engine="auto")
+    assert float(jnp.max(jnp.abs(a.L - b.L))) == 0.0
+
+
+def test_grid_longer_than_int8_rejected(rotated):
+    with pytest.raises(ValueError, match="127"):
+        fused_alt_grid(
+            rotated["Y0"], rotated["X0m"], rotated["C0"], rotated["lam"],
+            jnp.linspace(0.0, 0.9, 128), prior=(1.0, 0.0), interpret=True,
+        )
