@@ -51,9 +51,13 @@ from .models import (
 )
 from .ops import (
     KinshipDecomposition,
+    LowRankKinship,
     calc_kinship,
     decompose_kinship,
     fit_lmm,
+    kinship_lowrank,
+    kinship_lowrank_exact,
+    kinship_lowrank_from_geno,
     gridbrent,
     lod2log10p,
     lod2p,
@@ -99,6 +103,10 @@ __all__ = [
     "scan",
     "scan_perms_lite",
     "calc_kinship",
+    "LowRankKinship",
+    "kinship_lowrank",
+    "kinship_lowrank_exact",
+    "kinship_lowrank_from_geno",
     "KinshipDecomposition",
     "decompose_kinship",
     "fit_lmm",

@@ -320,13 +320,15 @@ def bulkscan(
         covar = jnp.asarray(covar)
         covar = covar[:, None] if covar.ndim == 1 else covar
 
+    from ..ops.lowrank import LowRankKinship
+
     if weights is not None:
         from ..ops.rotation import KinshipDecomposition
 
-        if isinstance(K, KinshipDecomposition):
+        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
             raise ValueError(
                 "weights rescale the kinship matrix (K -> WKW); pass the raw "
-                "K, not a cached KinshipDecomposition."
+                "K, not a cached decomposition."
             )
         Y, G, covar, K, add_intercept = _apply_weights(Y, G, covar, K, weights, add_intercept)
 
@@ -337,6 +339,27 @@ def bulkscan(
     if add_intercept:
         covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
+
+    if isinstance(K, LowRankKinship):
+        # rank-k engine: no rotation at all — unrotated inputs, Woodbury
+        # weights (ops/lowrank.py). null-grid only.
+        if method != "null-grid":
+            raise ValueError(
+                "LowRankKinship currently supports method='null-grid' only"
+            )
+        from ..ops.lowrank import _bulkscan_lowrank_core
+
+        L, h2_list = _bulkscan_lowrank_core(
+            Y.astype(dtype), G.astype(dtype), covar.astype(dtype),
+            K.U.astype(dtype), K.lam.astype(dtype),
+            jnp.asarray(h2_grid, dtype=dtype),
+            n=n, prior=prior, reml=reml, precision=precision,
+        )
+        result = BulkScanResult(L=L, h2_null_list=h2_list)
+        if output_pvals:
+            result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
+            result.chisq_df = chisq_df
+        return result
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     Y = Y.astype(dtype)
     C = covar.astype(dtype)

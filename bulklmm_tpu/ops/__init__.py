@@ -9,6 +9,12 @@ from .liteqtl import (
     weighted_correlation_shared,
 )
 from .lmm import LMMResult, fit_lmm
+from .lowrank import (
+    LowRankKinship,
+    kinship_lowrank,
+    kinship_lowrank_exact,
+    kinship_lowrank_from_geno,
+)
 from .lod import lod2log10p, lod2log10p_device, lod2p, p2lod, r2lod, rss2lod
 from .rotation import (
     KinshipDecomposition,
