@@ -111,7 +111,15 @@ def _bulkscan(args):
 
     G = _load_geno(args)
     Y = _load_pheno(args)
-    K = np.asarray(calc_kinship(G))
+    if getattr(args, "lowrank_k", 0):
+        # rank-k engine (ops/lowrank.py): no n x n kinship, no host eigh
+        from . import kinship_lowrank_from_geno
+
+        if args.method != "null-grid":
+            raise SystemExit("--lowrank-k requires --method null-grid")
+        K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
+    else:
+        K = np.asarray(calc_kinship(G))
     res = bulkscan(
         Y, G, K,
         method=args.method,
@@ -172,6 +180,11 @@ def main(argv=None):
     b.add_argument("--reml", action="store_true")
     b.add_argument("--trait-chunk", type=int, default=None)
     b.add_argument("--pvals", action="store_true")
+    b.add_argument(
+        "--lowrank-k", type=int, default=0,
+        help="use the rank-k kinship engine (no n x n kinship / host eigh); "
+        "0 = full-rank (default)",
+    )
     b.set_defaults(fn=_bulkscan)
 
     args = ap.parse_args(argv)

@@ -147,14 +147,16 @@ def bulkscan_sharded(
         covar = jnp.asarray(covar)
         covar = covar[:, None] if covar.ndim == 1 else covar
 
+    from ..ops.lowrank import LowRankKinship
+
     if weights is not None:
         from ..models.scan import _apply_weights
         from ..ops.rotation import KinshipDecomposition
 
-        if isinstance(K, KinshipDecomposition):
+        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
             raise ValueError(
                 "weights rescale the kinship matrix (K -> WKW); pass the raw "
-                "K, not a cached KinshipDecomposition."
+                "K, not a cached decomposition."
             )
         Y, G, covar, K, add_intercept = _apply_weights(
             Y, G, covar, K, weights, add_intercept
@@ -162,6 +164,44 @@ def bulkscan_sharded(
 
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
     prior = (float(prior_variance), float(prior_sample_size))
+
+    if isinstance(K, LowRankKinship):
+        # rank-k engine on the mesh: traits/markers sharded, the (n, k)
+        # eigenfactor replicated (the replicate-the-small-thing recipe —
+        # k << n x n); every base Gram and rank-k correction GEMM contracts
+        # over replicated dimensions, so the hot path stays collective-free
+        # exactly like the full-rank kernel.
+        if method != "null-grid":
+            raise ValueError(
+                "LowRankKinship currently supports method='null-grid' only"
+            )
+        from ..ops.lowrank import _bulkscan_lowrank_core
+
+        if add_intercept:
+            covar = jnp.concatenate(
+                [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
+            )
+        dtype = precision.resolve_solve()
+        tshards = mesh.shape[TRAITS_AXIS]
+        mshards = mesh.shape[MARKERS_AXIS]
+        Yp, m = _pad_cols(Y.astype(dtype), tshards)
+        Gp, p = _pad_cols(G.astype(dtype), mshards)
+        Ys = jax.device_put(Yp, NamedSharding(mesh, P(None, TRAITS_AXIS)))
+        Gs = jax.device_put(Gp, NamedSharding(mesh, P(None, MARKERS_AXIS)))
+        Cs = jax.device_put(covar.astype(dtype), NamedSharding(mesh, P(None, None)))
+        Us = jax.device_put(K.U.astype(dtype), NamedSharding(mesh, P(None, None)))
+        lams = jax.device_put(K.lam.astype(dtype), NamedSharding(mesh, P(None)))
+        L, h2_list = _bulkscan_lowrank_core(
+            Ys, Gs, Cs, Us, lams, jnp.asarray(h2_grid, dtype=dtype),
+            n=n, prior=prior, reml=reml, precision=precision,
+        )
+        result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+        if output_pvals:
+            from ..ops.lod import lod2log10p
+
+            result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
+            result.chisq_df = chisq_df
+        return result
 
     rot = transform_rotation(
         Y, jnp.concatenate([covar, G], axis=1), K,

@@ -101,6 +101,20 @@ def test_cli_bulkscan_trait_chunk_and_alt_grid(csv_data):
     assert z["h2_panel"].shape == (40, 6)
 
 
+def test_cli_bulkscan_lowrank(csv_data):
+    """--lowrank-k runs the rank-k engine end to end; a near-full rank must
+    track the full-rank result closely."""
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--precision", "fast32",
+              "--lowrank-k", "20", "-o", "lr.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    full = np.load(csv_data / "lods.npz")  # from test_cli_bulkscan
+    lr = np.load(csv_data / "lr.npz")
+    assert lr["L"].shape == full["L"].shape and np.isfinite(lr["L"]).all()
+    # k=20 of n=30 strains: spectrum mostly covered (f32 engine tolerance)
+    assert np.max(np.abs(lr["L"] - full["L"])) < 0.3
+
+
 def test_cli_kinship_precision_flag(csv_data):
     """kinship --precision exact64 produces an f64 kinship identical (to
     1e-12) to the fast32 one on this well-conditioned input."""

@@ -107,6 +107,32 @@ def test_from_geno_matches_explicit_K():
     assert np.max(np.abs(Pa - Pb)) < 1e-4
 
 
+def test_sharded_lowrank_matches_unsharded():
+    """8-device (traits x markers) mesh, replicated (n, k) factor: the
+    sharded rank-k engine must reproduce the single-device one."""
+    import jax
+
+    from bulklmm_tpu.parallel import bulkscan_sharded, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    Y, G, K = _cohort(seed=31)
+    lr = kinship_lowrank_exact(K, 12, dtype=jnp.float64)
+    mesh = make_mesh(8, marker_shards=2)
+    r_sh = bulkscan_sharded(Y, G, lr, mesh=mesh, method="null-grid",
+                            output_pvals=True)
+    r_ref = bl.bulkscan(Y, G, lr, method="null-grid", prior_variance=1.0,
+                        output_pvals=True)
+    assert r_sh.L.shape == r_ref.L.shape
+    assert float(jnp.max(jnp.abs(r_sh.L - r_ref.L))) < 1e-9
+    assert np.allclose(
+        np.asarray(r_sh.h2_null_list), np.asarray(r_ref.h2_null_list)
+    )
+    assert np.allclose(
+        np.asarray(r_sh.log10Pvals_mat), np.asarray(r_ref.log10Pvals_mat)
+    )
+
+
 def test_lowrank_guards():
     Y, G, K = _cohort()
     lr = kinship_lowrank_exact(K, 10)
