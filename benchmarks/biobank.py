@@ -47,6 +47,11 @@ def main():
              "the next; needed when the full (p, m) result exceeds one "
              "chip's HBM)",
     )
+    ap.add_argument(
+        "--lowrank", type=int, default=0,
+        help="run the rank-k kinship engine (ops/lowrank.py) instead of the "
+             "rotated full-rank path; 0 = full-rank",
+    )
     args = ap.parse_args()
 
     n, p, m = (5000, 100_000, 20_000) if args.full else (2000, 30_000, 8_000)
@@ -60,27 +65,34 @@ def main():
 
     from bulklmm_tpu.ops.rotation import KinshipDecomposition, kinship_eigen
 
-    cache = Path(__file__).parent / f"eigh_cache_n{n}.npz"
-    t0 = time.perf_counter()
-    if cache.is_file():
-        z = np.load(cache)
-        Ut_np, lam_np = z["Ut"], z["lam"]
-        eigh_s = 0.0
-    else:
-        K = np.asarray(bl.calc_kinship(G))
-        Ut_np, lam_np = kinship_eigen(K)
-        np.savez(cache, Ut=Ut_np, lam=lam_np)
-        eigh_s = time.perf_counter() - t0
-    # decompose once, device-resident — repeated scans skip host eigh + the
-    # n x n transfer entirely (the checkpoint/resume story for large cohorts)
-    K = KinshipDecomposition(
-        Ut=jax.device_put(jnp.asarray(Ut_np, dtype=jnp.float32)),
-        lam=jax.device_put(jnp.asarray(lam_np, dtype=jnp.float32)),
-    )
-
     Gd = jax.device_put(jnp.asarray(G))
     Yd = jax.device_put(jnp.asarray(Y))
-    jax.block_until_ready((Gd, Yd, K.Ut, K.lam))
+    jax.block_until_ready((Gd, Yd))
+
+    if args.lowrank:
+        t0 = time.perf_counter()
+        K = bl.kinship_lowrank_from_geno(Gd, args.lowrank)
+        jax.block_until_ready((K.U, K.lam))
+        eigh_s = time.perf_counter() - t0  # device-side; no n x n anywhere
+    else:
+        cache = Path(__file__).parent / f"eigh_cache_n{n}.npz"
+        t0 = time.perf_counter()
+        if cache.is_file():
+            z = np.load(cache)
+            Ut_np, lam_np = z["Ut"], z["lam"]
+            eigh_s = 0.0
+        else:
+            Kfull = np.asarray(bl.calc_kinship(G))
+            Ut_np, lam_np = kinship_eigen(Kfull)
+            np.savez(cache, Ut=Ut_np, lam=lam_np)
+            eigh_s = time.perf_counter() - t0
+        # decompose once, device-resident — repeated scans skip host eigh +
+        # the n x n transfer (the checkpoint/resume story for large cohorts)
+        K = KinshipDecomposition(
+            Ut=jax.device_put(jnp.asarray(Ut_np, dtype=jnp.float32)),
+            lam=jax.device_put(jnp.asarray(lam_np, dtype=jnp.float32)),
+        )
+        jax.block_until_ready((K.Ut, K.lam))
 
     if args.sharded and len(jax.devices()) > 1:
         from bulklmm_tpu.parallel import bulkscan_sharded, make_mesh
@@ -114,7 +126,12 @@ def main():
                 "value": round(dt, 3),
                 "unit": "s",
                 "vs_baseline": round(lod_per_s / 1.23e8, 1),  # reference LODs/sec
-                "note": f"{lod_per_s:.2e} LOD evals/s; kinship+eigh setup {eigh_s:.1f}s (cached)",
+                "note": f"{lod_per_s:.2e} LOD evals/s; "
+                + (
+                    f"lowrank k={args.lowrank} device constructor {eigh_s:.1f}s"
+                    if args.lowrank
+                    else f"kinship+eigh setup {eigh_s:.1f}s (cached)"
+                ),
             }
         )
     )

@@ -354,6 +354,7 @@ def bulkscan(
             K.U.astype(dtype), K.lam.astype(dtype),
             jnp.asarray(h2_grid, dtype=dtype),
             n=n, prior=prior, reml=reml, precision=precision,
+            trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
         if output_pvals:

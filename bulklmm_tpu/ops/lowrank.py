@@ -276,22 +276,37 @@ def grid_null_ell_lowrank(parts, lam, h2_grid, prior, *, n, reml=False):
     return jax.vmap(ell_one)(h2_grid)
 
 
-def _base_parts(Y, Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
-    """h2-independent Grams and k-dim projections (each computed once)."""
+def _marker_parts(Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """Trait-independent Grams and k-dim projections (computed once per
+    scan, shared by every trait chunk)."""
     gd, sd, pgp = gemm_dtype, kernel_dtype, gemm_precision
-    X, Yg, Cg, U = (Xm.astype(gd), Y.astype(gd), C.astype(gd), lr.U.astype(gd))
-    parts = dict(
-        XtY=jnp.matmul(X.T, Yg, precision=pgp).astype(sd),   # (p, m)
+    X, Cg, U = Xm.astype(gd), C.astype(gd), lr.U.astype(gd)
+    return dict(
         XtC=jnp.matmul(X.T, Cg, precision=pgp).astype(sd),   # (p, c)
         dXX=jnp.sum((X * X).astype(sd), axis=0),             # (p,)
         P=jnp.matmul(U.T, X, precision=pgp).astype(sd),      # (k, p)
-        Q=jnp.matmul(U.T, Yg, precision=pgp).astype(sd),     # (k, m)
         R=jnp.matmul(U.T, Cg, precision=pgp).astype(sd),     # (k, c)
         CtC=jnp.matmul(Cg.T, Cg, precision=pgp).astype(sd),  # (c, c)
+    )
+
+
+def _trait_parts(Y, Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """Per-trait(-chunk) Grams and k-dim projections."""
+    gd, sd, pgp = gemm_dtype, kernel_dtype, gemm_precision
+    X, Yg, Cg, U = (Xm.astype(gd), Y.astype(gd), C.astype(gd), lr.U.astype(gd))
+    return dict(
+        XtY=jnp.matmul(X.T, Yg, precision=pgp).astype(sd),   # (p, m)
+        Q=jnp.matmul(U.T, Yg, precision=pgp).astype(sd),     # (k, m)
         CtY=jnp.matmul(Cg.T, Yg, precision=pgp).astype(sd),  # (c, m)
         yty=jnp.sum((Yg * Yg).astype(sd), axis=0),           # (m,)
     )
-    return parts
+
+
+def _base_parts(Y, Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """h2-independent Grams and k-dim projections (each computed once)."""
+    kw = dict(gemm_dtype=gemm_dtype, kernel_dtype=kernel_dtype,
+              gemm_precision=gemm_precision)
+    return {**_marker_parts(Xm, C, lr, **kw), **_trait_parts(Y, Xm, C, lr, **kw)}
 
 
 def lods_per_trait_lowrank(
@@ -345,22 +360,35 @@ def lods_per_trait_lowrank(
 _STATIC_LR = ("prior", "reml", "precision")
 
 
-@partial(jax.jit, static_argnames=_STATIC_LR + ("n",))
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "trait_chunk"))
 @with_highest_matmul
-def _bulkscan_lowrank_core(Y, Xm, C, U, lam, h2_grid, *, n, prior, reml, precision):
+def _bulkscan_lowrank_core(
+    Y, Xm, C, U, lam, h2_grid, *, n, prior, reml, precision, trait_chunk=None
+):
     lr = LowRankKinship(U=U, lam=lam)
     kdt = precision.resolve_kernel()
-    parts = _base_parts(
-        Y, Xm, C, lr,
+    kw = dict(
         gemm_dtype=precision.resolve_gemm(), kernel_dtype=kdt,
         gemm_precision=precision.gemm_precision,
     )
-    ells = grid_null_ell_lowrank(
-        parts, lam.astype(kdt), h2_grid.astype(kdt), prior, n=n, reml=reml
-    )
-    idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
-    h2_list = h2_grid[idx]
-    L = lods_per_trait_lowrank(
-        parts, lam.astype(kdt), h2_list.astype(kdt), n, precision=precision
-    )
-    return L, h2_list
+    # marker-side parts once — shared across trait chunks
+    mparts = _marker_parts(Xm, C, lr, **kw)
+    lam_k = lam.astype(kdt)
+
+    def impl(Yc):
+        parts = {**mparts, **_trait_parts(Yc, Xm, C, lr, **kw)}
+        ells = grid_null_ell_lowrank(
+            parts, lam_k, h2_grid.astype(kdt), prior, n=n, reml=reml
+        )
+        idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
+        h2_list = h2_grid[idx]
+        L = lods_per_trait_lowrank(
+            parts, lam_k, h2_list.astype(kdt), n, precision=precision
+        )
+        return L, h2_list
+
+    if trait_chunk is None:
+        return impl(Y)
+    from ..models.bulkscan import _chunk_traits
+
+    return _chunk_traits(impl, Y, trait_chunk=trait_chunk)

@@ -107,6 +107,15 @@ def test_from_geno_matches_explicit_K():
     assert np.max(np.abs(Pa - Pb)) < 1e-4
 
 
+def test_lowrank_trait_chunk_matches_unchunked():
+    Y, G, K = _cohort(seed=17)
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    a = bl.bulkscan(Y, G, lr, method="null-grid")
+    b = bl.bulkscan(Y, G, lr, method="null-grid", trait_chunk=7)
+    assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-12
+    assert np.allclose(np.asarray(a.h2_null_list), np.asarray(b.h2_null_list))
+
+
 def test_sharded_lowrank_matches_unsharded():
     """8-device (traits x markers) mesh, replicated (n, k) factor: the
     sharded rank-k engine must reproduce the single-device one."""
