@@ -342,10 +342,11 @@ def bulkscan(
 
     if isinstance(K, LowRankKinship):
         # rank-k engine: no rotation at all — unrotated inputs, Woodbury
-        # weights (ops/lowrank.py). null-grid only.
-        if method != "null-grid":
+        # weights (ops/lowrank.py). All three methods are supported; the
+        # h2 fits and LOD kernels run on the shared k-dim projections.
+        if method not in ("null-grid", "null-exact", "alt-grid"):
             raise ValueError(
-                "LowRankKinship currently supports method='null-grid' only"
+                "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
             )
         from ..ops.lowrank import _bulkscan_lowrank_core
 
@@ -354,9 +355,13 @@ def bulkscan(
             K.U.astype(dtype), K.lam.astype(dtype),
             jnp.asarray(h2_grid, dtype=dtype),
             n=n, prior=prior, reml=reml, precision=precision,
-            trait_chunk=trait_chunk,
+            trait_chunk=trait_chunk, method=method,
+            optim_interval=optim_interval,
         )
-        result = BulkScanResult(L=L, h2_null_list=h2_list)
+        if method == "alt-grid":
+            result = BulkScanResult(L=L, h2_panel=h2_list)
+        else:
+            result = BulkScanResult(L=L, h2_null_list=h2_list)
         if output_pvals:
             result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
             result.chisq_df = chisq_df

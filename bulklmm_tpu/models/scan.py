@@ -237,6 +237,101 @@ def _apply_weights(y, g, covar, K, weights, add_intercept):
     return y, g, covar, K, False  # add_intercept now consumed
 
 
+def _scan_lowrank(
+    y, g, covar, K, *, prior, reml, assumption, method, optim_interval,
+    permutation_test, nperms, rndseed, profile_ll, marker_id, h2_grid,
+    output_pvals, chisq_df, precision, compat_sqrt_weights,
+):
+    """Single-trait scan on a :class:`~bulklmm_tpu.ops.lowrank.LowRankKinship`.
+
+    Mirrors the full-rank engines with rank-k Woodbury corrections in place
+    of rotation (ops/lowrank.py): the null h2 comes from the same
+    backend-deterministic host float64 Brent (ops/hostfit.py) run on the
+    trait's k-dim projections, the null LODs from the rank-k correlation
+    kernel, the alt path from per-marker Brent on the (c+1)-dim augmented
+    Gram, and permutations from explicit ``Sigma^{-1/2}`` whitening.
+    """
+    import numpy as np
+
+    from ..ops import lowrank as lrmod
+    from ..ops.hostfit import fit_lmm_host_lowrank
+
+    if compat_sqrt_weights:
+        raise ValueError(
+            "compat_sqrt_weights reproduces a quirk of the rotated full-rank "
+            "path (COMPAT.md #1); it does not apply to LowRankKinship."
+        )
+    dtype = precision.resolve_solve()
+    yd = jnp.asarray(y, dtype=dtype)
+    C = jnp.asarray(covar, dtype=dtype)
+    Xm = jnp.asarray(g).astype(dtype)
+    U = K.U.astype(dtype)
+    lam = K.lam.astype(dtype)
+    n = yd.shape[0]
+
+    proj = lrmod._trait_projections_lowrank(yd, C, U, lam, precision=precision)
+    nf = fit_lmm_host_lowrank(
+        {k2: np.asarray(v) for k2, v in proj.items()},
+        np.asarray(lam, dtype=np.float64), n, prior,
+        reml=reml, optim_interval=optim_interval,
+    )
+    h2 = jnp.asarray(nf.h2, dtype=dtype)
+    sigma2_e = jnp.asarray(nf.sigma2, dtype=dtype)
+
+    if assumption == "null":
+        if permutation_test:
+            L = lrmod._scan_perms_lowrank_core(
+                yd, Xm, C, U, lam, jnp.asarray(nf.b, dtype=dtype), h2,
+                nperms=nperms, rndseed=rndseed, method=method,
+                precision=precision, n=n,
+            )
+            result = ScanResult(
+                sigma2_e=sigma2_e, h2_null=h2, lod=L[:, 0], L_perms=L[:, 1:]
+            )
+            if output_pvals:
+                result.log10pvals = lod2log10p(result.lod, chisq_df)
+                result.log10Pvals_perms = lod2log10p(result.L_perms, chisq_df)
+        else:
+            lod = lrmod._scan_null_lowrank_core(
+                yd, Xm, C, U, lam, h2,
+                n=n, prior=prior, reml=reml, precision=precision,
+            )
+            result = ScanResult(sigma2_e=sigma2_e, h2_null=h2, lod=lod)
+            if output_pvals:
+                result.log10pvals = lod2log10p(result.lod, chisq_df)
+    elif assumption == "alt":
+        if permutation_test:
+            raise ValueError(
+                "Permutation test option currently is not supported for the alternative assumption."
+            )
+        ells, h2_each = lrmod._scan_alt_lowrank_core(
+            yd, Xm, C, U, lam,
+            n=n, prior=prior, reml=reml,
+            optim_interval=optim_interval, precision=precision,
+        )
+        lod = (ells - jnp.asarray(nf.ell, dtype=ells.dtype)) / _LN10
+        result = ScanResult(
+            sigma2_e=sigma2_e, h2_null=h2, h2_each_marker=h2_each, lod=lod
+        )
+        if output_pvals:
+            result.log10pvals = lod2log10p(result.lod, chisq_df)
+    else:
+        raise ValueError("Assumption keyword is not supported. Please enter null or alt.")
+
+    if profile_ll:
+        if h2_grid is None:
+            h2_grid = jnp.arange(0.0, 1.0, 0.05)
+        # marker_id is 1-based like the reference (analysis/profile_ll.py)
+        prof = lrmod._profile_ll_lowrank_core(
+            yd, Xm, C, U, lam, jnp.asarray(h2_grid, dtype=dtype),
+            jnp.asarray(marker_id - 1),
+            n=n, prior=prior, reml=reml, precision=precision,
+        )
+        result.ll_list_null, result.ll_list_alt = prof
+        return result, prof
+    return result
+
+
 def scan(
     y,
     g,
@@ -304,13 +399,15 @@ def scan(
         covar = np.asarray(covar, dtype=np.float64)
         covar = covar[:, None] if covar.ndim == 1 else covar
 
+    from ..ops.lowrank import LowRankKinship
+
     if weights is not None:
         from ..ops.rotation import KinshipDecomposition
 
-        if isinstance(K, KinshipDecomposition):
+        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
             raise ValueError(
                 "weights rescale the kinship matrix (K -> WKW); pass the raw "
-                "K, not a cached KinshipDecomposition."
+                "K, not a cached decomposition."
             )
         y, g, covar, K, add_intercept = _apply_weights(y, g, covar, K, weights, add_intercept)
 
@@ -318,6 +415,18 @@ def scan(
 
     if add_intercept:
         covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
+
+    if isinstance(K, LowRankKinship):
+        # rank-k engine: unrotated data + Woodbury corrections (ops/lowrank.py)
+        return _scan_lowrank(
+            y, g, covar, K,
+            prior=prior, reml=reml, assumption=assumption, method=method,
+            optim_interval=optim_interval, permutation_test=permutation_test,
+            nperms=nperms, rndseed=rndseed, profile_ll=profile_ll,
+            marker_id=marker_id, h2_grid=h2_grid, output_pvals=output_pvals,
+            chisq_df=chisq_df, precision=precision,
+            compat_sqrt_weights=compat_sqrt_weights,
+        )
     dtype = precision.resolve_solve()
     Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
     null_fit = _host_null_fit(
@@ -422,6 +531,18 @@ def scan_perms_lite(
         covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     dtype = precision.resolve_solve()
     prior = (float(prior_variance), float(prior_sample_size))
+
+    from ..ops.lowrank import LowRankKinship
+
+    if isinstance(K, LowRankKinship):
+        return _scan_lowrank(
+            y, g, covar, K,
+            prior=prior, reml=reml, assumption="null", method=method,
+            optim_interval=optim_interval, permutation_test=True,
+            nperms=nperms, rndseed=rndseed, profile_ll=False, marker_id=0,
+            h2_grid=None, output_pvals=output_pvals, chisq_df=chisq_df,
+            precision=precision, compat_sqrt_weights=False,
+        )
     Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
     null_fit = _host_null_fit(
         y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype

@@ -249,31 +249,73 @@ def _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml):
     return ell, sigma2
 
 
-def grid_null_ell_lowrank(parts, lam, h2_grid, prior, *, n, reml=False):
-    """(g, m) null log-likelihoods over the h2 grid from precomputed base
-    Grams + k-dim projections (see :func:`_base_parts`)."""
+def null_ell_lowrank(parts, lam, h2, prior, *, n, reml=False):
+    """(m,) null log-likelihoods of every trait at ONE h2, from precomputed
+    base Grams + k-dim projections (see :func:`_base_parts`)."""
     CtC, CtY, yty, R, Q = (
         parts["CtC"], parts["CtY"], parts["yty"], parts["R"], parts["Q"]
     )
     c = CtC.shape[0]
+    dm1 = _correction_weights(h2, lam)  # (k,)
+    Qd = dm1[:, None] * Q  # (k, m)
+    yWy = yty + jnp.sum(Q * Qd, axis=0)
+    t = CtY + jnp.matmul(R.T, Qd)  # (c, m)
+    G = {}
+    for a in range(c):
+        for b in range(a, c):
+            G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+    Lc = unrolled_cholesky(G, c)
+    zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
+    rss0 = residual_sq(yWy, zeta)
+    logw_sum = jnp.sum(jnp.log1p(dm1))
+    ell, _ = _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
+    return ell
 
-    def ell_one(h2):
-        dm1 = _correction_weights(h2, lam)  # (k,)
-        Qd = dm1[:, None] * Q  # (k, m)
-        yWy = yty + jnp.sum(Q * Qd, axis=0)
-        t = CtY + jnp.matmul(R.T, Qd)  # (c, m)
-        G = {}
-        for a in range(c):
-            for b in range(a, c):
-                G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
-        Lc = unrolled_cholesky(G, c)
-        zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
-        rss0 = residual_sq(yWy, zeta)
-        logw_sum = jnp.sum(jnp.log1p(dm1))
-        ell, _ = _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
-        return ell
 
-    return jax.vmap(ell_one)(h2_grid)
+def grid_null_ell_lowrank(parts, lam, h2_grid, prior, *, n, reml=False):
+    """(g, m) null log-likelihoods over the h2 grid (one vmapped batch)."""
+    return jax.vmap(
+        lambda h2: null_ell_lowrank(parts, lam, h2, prior, n=n, reml=reml)
+    )(h2_grid)
+
+
+def fit_h2_lowrank(parts, lam, prior, *, n, reml=False, optim_interval=1):
+    """(m,) per-trait exact-Brent null h2 on the rank-k likelihood.
+
+    The full-rank null-exact engine vmaps Brent over traits on the ROTATED
+    data (models/bulkscan.py::_null_exact_impl); here each likelihood
+    evaluation is O(k + c^2) scalar work from the shared projections, so
+    every Brent iteration advances all m trait optimizations in one device
+    step with no (n,)-scale traffic at all.
+    """
+    from .brent import gridbrent
+
+    CtC, R = parts["CtC"], parts["R"]
+    c = CtC.shape[0]
+
+    def fit_one(CtY_j, Q_j, yty_j):
+        def neg_ell(h2):
+            dm1 = _correction_weights(h2, lam)  # (k,)
+            Qd = dm1 * Q_j
+            yWy = yty_j + jnp.sum(Q_j * Qd)
+            t = CtY_j + jnp.matmul(R.T, Qd)  # (c,)
+            G = {}
+            for a in range(c):
+                for b in range(a, c):
+                    G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+            Lc = unrolled_cholesky(G, c)
+            zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
+            rss0 = residual_sq(yWy, zeta)
+            logw_sum = jnp.sum(jnp.log1p(dm1))
+            ell, _ = _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
+            return -ell
+
+        _, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval)
+        return h2
+
+    return jax.vmap(fit_one, in_axes=(1, 1, 0))(
+        parts["CtY"], parts["Q"], parts["yty"]
+    )
 
 
 def _marker_parts(Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
@@ -357,13 +399,150 @@ def lods_per_trait_lowrank(
     return r2lod(r, n, fast_log=_fast_log(precision))
 
 
+def _alt_grid_lowrank(parts, lam, h2_grid, prior, *, n, precision, reml=False):
+    """Grid-approximated Exact-LMM on the rank-k kinship: running elementwise
+    max of the per-(marker, trait) alt log-likelihood over the h2 grid.
+
+    Same scan structure as the full-rank XLA engine
+    (models/bulkscan.py::_alt_grid_impl, reference src/bulkscan.jl:428-527)
+    with the rank-k correlation kernel in place of the rotated one: at each
+    grid step the shared-h2 LOD comes from :func:`lods_per_trait_lowrank`
+    (logL1 = lod*ln10 + ell0), the null ell from :func:`null_ell_lowrank`.
+    """
+    p = parts["P"].shape[1]
+    m = parts["Q"].shape[1]
+    dt = parts["Q"].dtype
+    g = h2_grid.shape[0]
+    idx_dt = jnp.int8 if g <= 127 else jnp.int32
+
+    def step(carry, inputs):
+        k, h2 = inputs
+        logL1_max, kmax, logL0_max = carry
+        h2v = jnp.full((m,), h2, dtype=dt)
+        lod_k = lods_per_trait_lowrank(parts, lam, h2v, n, precision=precision)
+        ell0 = null_ell_lowrank(parts, lam, h2, prior, n=n, reml=reml)
+        logL1 = lod_k * _LN10 + ell0[None, :]
+        upd = logL1 > logL1_max
+        return (
+            jnp.where(upd, logL1, logL1_max),
+            jnp.where(upd, k, kmax),
+            jnp.maximum(logL0_max, ell0),
+        ), None
+
+    init = (
+        jnp.full((p, m), -jnp.inf, dtype=dt),
+        jnp.zeros((p, m), dtype=idx_dt),
+        jnp.full((m,), -jnp.inf, dtype=dt),
+    )
+    ks = jnp.arange(g, dtype=idx_dt)
+    (logL1_max, kmax, logL0_max), _ = jax.lax.scan(step, init, (ks, h2_grid))
+    L = (logL1_max - logL0_max[None, :]) / _LN10
+    return L, h2_grid[kmax]
+
+
+def scan_alt_h2_ells_lowrank(parts, lam, prior, *, n, reml=False,
+                             optim_interval=1):
+    """Per-marker exact-Brent alt fit on the rank-k likelihood (one trait).
+
+    The full-rank alt engine vmaps Brent over markers on rotated data
+    (models/scan.py::_scan_alt_impl, reference src/scan.jl:428-443); here the
+    marker column joins the design through the shared projections — each
+    likelihood evaluation builds the (c+1)-dim Gram from base + rank-k
+    corrections in O(k c) scalar work, no (n,)-scale traffic per iteration.
+    Returns ``(ells, h2s)``, each (p,).
+    """
+    from .brent import gridbrent
+
+    CtC, R, Q = parts["CtC"], parts["R"], parts["Q"]
+    CtY, yty = parts["CtY"], parts["yty"]
+    c = CtC.shape[0]
+    Q1, CtY1, yty1 = Q[:, 0], CtY[:, 0], yty[0]
+
+    def fit_marker(XtC_j, P_j, dXX_j, XtY_j):
+        def neg_ell(h2):
+            dm1 = _correction_weights(h2, lam)  # (k,)
+            Qd = dm1 * Q1
+            yWy = yty1 + jnp.sum(Q1 * Qd)
+            G = {}
+            for a in range(c):
+                for b in range(a, c):
+                    G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+            for a in range(c):
+                G[(a, c)] = XtC_j[a] + jnp.sum(P_j * dm1 * R[:, a])
+            G[(c, c)] = dXX_j + jnp.sum(P_j * P_j * dm1)
+            t = [CtY1[a] + jnp.sum(R[:, a] * Qd) for a in range(c)]
+            t.append(XtY_j + jnp.sum(P_j * Qd))
+            Lc = unrolled_cholesky(G, c + 1)
+            zeta = fwd_subst(Lc, t, c + 1)
+            rss = residual_sq(yWy, zeta)
+            logw_sum = jnp.sum(jnp.log1p(dm1))
+            ell, _ = _ell_from_parts(rss, logw_sum, Lc, n, c + 1, prior, reml)
+            return -ell
+
+        fmin, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval)
+        return -fmin, h2
+
+    return jax.vmap(fit_marker, in_axes=(0, 1, 0, 0))(
+        parts["XtC"], parts["P"], parts["dXX"], parts["XtY"][:, 0]
+    )
+
+
+def whiten_lowrank(A, U, lam, h2, *, gemm_precision=jax.lax.Precision.HIGHEST):
+    """Apply ``Sigma^{-1/2}`` for ``Sigma = delta K_k + I`` (up to the global
+    ``1/sqrt(1-h2)`` scale, which cancels in correlations).
+
+    With the rank-k spectral form, ``Sigma^{-1/2} = I + U diag(sqrt(w)-1) U'``
+    where ``w_i = 1/(delta lam_i + 1)`` — two (n, k) GEMMs per operand. This
+    is the unrotated equivalent of the full-rank path's sqrt-weight scaling
+    after rotation (models/scan.py::_scan_perms_impl).
+    """
+    s = jnp.sqrt(1.0 + _correction_weights(h2, lam)) - 1.0  # (k,)
+    UtA = jnp.matmul(U.T, A, precision=gemm_precision)
+    return A + jnp.matmul(U, s[:, None] * UtA, precision=gemm_precision)
+
+
+def scan_perms_lowrank_kernel(
+    y, Xm, C, U, lam, b, h2, *, nperms, rndseed, method, precision, n
+):
+    """Permutation LOD matrix (p, 1 + nperms) on the rank-k kinship.
+
+    Whitens the null residual, covariates, and markers explicitly with the
+    rank-k ``Sigma^{-1/2}`` (entries of the whitened residual are
+    exchangeable under the null — the unrotated analog of permuting the
+    rotated-and-reweighted residual, reference src/transform_helpers.jl:57-102),
+    then runs the same residualize-normalize-correlate kernel as the
+    full-rank permutation engine.
+    """
+    from .liteqtl import _fast_log
+    from .rotation import transform_permute
+    from .wls import resid
+
+    r0 = y - jnp.matmul(C, b)  # (n, 1)
+    pgp = precision.gemm_precision
+    w_r0 = whiten_lowrank(r0, U, lam, h2, gemm_precision=pgp)
+    Cw = whiten_lowrank(C, U, lam, h2, gemm_precision=pgp)
+    Xw = whiten_lowrank(Xm, U, lam, h2, gemm_precision=pgp)
+    X00 = resid(Xw, Cw, method=method)
+
+    r0perm = transform_permute(w_r0, nperms=nperms, rndseed=rndseed, original=True)
+    norm_y = jnp.sqrt(jnp.sum(r0perm * r0perm, axis=0))
+    norm_x = jnp.sqrt(jnp.sum(X00 * X00, axis=0))
+    r0n = r0perm / norm_y
+    X00n = X00 / norm_x
+    gdt = precision.resolve_gemm()
+    L = jnp.matmul(X00n.T.astype(gdt), r0n.astype(gdt), precision=pgp)
+    return r2lod(L, n, fast_log=_fast_log(precision))
+
+
 _STATIC_LR = ("prior", "reml", "precision")
 
 
-@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "trait_chunk"))
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "trait_chunk", "method",
+                                                "optim_interval"))
 @with_highest_matmul
 def _bulkscan_lowrank_core(
-    Y, Xm, C, U, lam, h2_grid, *, n, prior, reml, precision, trait_chunk=None
+    Y, Xm, C, U, lam, h2_grid, *, n, prior, reml, precision, trait_chunk=None,
+    method="null-grid", optim_interval=1,
 ):
     lr = LowRankKinship(U=U, lam=lam)
     kdt = precision.resolve_kernel()
@@ -377,11 +556,22 @@ def _bulkscan_lowrank_core(
 
     def impl(Yc):
         parts = {**mparts, **_trait_parts(Yc, Xm, C, lr, **kw)}
-        ells = grid_null_ell_lowrank(
-            parts, lam_k, h2_grid.astype(kdt), prior, n=n, reml=reml
-        )
-        idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
-        h2_list = h2_grid[idx]
+        if method == "alt-grid":
+            return _alt_grid_lowrank(
+                parts, lam_k, h2_grid.astype(kdt), prior,
+                n=n, precision=precision, reml=reml,
+            )
+        if method == "null-exact":
+            h2_list = fit_h2_lowrank(
+                parts, lam_k, prior,
+                n=n, reml=reml, optim_interval=optim_interval,
+            )
+        else:  # null-grid
+            ells = grid_null_ell_lowrank(
+                parts, lam_k, h2_grid.astype(kdt), prior, n=n, reml=reml
+            )
+            idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
+            h2_list = h2_grid[idx]
         L = lods_per_trait_lowrank(
             parts, lam_k, h2_list.astype(kdt), n, precision=precision
         )
@@ -392,3 +582,119 @@ def _bulkscan_lowrank_core(
     from ..models.bulkscan import _chunk_traits
 
     return _chunk_traits(impl, Y, trait_chunk=trait_chunk)
+
+
+# ---------------------------------------------------------------------------
+# single-trait cores (models/scan.py dispatches here for LowRankKinship)
+# ---------------------------------------------------------------------------
+
+
+def _parts_kwargs(precision):
+    return dict(
+        gemm_dtype=precision.resolve_gemm(),
+        kernel_dtype=precision.resolve_kernel(),
+        gemm_precision=precision.gemm_precision,
+    )
+
+
+@partial(jax.jit, static_argnames=("precision",))
+@with_highest_matmul
+def _trait_projections_lowrank(y, C, U, lam, *, precision):
+    """(k,)/(c,)-scale projections of one trait for the host null fit."""
+    kw = _parts_kwargs(precision)
+    gd, sd, pgp = kw["gemm_dtype"], kw["kernel_dtype"], kw["gemm_precision"]
+    Yg, Cg, Ug = y.astype(gd), C.astype(gd), U.astype(gd)
+    return dict(
+        CtC=jnp.matmul(Cg.T, Cg, precision=pgp).astype(sd),
+        CtY=jnp.matmul(Cg.T, Yg, precision=pgp)[:, 0].astype(sd),
+        yty=jnp.sum((Yg * Yg).astype(sd)),
+        R=jnp.matmul(Ug.T, Cg, precision=pgp).astype(sd),
+        Q=jnp.matmul(Ug.T, Yg, precision=pgp)[:, 0].astype(sd),
+    )
+
+
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n",))
+@with_highest_matmul
+def _scan_null_lowrank_core(y, Xm, C, U, lam, h2, *, n, prior, reml, precision):
+    lr = LowRankKinship(U=U, lam=lam)
+    kdt = precision.resolve_kernel()
+    parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
+    L = lods_per_trait_lowrank(
+        parts, lam.astype(kdt), h2[None].astype(kdt), n, precision=precision
+    )
+    return L[:, 0]
+
+
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "optim_interval"))
+@with_highest_matmul
+def _scan_alt_lowrank_core(
+    y, Xm, C, U, lam, *, n, prior, reml, optim_interval, precision
+):
+    lr = LowRankKinship(U=U, lam=lam)
+    kdt = precision.resolve_kernel()
+    parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
+    return scan_alt_h2_ells_lowrank(
+        parts, lam.astype(kdt), prior,
+        n=n, reml=reml, optim_interval=optim_interval,
+    )
+
+
+_STATIC_LR_PERMS = ("nperms", "rndseed", "method", "precision", "n")
+
+
+@partial(jax.jit, static_argnames=_STATIC_LR_PERMS)
+@with_highest_matmul
+def _scan_perms_lowrank_core(
+    y, Xm, C, U, lam, b, h2, *, nperms, rndseed, method, precision, n
+):
+    return scan_perms_lowrank_kernel(
+        y, Xm, C, U, lam, b, h2,
+        nperms=nperms, rndseed=rndseed, method=method,
+        precision=precision, n=n,
+    )
+
+
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n",))
+@with_highest_matmul
+def _profile_ll_lowrank_core(
+    y, Xm, C, U, lam, h2_grid, marker_id, *, n, prior, reml, precision
+):
+    """(ll_list_null, ll_list_alt) over the h2 grid for one marker —
+    the rank-k counterpart of analysis/profile_ll.py."""
+    lr = LowRankKinship(U=U, lam=lam)
+    kdt = precision.resolve_kernel()
+    parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
+    lam_k = lam.astype(kdt)
+    c = parts["CtC"].shape[0]
+    CtC, R = parts["CtC"], parts["R"]
+    Q1, CtY1, yty1 = parts["Q"][:, 0], parts["CtY"][:, 0], parts["yty"][0]
+    XtC_j = parts["XtC"][marker_id]
+    P_j = parts["P"][:, marker_id]
+    dXX_j = parts["dXX"][marker_id]
+    XtY_j = parts["XtY"][marker_id, 0]
+
+    def ell_alt(h2):
+        dm1 = _correction_weights(h2, lam_k)
+        Qd = dm1 * Q1
+        yWy = yty1 + jnp.sum(Q1 * Qd)
+        G = {}
+        for a in range(c):
+            for b in range(a, c):
+                G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+        for a in range(c):
+            G[(a, c)] = XtC_j[a] + jnp.sum(P_j * dm1 * R[:, a])
+        G[(c, c)] = dXX_j + jnp.sum(P_j * P_j * dm1)
+        t = [CtY1[a] + jnp.sum(R[:, a] * Qd) for a in range(c)]
+        t.append(XtY_j + jnp.sum(P_j * Qd))
+        Lc = unrolled_cholesky(G, c + 1)
+        zeta = fwd_subst(Lc, t, c + 1)
+        rss = residual_sq(yWy, zeta)
+        ell, _ = _ell_from_parts(
+            rss, jnp.sum(jnp.log1p(dm1)), Lc, n, c + 1, prior, reml
+        )
+        return ell
+
+    hk = h2_grid.astype(kdt)
+    ll_null = grid_null_ell_lowrank(parts, lam_k, hk, prior, n=n, reml=reml)[:, 0]
+    ll_alt = jax.vmap(ell_alt)(hk)
+    return ll_null, ll_alt

@@ -145,7 +145,129 @@ def test_sharded_lowrank_matches_unsharded():
 def test_lowrank_guards():
     Y, G, K = _cohort()
     lr = kinship_lowrank_exact(K, 10)
-    with pytest.raises(ValueError, match="null-grid"):
-        bl.bulkscan(Y, G, lr, method="alt-grid")
+    with pytest.raises(ValueError, match="method"):
+        bl.bulkscan(Y, G, lr, method="banana")
     with pytest.raises(ValueError, match="weights"):
         bl.bulkscan(Y, G, lr, weights=np.ones(K.shape[0]))
+    with pytest.raises(ValueError, match="weights"):
+        bl.scan(Y[:, 0], G, lr, weights=np.ones(K.shape[0]))
+    with pytest.raises(ValueError, match="compat_sqrt_weights"):
+        bl.scan(Y[:, 0], G, lr, assumption="alt", compat_sqrt_weights=True)
+
+
+# ---------------------------------------------------------------------------
+# null-exact / alt-grid methods on the rank-k engine
+# ---------------------------------------------------------------------------
+
+
+def test_lowrank_null_exact_matches_fullrank():
+    """k = n: the per-trait Brent on the Woodbury likelihood must land on
+    the same optimum as the rotated full-rank Brent (both to Brent tol)."""
+    Y, G, K = _cohort(seed=41)
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    ref = bl.bulkscan(Y, G, K, method="null-exact")
+    lo = bl.bulkscan(Y, G, lr, method="null-exact")
+    assert float(jnp.max(jnp.abs(
+        jnp.asarray(lo.h2_null_list, dtype=jnp.float64)
+        - jnp.asarray(ref.h2_null_list, dtype=jnp.float64)))) < 1e-5
+    assert float(jnp.max(jnp.abs(lo.L - ref.L))) < 1e-6
+
+
+def test_lowrank_alt_grid_matches_fullrank():
+    Y, G, K = _cohort(seed=43)
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    ref = bl.bulkscan(Y, G, K, method="alt-grid", engine="xla")
+    lo = bl.bulkscan(Y, G, lr, method="alt-grid")
+    assert np.allclose(np.asarray(lo.h2_panel), np.asarray(ref.h2_panel))
+    assert float(jnp.max(jnp.abs(lo.L - ref.L))) < 1e-8
+
+
+def test_lowrank_methods_trait_chunked():
+    Y, G, K = _cohort(seed=47)
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    # alt-grid is a fixed grid -> bit-level agreement; null-exact is a Brent
+    # fit whose reduction rounding depends on the batch shape, so chunked
+    # optima can differ within Brent tolerance (~1e-8 in h2)
+    for meth, tol in (("null-exact", 1e-6), ("alt-grid", 1e-12)):
+        a = bl.bulkscan(Y, G, lr, method=meth)
+        b = bl.bulkscan(Y, G, lr, method=meth, trait_chunk=7)
+        assert float(jnp.max(jnp.abs(a.L - b.L))) < tol
+
+
+# ---------------------------------------------------------------------------
+# single-trait scan on the rank-k engine
+# ---------------------------------------------------------------------------
+
+
+def _single_trait(seed=51):
+    rng = np.random.default_rng(seed)
+    n, p = 70, 50
+    G = rng.choice([0.0, 0.5, 1.0], size=(n, p))
+    A = rng.standard_normal((n, n))
+    K = A @ A.T / n + 0.5 * np.eye(n)
+    K /= np.mean(np.diag(K))
+    y = rng.standard_normal(n) + 0.8 * (G[:, 11] - G[:, 11].mean())
+    covar = rng.standard_normal((n, 2))
+    return y, G, K, covar
+
+
+def test_scan_lowrank_null_matches_fullrank():
+    y, G, K, covar = _single_trait()
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    a = bl.scan(y, G, lr, covar=covar, output_pvals=True)
+    b = bl.scan(y, G, jnp.asarray(K), covar=covar, output_pvals=True)
+    # the two host Brents optimize different parameterizations of the same
+    # likelihood (rotated vs Woodbury), so optima agree to Brent tol only
+    assert abs(float(a.h2_null) - float(b.h2_null)) < 1e-7
+    assert float(jnp.max(jnp.abs(a.lod - b.lod))) < 1e-7
+    assert float(jnp.max(jnp.abs(a.log10pvals - b.log10pvals))) < 1e-6
+
+
+def test_scan_lowrank_alt_matches_fullrank():
+    y, G, K, covar = _single_trait(seed=53)
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    a = bl.scan(y, G, lr, covar=covar, assumption="alt")
+    b = bl.scan(y, G, jnp.asarray(K), covar=covar, assumption="alt")
+    assert float(jnp.max(jnp.abs(a.lod - b.lod))) < 1e-8
+    assert float(jnp.max(jnp.abs(a.h2_each_marker - b.h2_each_marker))) < 1e-5
+
+
+def test_scan_lowrank_perms():
+    """Unpermuted LOD column must equal the full-rank scan; the permuted
+    columns are a different (unrotated-basis) but equally valid
+    exchangeability scheme — their null max-LOD threshold must agree
+    distributionally. Same-seed runs are bit-identical."""
+    y, G, K, covar = _single_trait(seed=57)
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    a = bl.scan(y, G, lr, covar=covar, permutation_test=True, nperms=512,
+                rndseed=3, output_pvals=True)
+    b = bl.scan(y, G, jnp.asarray(K), covar=covar, permutation_test=True,
+                nperms=512, rndseed=3)
+    assert float(jnp.max(jnp.abs(a.lod - b.lod))) < 1e-10
+    qa = float(np.quantile(np.asarray(a.L_perms).max(axis=0), 0.95))
+    qb = float(np.quantile(np.asarray(b.L_perms).max(axis=0), 0.95))
+    assert abs(qa - qb) < 0.35  # distributional, not elementwise
+    assert a.L_perms.shape == (G.shape[1], 512)
+    assert a.log10Pvals_perms.shape == a.L_perms.shape
+    a2 = bl.scan(y, G, lr, covar=covar, permutation_test=True, nperms=512,
+                 rndseed=3)
+    assert float(jnp.max(jnp.abs(a.L_perms - a2.L_perms))) == 0.0
+
+
+def test_scan_perms_lite_lowrank_route():
+    y, G, K, covar = _single_trait(seed=59)
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    r = bl.scan_perms_lite(y, G, covar, lr, nperms=64, rndseed=1)
+    rf = bl.scan_perms_lite(y, G, covar, jnp.asarray(K), nperms=64, rndseed=1)
+    assert r.L_perms.shape == (G.shape[1], 64)
+    assert float(jnp.max(jnp.abs(r.lod - rf.lod))) < 1e-7  # Brent tol
+
+
+def test_scan_lowrank_profile_ll_matches_fullrank():
+    y, G, K, covar = _single_trait(seed=61)
+    lr = kinship_lowrank_exact(K, K.shape[0], dtype=jnp.float64)
+    ra, prof_a = bl.scan(y, G, lr, covar=covar, profile_ll=True, marker_id=7)
+    rb, prof_b = bl.scan(y, G, jnp.asarray(K), covar=covar, profile_ll=True,
+                         marker_id=7)
+    assert float(jnp.max(jnp.abs(prof_a[0] - prof_b[0]))) < 1e-10
+    assert float(jnp.max(jnp.abs(prof_a[1] - prof_b[1]))) < 1e-10

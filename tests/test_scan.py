@@ -164,5 +164,5 @@ def test_kinship_decomposition_cache(bxd_like):
     ra = bulkscan(bxd_like["Y"], G, K)
     rb = bulkscan(bxd_like["Y"], G, dec)
     assert np.allclose(np.asarray(ra.L), np.asarray(rb.L))
-    with pytest.raises(ValueError, match="KinshipDecomposition"):
+    with pytest.raises(ValueError, match="cached decomposition"):
         scan(y, G, dec, weights=np.ones(bxd_like["n"]))
