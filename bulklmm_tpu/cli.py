@@ -115,8 +115,6 @@ def _bulkscan(args):
         # rank-k engine (ops/lowrank.py): no n x n kinship, no host eigh
         from . import kinship_lowrank_from_geno
 
-        if args.method != "null-grid":
-            raise SystemExit("--lowrank-k requires --method null-grid")
         K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
     else:
         K = np.asarray(calc_kinship(G))

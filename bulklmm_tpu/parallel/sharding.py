@@ -171,9 +171,9 @@ def bulkscan_sharded(
         # k << n x n); every base Gram and rank-k correction GEMM contracts
         # over replicated dimensions, so the hot path stays collective-free
         # exactly like the full-rank kernel.
-        if method != "null-grid":
+        if method not in ("null-grid", "null-exact", "alt-grid"):
             raise ValueError(
-                "LowRankKinship currently supports method='null-grid' only"
+                "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
             )
         from ..ops.lowrank import _bulkscan_lowrank_core
 
@@ -194,8 +194,12 @@ def bulkscan_sharded(
         L, h2_list = _bulkscan_lowrank_core(
             Ys, Gs, Cs, Us, lams, jnp.asarray(h2_grid, dtype=dtype),
             n=n, prior=prior, reml=reml, precision=precision,
+            method=method, optim_interval=optim_interval,
         )
-        result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+        if method == "alt-grid":
+            result = BulkScanResult(L=L[:p, :m], h2_panel=h2_list[:p, :m])
+        else:
+            result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
         if output_pvals:
             from ..ops.lod import lod2log10p
 

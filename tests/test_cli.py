@@ -113,6 +113,15 @@ def test_cli_bulkscan_lowrank(csv_data):
     assert lr["L"].shape == full["L"].shape and np.isfinite(lr["L"]).all()
     # k=20 of n=30 strains: spectrum mostly covered (f32 engine tolerance)
     assert np.max(np.abs(lr["L"] - full["L"])) < 0.3
+    # the rank-k engine now serves every method, not just null-grid
+    r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "fast32",
+               "--method", "alt-grid", "--lowrank-k", "20",
+               "-o", "lr_alt.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    z = np.load(csv_data / "lr_alt.npz")
+    assert z["L"].shape == full["L"].shape and np.isfinite(z["L"]).all()
+    assert "h2_panel" in z
 
 
 def test_cli_kinship_precision_flag(csv_data):

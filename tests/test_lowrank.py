@@ -140,6 +140,11 @@ def test_sharded_lowrank_matches_unsharded():
     assert np.allclose(
         np.asarray(r_sh.log10Pvals_mat), np.asarray(r_ref.log10Pvals_mat)
     )
+    # new methods ride the same sharded core
+    for meth, tol in (("null-exact", 1e-6), ("alt-grid", 1e-9)):
+        s = bulkscan_sharded(Y, G, lr, mesh=mesh, method=meth)
+        u = bl.bulkscan(Y, G, lr, method=meth, prior_variance=1.0)
+        assert float(jnp.max(jnp.abs(s.L - u.L))) < tol
 
 
 def test_lowrank_guards():
