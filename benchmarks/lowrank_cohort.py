@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--m", type=int, default=2000)
     ap.add_argument("--k", type=int, default=2048)
     ap.add_argument("--compare-full", action="store_true")
+    ap.add_argument("--all-methods", action="store_true",
+                    help="also time null-exact, alt-grid, and the rank-k "
+                         "permutation scan")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +91,43 @@ def main():
         scan_lr()
         ts.append(time.perf_counter() - t0)
     emit("lowrank_bulkscan_null_grid", min(ts), note=f"n={n} p={p} m={m} k={k}")
+
+    if args.all_methods:
+        # the other scan methods + permutation testing on the same rank-k
+        # kinship (the full low-rank surface)
+        for meth in ("null-exact", "alt-grid"):
+            def scan_m():
+                r = bl.bulkscan(Y, G, lr, method=meth)
+                return float(jnp.sum(r.L))
+
+            t0 = time.perf_counter()
+            scan_m()
+            emit(f"lowrank_{meth}_compile_first", time.perf_counter() - t0)
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                scan_m()
+                ts.append(time.perf_counter() - t0)
+            emit(f"lowrank_bulkscan_{meth.replace('-', '_')}", min(ts),
+                 note=f"n={n} p={p} m={m} k={k}")
+
+        y1 = np.asarray(Y[:, 0], dtype=np.float64)
+
+        def perms():
+            r = bl.scan(y1, G, lr, permutation_test=True, nperms=1024,
+                        rndseed=0)
+            return float(jnp.sum(r.L_perms))
+
+        t0 = time.perf_counter()
+        perms()
+        emit("lowrank_perms_compile_first", time.perf_counter() - t0)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            perms()
+            ts.append(time.perf_counter() - t0)
+        emit("lowrank_scan_perms_1024", min(ts),
+             note=f"n={n} p={p} k={k}, rank-k whitening + correlate")
 
     if args.compare_full:
         # 3. the wall being removed: host float64 eigh + (n, n) upload

@@ -46,6 +46,7 @@ from .models import (
     bulkscan_alt_grid,
     bulkscan_null,
     bulkscan_null_grid,
+    bulkscan_streamed,
     scan,
     scan_perms_lite,
 )
@@ -100,6 +101,7 @@ __all__ = [
     "bulkscan_alt_grid",
     "bulkscan_null",
     "bulkscan_null_grid",
+    "bulkscan_streamed",
     "scan",
     "scan_perms_lite",
     "calc_kinship",

@@ -8,6 +8,7 @@ from .bulkscan import (
     grid_null_ell,
 )
 from .results import BulkScanResult, ScanResult
+from .streaming import bulkscan_streamed
 from .scan import scan, scan_perms_lite
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "bulkscan_null",
     "bulkscan_null_grid",
     "grid_null_ell",
+    "bulkscan_streamed",
     "BulkScanResult",
     "ScanResult",
     "scan",

@@ -1,0 +1,350 @@
+"""Marker-streamed bulk scans: genotype panels larger than device HBM.
+
+The in-memory engines (models/bulkscan.py) hold the full (n, p) genotype
+panel and the (p, m) LOD matrix on device. At biobank scale (p ~ 10^6
+markers) either can exceed one chip's HBM. This module streams HOST marker
+blocks (plain numpy, ``np.memmap``, or any sliceable (n, p) array) through
+the device:
+
+- the per-trait null h2 is MARKER-INDEPENDENT (it comes from the
+  covariate-only model), so the grid/Brent fit runs ONCE on the rotated
+  trait block (reference semantics: src/bulkscan.jl:321-397 fits the null
+  per trait before any marker work);
+- each marker block is uploaded, rotated, and pushed through the same
+  per-trait-weight correlation kernel as the in-memory engine
+  (ops/liteqtl.py); the LOD block lands in a host output array (caller may
+  pass an ``np.memmap`` for p x m results larger than RAM);
+- the final block is zero-padded to the block size so every step reuses
+  one compiled program.
+
+``alt-grid`` streams too: its running max over the h2 grid is independent
+per marker, so each block runs the full grid scan locally.
+
+LowRankKinship inputs skip rotation entirely (ops/lowrank.py): trait-side
+projections are computed once, marker-side projections per block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.liteqtl import lods_per_trait
+from ..ops.lmm import fit_lmm
+from ..ops.lod import lod2log10p
+from ..ops.rotation import resolve_kinship
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
+from .bulkscan import _alt_grid_impl, grid_null_ell
+from .results import BulkScanResult
+
+_STATIC = ("prior", "reml", "precision")
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("method", "optim_interval"))
+@with_highest_matmul
+def _fit_h2_rotated(Y, C, Ut, lam, h2_grid, *, prior, reml, method,
+                    optim_interval, precision):
+    """Rotate the trait block and fit the per-trait null h2 (once)."""
+    Y0 = jnp.matmul(Ut, Y)
+    C0 = jnp.matmul(Ut, C)
+    if method == "null-exact":
+        fits = jax.vmap(
+            lambda yj: fit_lmm(
+                yj, C0, lam, prior,
+                reml=reml, method="qr", optim_interval=optim_interval,
+            ),
+            in_axes=1,
+        )(Y0)
+        h2_list = fits.h2
+    else:
+        kdt = precision.resolve_kernel()
+        ells = grid_null_ell(
+            Y0.astype(kdt), C0.astype(kdt), lam.astype(kdt),
+            h2_grid.astype(kdt), prior, reml=reml,
+        )
+        h2_list = h2_grid[jnp.argmax(ells, axis=0)]
+    return Y0, C0, h2_list
+
+
+@partial(jax.jit, static_argnames=("precision",))
+@with_highest_matmul
+def _block_lods(Y0, Xb, C0, Ut, lam, h2_list, *, precision):
+    """Rotate one marker block and compute its (pb, m) LOD slab."""
+    X0b = jnp.matmul(Ut, Xb)
+    return lods_per_trait(Y0, X0b, C0, lam, h2_list, precision=precision)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+@with_highest_matmul
+def _block_alt_grid(Y0, Xb, C0, Ut, lam, h2_grid, *, prior, reml, precision):
+    X0b = jnp.matmul(Ut, Xb)
+    return _alt_grid_impl(
+        Y0, X0b, C0, lam, h2_grid,
+        prior=prior, reml=reml, method="qr", precision=precision,
+    )
+
+
+def _blocks(p, block):
+    for lo in range(0, p, block):
+        yield lo, min(lo + block, p)
+
+
+def _stream_loop(G, p, block, dtype, compute, write):
+    """Double-buffered block pipeline: while block i computes on device, the
+    host slices + uploads block i+1 (``device_put`` is async), and only the
+    result readback blocks. Hides host->HBM transfer behind compute."""
+    spans = list(_blocks(p, block))
+    Xb = _pad_block(G, spans[0][0], spans[0][1], block, dtype)
+    for i, (lo, hi) in enumerate(spans):
+        res = compute(Xb)  # async dispatch
+        if i + 1 < len(spans):
+            Xb = _pad_block(G, spans[i + 1][0], spans[i + 1][1], block, dtype)
+        write(lo, hi, res)  # np.asarray readback synchronizes block i
+
+
+def bulkscan_streamed(
+    Y,
+    G,
+    K,
+    covar=None,
+    *,
+    method: str = "null-grid",
+    marker_block: int = 32_768,
+    h2_grid=None,
+    add_intercept: bool = True,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    output_pvals: bool = False,
+    chisq_df: int = 1,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    out=None,
+) -> BulkScanResult:
+    """Bulk scan over a HOST-resident genotype panel, streamed in marker
+    blocks — for p too large to hold (n, p) genotypes or the (p, m) LOD
+    matrix on device.
+
+    ``G`` is any sliceable host (n, p) array — plain numpy or ``np.memmap``.
+    ``out`` (optional) receives the (p, m) LODs; pass an ``np.memmap`` when
+    the result exceeds host RAM. Keyword surface mirrors :func:`bulkscan`
+    (same engines and numerics — each block goes through the identical
+    kernels), minus ``weights`` (pre-scale with the in-memory API) and
+    ``trait_chunk`` (size ``marker_block`` instead). Returns a
+    :class:`BulkScanResult` whose ``L`` is the host output array.
+    """
+    n, p = G.shape[0], G.shape[1]
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    m = Y.shape[1]
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    if add_intercept:
+        covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
+    prior = (float(prior_variance), float(prior_sample_size))
+    if method not in ("null-grid", "null-exact", "alt-grid"):
+        raise ValueError(
+            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+        )
+
+    dtype = precision.resolve_solve()
+    block = min(marker_block, p)
+    if out is None:
+        out = np.empty((p, m), dtype=np.float32)
+    elif out.shape != (p, m):
+        raise ValueError(f"out must have shape {(p, m)}, got {out.shape}")
+
+    from ..ops.lowrank import LowRankKinship
+
+    if isinstance(K, LowRankKinship):
+        return _streamed_lowrank(
+            Y, G, covar, K, out,
+            method=method, block=block, h2_grid=h2_grid, prior=prior,
+            reml=reml, optim_interval=optim_interval, precision=precision,
+            output_pvals=output_pvals, chisq_df=chisq_df, dtype=dtype, n=n,
+        )
+
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+    Yd = Y.astype(dtype)
+    Cd = covar.astype(dtype)
+    grid_d = h2_grid.astype(dtype)
+
+    if method == "alt-grid":
+        Y0 = jnp.matmul(Ut, Yd)
+        C0 = jnp.matmul(Ut, Cd)
+        h2_panel = np.empty((p, m), dtype=np.float32)
+
+        def write_alt(lo, hi, res):
+            Lb, h2b = res
+            out[lo:hi] = np.asarray(Lb[: hi - lo])
+            h2_panel[lo:hi] = np.asarray(h2b[: hi - lo])
+
+        _stream_loop(
+            G, p, block, dtype,
+            lambda Xb: _block_alt_grid(
+                Y0, Xb, C0, Ut, lam, grid_d,
+                prior=prior, reml=reml, precision=precision,
+            ),
+            write_alt,
+        )
+        result = BulkScanResult(L=out, h2_panel=h2_panel)
+    else:
+        Y0, C0, h2_list = _fit_h2_rotated(
+            Yd, Cd, Ut, lam, grid_d,
+            prior=prior, reml=reml, method=method,
+            optim_interval=optim_interval, precision=precision,
+        )
+
+        def write_null(lo, hi, Lb):
+            out[lo:hi] = np.asarray(Lb[: hi - lo])
+
+        _stream_loop(
+            G, p, block, dtype,
+            lambda Xb: _block_lods(
+                Y0, Xb, C0, Ut, lam, h2_list, precision=precision
+            ),
+            write_null,
+        )
+        result = BulkScanResult(L=out, h2_null_list=h2_list)
+
+    if output_pvals:
+        result.log10Pvals_mat = np.asarray(
+            lod2log10p(jnp.asarray(result.L), chisq_df)
+        )
+        result.chisq_df = chisq_df
+    return result
+
+
+def _pad_block(G, lo, hi, block, dtype):
+    """Upload one host marker block, zero-padded to the static block size."""
+    Xb = np.asarray(G[:, lo:hi], dtype=np.dtype(dtype).name)
+    if Xb.shape[1] < block:
+        Xb = np.concatenate(
+            [Xb, np.zeros((Xb.shape[0], block - Xb.shape[1]), dtype=Xb.dtype)],
+            axis=1,
+        )
+    return jax.device_put(Xb)
+
+
+# ---------------------------------------------------------------------------
+# rank-k variant: trait projections once, marker projections per block
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("n", "method", "optim_interval"))
+@with_highest_matmul
+def _lr_trait_fit(Y, C, U, lam, h2_grid, *, n, prior, reml, method,
+                  optim_interval, precision):
+    from ..ops.lowrank import (
+        _parts_kwargs, fit_h2_lowrank, grid_null_ell_lowrank,
+    )
+
+    kdt = precision.resolve_kernel()
+    kw = _parts_kwargs(precision)
+    gd, pgp = kw["gemm_dtype"], kw["gemm_precision"]
+    Yg, Cg, Ug = Y.astype(gd), C.astype(gd), U.astype(gd)
+    base = dict(
+        CtC=jnp.matmul(Cg.T, Cg, precision=pgp).astype(kdt),
+        R=jnp.matmul(Ug.T, Cg, precision=pgp).astype(kdt),
+        CtY=jnp.matmul(Cg.T, Yg, precision=pgp).astype(kdt),
+        Q=jnp.matmul(Ug.T, Yg, precision=pgp).astype(kdt),
+        yty=jnp.sum((Yg * Yg).astype(kdt), axis=0),
+    )
+    lam_k = lam.astype(kdt)
+    if method == "null-exact":
+        h2_list = fit_h2_lowrank(
+            base, lam_k, prior, n=n, reml=reml, optim_interval=optim_interval
+        )
+    else:
+        ells = grid_null_ell_lowrank(
+            base, lam_k, h2_grid.astype(kdt), prior, n=n, reml=reml
+        )
+        h2_list = h2_grid[jnp.argmax(ells, axis=0)]
+    return base, h2_list
+
+
+def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
+                      reml, optim_interval, precision, output_pvals, chisq_df,
+                      dtype, n):
+    m = Y.shape[1]
+    p = G.shape[1]
+    Yd = Y.astype(dtype)
+    Cd = covar.astype(dtype)
+    U = K.U.astype(dtype)
+    lam = K.lam.astype(dtype)
+    grid_d = h2_grid.astype(dtype)
+
+    tbase, h2_list = _lr_trait_fit(
+        Yd, Cd, U, lam, grid_d,
+        n=n, prior=prior, reml=reml, method=method,
+        optim_interval=optim_interval, precision=precision,
+    )
+    # the streamed blocks need XtY (pb, m): keep the trait block resident
+    # and fold it into the per-block parts inside _lr_block_with_y
+    h2_panel = np.empty((p, m), dtype=np.float32) if method == "alt-grid" else None
+    alt = method == "alt-grid"
+
+    def write(lo, hi, res):
+        if alt:
+            Lb, h2b = res
+            h2_panel[lo:hi] = np.asarray(h2b[: hi - lo])
+        else:
+            Lb = res
+        out[lo:hi] = np.asarray(Lb[: hi - lo])
+
+    _stream_loop(
+        G, p, block, dtype,
+        lambda Xb: _lr_block_with_y(
+            Xb, Yd, Cd, U, lam, tbase, grid_d if alt else h2_list,
+            n=n, prior=prior, reml=reml, precision=precision, alt=alt,
+        ),
+        write,
+    )
+    if method == "alt-grid":
+        result = BulkScanResult(L=out, h2_panel=h2_panel)
+    else:
+        result = BulkScanResult(L=out, h2_null_list=h2_list)
+    if output_pvals:
+        result.log10Pvals_mat = np.asarray(
+            lod2log10p(jnp.asarray(result.L), chisq_df)
+        )
+        result.chisq_df = chisq_df
+    return result
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("n", "alt"))
+@with_highest_matmul
+def _lr_block_with_y(Xb, Y, C, U, lam, tbase, h2_or_grid, *, n, prior, reml,
+                     precision, alt=False):
+    from ..ops.lowrank import (
+        LowRankKinship, _alt_grid_lowrank, _marker_parts, _parts_kwargs,
+        lods_per_trait_lowrank,
+    )
+
+    lr = LowRankKinship(U=U, lam=lam)
+    kw = _parts_kwargs(precision)
+    kdt = precision.resolve_kernel()
+    gd, pgp = kw["gemm_dtype"], kw["gemm_precision"]
+    mparts = _marker_parts(Xb, C, lr, **kw)
+    XtY = jnp.matmul(Xb.astype(gd).T, Y.astype(gd), precision=pgp).astype(kdt)
+    parts = {**mparts, **tbase, "XtY": XtY}
+    lam_k = lam.astype(kdt)
+    if alt:
+        return _alt_grid_lowrank(
+            parts, lam_k, h2_or_grid.astype(kdt), prior,
+            n=n, precision=precision, reml=reml,
+        )
+    return lods_per_trait_lowrank(
+        parts, lam_k, h2_or_grid.astype(kdt), n, precision=precision
+    )

@@ -208,7 +208,14 @@ def bulkscan_distributed(
         covar = np.asarray(covar, dtype=np.float64)
         covar = covar[:, None] if covar.ndim == 1 else covar
 
+    from ..ops.lowrank import LowRankKinship
+
     if weights is not None:
+        if isinstance(K, LowRankKinship):
+            raise ValueError(
+                "weights rescale the kinship matrix (K -> WKW); pass the raw "
+                "K, not a cached decomposition."
+            )
         # Weights scale rows (individuals): local trait blocks scale
         # independently; K -> WKW is identical on every process.
         w = np.asarray(weights, dtype=np.float64)
@@ -224,6 +231,58 @@ def bulkscan_distributed(
         covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
 
     dtype = precision.resolve_solve()
+    prior = (float(prior_variance), float(prior_sample_size))
+    if h2_grid is None:
+        h2_grid = np.arange(0.0, 0.91, 0.1)
+    grid = jnp.asarray(np.asarray(h2_grid), dtype=dtype)
+    p = G.shape[1]
+
+    if isinstance(K, LowRankKinship):
+        # rank-k engine on the pod: UNROTATED local trait feed (no host
+        # rotation at all), replicated (n, k) eigenfactor, same sharded
+        # core as the single-process path (ops/lowrank.py).
+        if method not in ("null-grid", "null-exact", "alt-grid"):
+            raise ValueError(
+                "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+            )
+        from ..ops.lowrank import _bulkscan_lowrank_core
+
+        pad = ld * per_shard - Y_local.shape[1]
+        Yl = (
+            np.concatenate([Y_local, np.zeros((n, pad))], axis=1)
+            if pad else Y_local
+        )
+        Ys = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(None, TRAITS_AXIS)), Yl.astype(dtype), (n, M)
+        )
+        Gs = _replicated(G, mesh, dtype)
+        Cs = _replicated(covar, mesh, dtype)
+        Us = _replicated(np.asarray(K.U, dtype=np.float64), mesh, dtype)
+        lams = _replicated(np.asarray(K.lam, dtype=np.float64), mesh, dtype)
+        L, h2 = _bulkscan_lowrank_core(
+            Ys, Gs, Cs, Us, lams, grid,
+            n=n, prior=prior, reml=reml, precision=precision,
+            method=method, optim_interval=optim_interval,
+        )
+        h2_axis = 1 if method == "alt-grid" else 0
+        keep = hi - lo
+        L_local = _local_cols(L, axis=1)[:p, :keep]
+        h2_local = _local_cols(h2, axis=h2_axis)
+        h2_local = h2_local[:keep] if h2_axis == 0 else h2_local[:p, :keep]
+        if save_dir is not None:
+            from pathlib import Path
+
+            out = Path(save_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                out / f"lod_shard_{jax.process_index():05d}.npz",
+                trait_lo=lo, trait_hi=hi, lod=L_local, h2=h2_local,
+            )
+        return DistributedScanResult(
+            L=L, h2=h2, trait_lo=lo, trait_hi=hi,
+            L_local=L_local, h2_local=h2_local,
+        )
+
     _, _, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
 
     # Host-side rotation of the LOCAL trait block only (f64, backend-
@@ -245,12 +304,6 @@ def bulkscan_distributed(
     X0ms = _replicated(X0m_h, mesh, dtype)
     lams = _replicated(lam_h, mesh, dtype)
 
-    prior = (float(prior_variance), float(prior_sample_size))
-    if h2_grid is None:
-        h2_grid = np.arange(0.0, 0.91, 0.1)
-    grid = jnp.asarray(np.asarray(h2_grid), dtype=dtype)
-
-    p = G.shape[1]
     if method == "null-grid":
         L, h2 = _bulkscan_null_grid_core(
             y0s, X0ms, C0s, lams, grid,

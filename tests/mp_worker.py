@@ -41,6 +41,13 @@ def main():
 
     d = np.load(data_path)
     Y, G, K = d["Y"], d["G"], d["K"]
+    if method.startswith("lowrank:"):
+        # rank-k pod path: host-exact eigenpairs are deterministic, so every
+        # process builds the identical LowRankKinship from the replicated K
+        method = method.split(":", 1)[1]
+        from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+        K = kinship_lowrank_exact(K, 16)
     mesh = make_global_mesh()
     assert len(mesh.devices.ravel()) == jax.device_count()
 

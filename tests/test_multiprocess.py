@@ -117,6 +117,27 @@ def test_multiprocess_alt_grid_matches_single_process(tmp_path):
     assert float(np.max(np.abs(merged - single))) < 1e-9
 
 
+def test_multiprocess_lowrank_matches_single_process(tmp_path):
+    """Rank-k pod path: unrotated per-process trait feed, replicated (n, k)
+    eigenfactor — merged shards must equal the single-process rank-k scan."""
+    Y, G, K, outdir = _run_pod(2, "lowrank:null-grid", tmp_path, m=8)
+
+    import jax.numpy as jnp
+
+    from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+    from bulklmm_tpu.parallel import merge_shards
+
+    merged = merge_shards(outdir)
+    lr = kinship_lowrank_exact(K, 16, dtype=jnp.float64)
+    single = np.asarray(
+        bulkscan(Y, G, lr, method="null-grid",
+                 h2_grid=np.arange(0.0, 0.91, 0.1)).L
+    )
+    assert merged.shape == single.shape
+    assert float(np.max(np.abs(merged - single))) < 1e-9
+
+
 def test_local_trait_slice_partitions_exactly():
     """Single-process geometry: slices tile [0, m) without gap or overlap."""
     from bulklmm_tpu.parallel import local_trait_slice
