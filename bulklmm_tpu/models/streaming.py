@@ -161,7 +161,10 @@ def bulkscan_streamed(
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
     if out is None:
-        out = np.empty((p, m), dtype=np.float32)
+        # default host result dtype follows the kernel dtype so EXACT64
+        # runs are not truncated; callers can pass f32 (or a memmap) to
+        # halve the footprint
+        out = np.empty((p, m), dtype=np.dtype(precision.resolve_kernel()))
     elif out.shape != (p, m):
         raise ValueError(f"out must have shape {(p, m)}, got {out.shape}")
 
