@@ -304,6 +304,18 @@ def bulkscan(
     formulation ~3x; other backends/dtypes use XLA. The null engines are
     XLA-only (profiling favors XLA there; docs/PERF.md "Pallas status").
     """
+    if method not in ("null-grid", "null-exact", "alt-grid"):
+        raise ValueError(
+            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+        )
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    if engine == "pallas" and method != "alt-grid":
+        raise ValueError(
+            "engine='pallas' is only available for method='alt-grid' "
+            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
+        )
+
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y
     G = jnp.asarray(G)
@@ -344,9 +356,10 @@ def bulkscan(
         # rank-k engine: no rotation at all — unrotated inputs, Woodbury
         # weights (ops/lowrank.py). All three methods are supported; the
         # h2 fits and LOD kernels run on the shared k-dim projections.
-        if method not in ("null-grid", "null-exact", "alt-grid"):
+        if engine == "pallas":
             raise ValueError(
-                "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+                "engine='pallas' is not available for LowRankKinship inputs "
+                "(the rank-k engine is XLA-only)"
             )
         from ..ops.lowrank import _bulkscan_lowrank_core
 
@@ -371,11 +384,6 @@ def bulkscan(
     C = covar.astype(dtype)
     Xm = G.astype(dtype)
 
-    if method != "alt-grid" and engine == "pallas":
-        raise ValueError(
-            "engine='pallas' is only available for method='alt-grid' "
-            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
-        )
     if method == "null-grid":
         L, h2_list = _null_grid_pipeline(
             Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
@@ -392,8 +400,6 @@ def bulkscan(
         )
         result = BulkScanResult(L=L, h2_null_list=h2_list)
     elif method == "alt-grid":
-        if engine not in ("auto", "xla", "pallas"):
-            raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
         use_pallas = engine == "pallas" or (
             engine == "auto"
             and jax.default_backend() == "tpu"

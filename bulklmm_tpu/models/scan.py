@@ -26,6 +26,7 @@ import math
 from functools import partial
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.liteqtl import lods_shared
 from ..ops.lmm import fit_lmm
@@ -521,14 +522,18 @@ def scan_perms_lite(
     Note the reference's standalone default ``prior_variance = 1.0`` differs
     from ``scan``'s 0.0 (src/scan.jl:487 vs :98); both defaults are mirrored.
     """
-    y = jnp.asarray(y)
+    # host numpy float64 until the single device cast below: the
+    # backend-deterministic null fit must see the untruncated phenotype
+    # (jnp.asarray would round to f32 when x64 is off), same as scan()
+    y = np.asarray(y, dtype=np.float64)
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("Can only handle one trait.")
-    covar = jnp.asarray(covar)
+    covar = np.asarray(covar, dtype=np.float64)
+    covar = covar[:, None] if covar.ndim == 1 else covar
     n = y.shape[0]
     if add_intercept:
-        covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
+        covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
     dtype = precision.resolve_solve()
     prior = (float(prior_variance), float(prior_sample_size))
 

@@ -77,10 +77,15 @@ def _block_lods(Y0, Xb, C0, Ut, lam, h2_list, *, precision):
     return lods_per_trait(Y0, X0b, C0, lam, h2_list, precision=precision)
 
 
-@partial(jax.jit, static_argnames=_STATIC)
+@partial(jax.jit, static_argnames=_STATIC + ("use_pallas",))
 @with_highest_matmul
-def _block_alt_grid(Y0, Xb, C0, Ut, lam, h2_grid, *, prior, reml, precision):
+def _block_alt_grid(Y0, Xb, C0, Ut, lam, h2_grid, *, prior, reml, precision,
+                    use_pallas=False):
     X0b = jnp.matmul(Ut, Xb)
+    if use_pallas:
+        from ..pallas.altgrid_fused import fused_alt_grid
+
+        return fused_alt_grid(Y0, X0b, C0, lam, h2_grid, prior=prior, reml=reml)
     return _alt_grid_impl(
         Y0, X0b, C0, lam, h2_grid,
         prior=prior, reml=reml, method="qr", precision=precision,
@@ -124,6 +129,8 @@ def bulkscan_streamed(
     chisq_df: int = 1,
     precision: PrecisionConfig = DEFAULT_PRECISION,
     out=None,
+    out_pvals=None,
+    engine: str = "auto",
 ) -> BulkScanResult:
     """Bulk scan over a HOST-resident genotype panel, streamed in marker
     blocks — for p too large to hold (n, p) genotypes or the (p, m) LOD
@@ -131,11 +138,16 @@ def bulkscan_streamed(
 
     ``G`` is any sliceable host (n, p) array — plain numpy or ``np.memmap``.
     ``out`` (optional) receives the (p, m) LODs; pass an ``np.memmap`` when
-    the result exceeds host RAM. Keyword surface mirrors :func:`bulkscan`
-    (same engines and numerics — each block goes through the identical
-    kernels), minus ``weights`` (pre-scale with the in-memory API) and
-    ``trait_chunk`` (size ``marker_block`` instead). Returns a
-    :class:`BulkScanResult` whose ``L`` is the host output array.
+    the result exceeds host RAM (same for ``out_pvals`` when
+    ``output_pvals=True`` — p-values are computed block-by-block on the
+    host, never materializing the LOD matrix on device). ``engine``
+    selects the alt-grid implementation exactly as in :func:`bulkscan`
+    ("auto" uses the fused Pallas kernel per block on TPU). Keyword
+    surface otherwise mirrors :func:`bulkscan` (same engines and numerics
+    — each block goes through the identical kernels), minus ``weights``
+    (pre-scale with the in-memory API) and ``trait_chunk`` (size
+    ``marker_block`` instead). Returns a :class:`BulkScanResult` whose
+    ``L`` is the host output array.
     """
     n, p = G.shape[0], G.shape[1]
     Y = jnp.asarray(Y)
@@ -157,6 +169,13 @@ def bulkscan_streamed(
         raise ValueError(
             "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
         )
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    if engine == "pallas" and method != "alt-grid":
+        raise ValueError(
+            "engine='pallas' is only available for method='alt-grid' "
+            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
+        )
 
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
@@ -167,15 +186,31 @@ def bulkscan_streamed(
         out = np.empty((p, m), dtype=np.dtype(precision.resolve_kernel()))
     elif out.shape != (p, m):
         raise ValueError(f"out must have shape {(p, m)}, got {out.shape}")
+    pv = None
+    if output_pvals:
+        pv = (
+            out_pvals
+            if out_pvals is not None
+            else np.empty((p, m), dtype=out.dtype)
+        )
+        if pv.shape != (p, m):
+            raise ValueError(
+                f"out_pvals must have shape {(p, m)}, got {pv.shape}"
+            )
 
     from ..ops.lowrank import LowRankKinship
 
     if isinstance(K, LowRankKinship):
+        if engine == "pallas":
+            raise ValueError(
+                "engine='pallas' is not available for LowRankKinship inputs "
+                "(the rank-k engine is XLA-only)"
+            )
         return _streamed_lowrank(
             Y, G, covar, K, out,
             method=method, block=block, h2_grid=h2_grid, prior=prior,
             reml=reml, optim_interval=optim_interval, precision=precision,
-            output_pvals=output_pvals, chisq_df=chisq_df, dtype=dtype, n=n,
+            pv=pv, chisq_df=chisq_df, dtype=dtype, n=n,
         )
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
@@ -187,17 +222,26 @@ def bulkscan_streamed(
         Y0 = jnp.matmul(Ut, Yd)
         C0 = jnp.matmul(Ut, Cd)
         h2_panel = np.empty((p, m), dtype=np.float32)
+        use_pallas = engine == "pallas" or (
+            engine == "auto"
+            and jax.default_backend() == "tpu"
+            and precision.resolve_gemm() == jnp.float32
+            and h2_grid.shape[0] <= 127
+        )
 
         def write_alt(lo, hi, res):
             Lb, h2b = res
             out[lo:hi] = np.asarray(Lb[: hi - lo])
             h2_panel[lo:hi] = np.asarray(h2b[: hi - lo])
+            if pv is not None:
+                pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
 
         _stream_loop(
             G, p, block, dtype,
             lambda Xb: _block_alt_grid(
                 Y0, Xb, C0, Ut, lam, grid_d,
                 prior=prior, reml=reml, precision=precision,
+                use_pallas=use_pallas,
             ),
             write_alt,
         )
@@ -211,6 +255,8 @@ def bulkscan_streamed(
 
         def write_null(lo, hi, Lb):
             out[lo:hi] = np.asarray(Lb[: hi - lo])
+            if pv is not None:
+                pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
 
         _stream_loop(
             G, p, block, dtype,
@@ -221,10 +267,8 @@ def bulkscan_streamed(
         )
         result = BulkScanResult(L=out, h2_null_list=h2_list)
 
-    if output_pvals:
-        result.log10Pvals_mat = np.asarray(
-            lod2log10p(jnp.asarray(result.L), chisq_df)
-        )
+    if pv is not None:
+        result.log10Pvals_mat = pv
         result.chisq_df = chisq_df
     return result
 
@@ -250,20 +294,14 @@ def _pad_block(G, lo, hi, block, dtype):
 def _lr_trait_fit(Y, C, U, lam, h2_grid, *, n, prior, reml, method,
                   optim_interval, precision):
     from ..ops.lowrank import (
-        _parts_kwargs, fit_h2_lowrank, grid_null_ell_lowrank,
+        LowRankKinship, _parts_kwargs, _shared_parts, _trait_side_parts,
+        fit_h2_lowrank, grid_null_ell_lowrank,
     )
 
     kdt = precision.resolve_kernel()
     kw = _parts_kwargs(precision)
-    gd, pgp = kw["gemm_dtype"], kw["gemm_precision"]
-    Yg, Cg, Ug = Y.astype(gd), C.astype(gd), U.astype(gd)
-    base = dict(
-        CtC=jnp.matmul(Cg.T, Cg, precision=pgp).astype(kdt),
-        R=jnp.matmul(Ug.T, Cg, precision=pgp).astype(kdt),
-        CtY=jnp.matmul(Cg.T, Yg, precision=pgp).astype(kdt),
-        Q=jnp.matmul(Ug.T, Yg, precision=pgp).astype(kdt),
-        yty=jnp.sum((Yg * Yg).astype(kdt), axis=0),
-    )
+    lr = LowRankKinship(U=U, lam=lam)
+    base = {**_shared_parts(C, lr, **kw), **_trait_side_parts(Y, C, lr, **kw)}
     lam_k = lam.astype(kdt)
     if method == "null-exact":
         h2_list = fit_h2_lowrank(
@@ -278,7 +316,7 @@ def _lr_trait_fit(Y, C, U, lam, h2_grid, *, n, prior, reml, method,
 
 
 def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
-                      reml, optim_interval, precision, output_pvals, chisq_df,
+                      reml, optim_interval, precision, pv, chisq_df,
                       dtype, n):
     m = Y.shape[1]
     p = G.shape[1]
@@ -305,6 +343,8 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
         else:
             Lb = res
         out[lo:hi] = np.asarray(Lb[: hi - lo])
+        if pv is not None:
+            pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
 
     _stream_loop(
         G, p, block, dtype,
@@ -318,10 +358,8 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
         result = BulkScanResult(L=out, h2_panel=h2_panel)
     else:
         result = BulkScanResult(L=out, h2_null_list=h2_list)
-    if output_pvals:
-        result.log10Pvals_mat = np.asarray(
-            lod2log10p(jnp.asarray(result.L), chisq_df)
-        )
+    if pv is not None:
+        result.log10Pvals_mat = pv
         result.chisq_df = chisq_df
     return result
 
@@ -331,7 +369,7 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
 def _lr_block_with_y(Xb, Y, C, U, lam, tbase, h2_or_grid, *, n, prior, reml,
                      precision, alt=False):
     from ..ops.lowrank import (
-        LowRankKinship, _alt_grid_lowrank, _marker_parts, _parts_kwargs,
+        LowRankKinship, _alt_grid_lowrank, _marker_side_parts, _parts_kwargs,
         lods_per_trait_lowrank,
     )
 
@@ -339,7 +377,9 @@ def _lr_block_with_y(Xb, Y, C, U, lam, tbase, h2_or_grid, *, n, prior, reml,
     kw = _parts_kwargs(precision)
     kdt = precision.resolve_kernel()
     gd, pgp = kw["gemm_dtype"], kw["gemm_precision"]
-    mparts = _marker_parts(Xb, C, lr, **kw)
+    # marker-side projections only; the trait-side and covariate-only parts
+    # (R, CtC, CtY, Q, yty) were computed once in _lr_trait_fit
+    mparts = _marker_side_parts(Xb, C, lr, **kw)
     XtY = jnp.matmul(Xb.astype(gd).T, Y.astype(gd), precision=pgp).astype(kdt)
     parts = {**mparts, **tbase, "XtY": XtY}
     lam_k = lam.astype(kdt)

@@ -25,6 +25,10 @@ import numpy as np
 
 _CGOLD = 0.3819660112501051  # 2 - golden ratio
 _MAX_DELTA = 1e18  # mirrors ops/weights.py h2 -> 1 clamp
+# degenerate traits (e.g. an all-zero phenotype) give rss0 == 0 exactly;
+# floor sigma2 so math.log stays defined and the fit returns a finite
+# degenerate likelihood instead of raising mid-Brent
+_SIGMA2_FLOOR = np.finfo(np.float64).tiny
 
 
 class HostFit(NamedTuple):
@@ -53,7 +57,7 @@ def _wls(y0, X0, w, prior, reml):
     rss0 = float(np.sum(res * res))
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - c if reml else n) + prior_df
-    sigma2 = (rss0 + prior_a * prior_b) / denom
+    sigma2 = max((rss0 + prior_a * prior_b) / denom, _SIGMA2_FLOOR)
     ell = -0.5 * (
         (n + prior_b) * math.log(sigma2)
         - float(np.sum(np.log(w)))
@@ -150,7 +154,7 @@ def _wls_lowrank(parts, lam, h2, prior, reml, n):
     logw_sum = float(np.sum(np.log1p(dm1)))
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - c if reml else n) + prior_df
-    sigma2 = (rss0 + prior_a * prior_b) / denom
+    sigma2 = max((rss0 + prior_a * prior_b) / denom, _SIGMA2_FLOOR)
     ell = -0.5 * (
         (n + prior_b) * math.log(sigma2) - logw_sum
         + (rss0 + prior_a * prior_b) / sigma2

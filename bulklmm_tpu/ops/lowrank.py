@@ -318,29 +318,55 @@ def fit_h2_lowrank(parts, lam, prior, *, n, reml=False, optim_interval=1):
     )
 
 
-def _marker_parts(Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
-    """Trait-independent Grams and k-dim projections (computed once per
-    scan, shared by every trait chunk)."""
+def _marker_side_parts(Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """Marker-dependent Grams and k-dim projections (per marker block)."""
     gd, sd, pgp = gemm_dtype, kernel_dtype, gemm_precision
     X, Cg, U = Xm.astype(gd), C.astype(gd), lr.U.astype(gd)
     return dict(
         XtC=jnp.matmul(X.T, Cg, precision=pgp).astype(sd),   # (p, c)
         dXX=jnp.sum((X * X).astype(sd), axis=0),             # (p,)
         P=jnp.matmul(U.T, X, precision=pgp).astype(sd),      # (k, p)
+    )
+
+
+def _shared_parts(C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """Covariate-only Grams/projections (marker- and trait-independent)."""
+    gd, sd, pgp = gemm_dtype, kernel_dtype, gemm_precision
+    Cg, U = C.astype(gd), lr.U.astype(gd)
+    return dict(
         R=jnp.matmul(U.T, Cg, precision=pgp).astype(sd),     # (k, c)
         CtC=jnp.matmul(Cg.T, Cg, precision=pgp).astype(sd),  # (c, c)
+    )
+
+
+def _marker_parts(Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """Trait-independent Grams and k-dim projections (computed once per
+    scan, shared by every trait chunk)."""
+    kw = dict(gemm_dtype=gemm_dtype, kernel_dtype=kernel_dtype,
+              gemm_precision=gemm_precision)
+    return {**_marker_side_parts(Xm, C, lr, **kw), **_shared_parts(C, lr, **kw)}
+
+
+def _trait_side_parts(Y, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
+    """Trait-dependent, marker-independent Grams and k-dim projections."""
+    gd, sd, pgp = gemm_dtype, kernel_dtype, gemm_precision
+    Yg, Cg, U = Y.astype(gd), C.astype(gd), lr.U.astype(gd)
+    return dict(
+        Q=jnp.matmul(U.T, Yg, precision=pgp).astype(sd),     # (k, m)
+        CtY=jnp.matmul(Cg.T, Yg, precision=pgp).astype(sd),  # (c, m)
+        yty=jnp.sum((Yg * Yg).astype(sd), axis=0),           # (m,)
     )
 
 
 def _trait_parts(Y, Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
     """Per-trait(-chunk) Grams and k-dim projections."""
     gd, sd, pgp = gemm_dtype, kernel_dtype, gemm_precision
-    X, Yg, Cg, U = (Xm.astype(gd), Y.astype(gd), C.astype(gd), lr.U.astype(gd))
+    kw = dict(gemm_dtype=gemm_dtype, kernel_dtype=kernel_dtype,
+              gemm_precision=gemm_precision)
+    X, Yg = Xm.astype(gd), Y.astype(gd)
     return dict(
         XtY=jnp.matmul(X.T, Yg, precision=pgp).astype(sd),   # (p, m)
-        Q=jnp.matmul(U.T, Yg, precision=pgp).astype(sd),     # (k, m)
-        CtY=jnp.matmul(Cg.T, Yg, precision=pgp).astype(sd),  # (c, m)
-        yty=jnp.sum((Yg * Yg).astype(sd), axis=0),           # (m,)
+        **_trait_side_parts(Y, C, lr, **kw),
     )
 
 

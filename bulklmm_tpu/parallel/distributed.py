@@ -35,6 +35,7 @@ from ..models.bulkscan import (
     _bulkscan_null_exact_core,
     _bulkscan_null_grid_core,
 )
+from ..models.scan import _apply_weights
 from ..ops.rotation import resolve_kinship_with_host
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 
@@ -211,21 +212,19 @@ def bulkscan_distributed(
     from ..ops.lowrank import LowRankKinship
 
     if weights is not None:
-        if isinstance(K, LowRankKinship):
+        from ..ops.rotation import KinshipDecomposition
+
+        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
             raise ValueError(
                 "weights rescale the kinship matrix (K -> WKW); pass the raw "
                 "K, not a cached decomposition."
             )
         # Weights scale rows (individuals): local trait blocks scale
-        # independently; K -> WKW is identical on every process.
-        w = np.asarray(weights, dtype=np.float64)
-        if add_intercept:
-            covar = np.concatenate([np.ones((n, 1)), covar], axis=1)
-            add_intercept = False
-        Y_local = Y_local * w[:, None]
-        G = G * w[:, None]
-        covar = covar * w[:, None]
-        K = w[:, None] * np.asarray(K, dtype=np.float64) * w[None, :]
+        # independently; K -> WKW is identical on every process
+        # (models/scan.py::_apply_weights — host f64, non-positive warning).
+        Y_local, G, covar, K, add_intercept = _apply_weights(
+            Y_local, G, covar, K, weights, add_intercept
+        )
 
     if add_intercept:
         covar = np.concatenate([np.ones((n, 1)), covar], axis=1)

@@ -275,29 +275,34 @@ def scan_perms_sharded(
     if mesh is None:
         mesh = make_mesh()
 
-    y = jnp.asarray(y)
+    # host numpy float64 until the device casts below: the
+    # backend-deterministic null fit must see the untruncated phenotype
+    # (jnp.asarray would round to f32 when x64 is off), same as scan()
+    y = np.asarray(y, dtype=np.float64)
     y = y[:, None] if y.ndim == 1 else y
     n = y.shape[0]
-    g = jnp.asarray(g)
+    g = np.asarray(g, dtype=np.float64)
     if covar is None:
-        covar = jnp.ones((n, 1), dtype=y.dtype)
+        covar = np.ones((n, 1))
         add_intercept = False
     else:
-        covar = jnp.asarray(covar)
+        covar = np.asarray(covar, dtype=np.float64)
         covar = covar[:, None] if covar.ndim == 1 else covar
     n_covars = covar.shape[1] + (1 if add_intercept else 0)
 
-    rot = transform_rotation(
-        y, jnp.concatenate([covar, g], axis=1), K,
-        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
-    )
-    # Host float64 null fit: identical h2/coefficients to the unsharded
-    # engine (bit-equal across backends and mesh shapes; ops/hostfit.py).
+    # One host eigendecomposition, shared by the device rotation and the
+    # backend-deterministic float64 null fit (ops/hostfit.py) — raw K at
+    # cohort scale makes a second O(n^3) eigh the dominant setup cost.
     from ..models.scan import _host_null_fit
-    from ..ops.rotation import resolve_kinship_with_host
+    from ..ops.rotation import KinshipDecomposition, resolve_kinship_with_host
 
     dtype = precision.resolve_solve()
-    _, _, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+    Ut_d, lam_d, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+    rot = transform_rotation(
+        y, jnp.concatenate([covar, g], axis=1),
+        KinshipDecomposition(Ut=Ut_d, lam=lam_d),
+        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
+    )
     design = np.concatenate(
         [np.ones((n, 1))] * (1 if add_intercept else 0)
         + [np.asarray(covar, dtype=np.float64)],

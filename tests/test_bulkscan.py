@@ -145,3 +145,23 @@ def test_precision_presets_accuracy_bounds(bxd_like):
         # grid h2 selection must be identical across presets at 0.1 spacing
         assert np.allclose(np.asarray(out.h2_null_list, dtype=np.float64),
                            np.asarray(ref.h2_null_list))
+
+
+def test_bulkscan_invalid_engine_and_method(bxd_like):
+    """engine/method validation happens up front for every method — a typo
+    must never be silently ignored (also for LowRankKinship inputs)."""
+    import pytest
+
+    from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    with pytest.raises(ValueError, match="engine"):
+        bulkscan(Y, G, K, method="null-grid", engine="palas")
+    with pytest.raises(ValueError, match="alt-grid"):
+        bulkscan(Y, G, K, method="null-grid", engine="pallas")
+    with pytest.raises(ValueError, match="method"):
+        bulkscan(Y, G, K, method="banana")
+    lr = kinship_lowrank_exact(K, 10)
+    with pytest.raises(ValueError, match="LowRank"):
+        bulkscan(Y, G, lr, method="alt-grid", engine="pallas")

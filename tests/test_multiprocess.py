@@ -144,3 +144,34 @@ def test_local_trait_slice_partitions_exactly():
 
     sl = local_trait_slice(17)
     assert (sl.start, sl.stop) == (0, 17)
+
+
+def test_distributed_weights_guard_and_warning():
+    """bulkscan_distributed routes weights through the shared
+    _apply_weights: cached decompositions are rejected with the friendly
+    message and non-positive weights warn (reference src/wls.jl:35-37)."""
+    import warnings
+
+    import pytest
+
+    from bulklmm_tpu.ops.rotation import decompose_kinship
+    from bulklmm_tpu.parallel.distributed import bulkscan_distributed
+
+    rng = np.random.default_rng(5)
+    n, p, m = 30, 12, 8
+    import bulklmm_tpu as bl
+
+    G = rng.choice([0.0, 1.0], size=(n, p))
+    K = np.asarray(bl.calc_kinship(G))
+    Y = rng.normal(size=(n, m))
+    with pytest.raises(ValueError, match="cached decomposition"):
+        bulkscan_distributed(Y, G, decompose_kinship(K),
+                             weights=np.ones(n), m_total=m)
+    w = np.ones(n)
+    w[0] = -1.0
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        bulkscan_distributed(Y, G, K, weights=np.abs(w) + 0.5, m_total=m)
+        assert not any("not positive" in str(r.message) for r in rec)
+        bulkscan_distributed(Y, G, K, weights=w, m_total=m)
+        assert any("not positive" in str(r.message) for r in rec)

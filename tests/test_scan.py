@@ -166,3 +166,67 @@ def test_kinship_decomposition_cache(bxd_like):
     assert np.allclose(np.asarray(ra.L), np.asarray(rb.L))
     with pytest.raises(ValueError, match="cached decomposition"):
         scan(y, G, dec, weights=np.ones(bxd_like["n"]))
+
+
+def test_scan_degenerate_zero_trait_no_crash(bxd_like):
+    """An all-zero phenotype (rss0 == 0) must return a degenerate result,
+    not raise from inside the host float64 Brent (ops/hostfit.py floors
+    sigma2 at float64 tiny so math.log stays defined)."""
+    from bulklmm_tpu import scan, scan_perms_lite
+
+    G, K, n = bxd_like["G"], bxd_like["K"], bxd_like["n"]
+    res = scan(np.zeros(n), G, K)  # must not raise
+    assert np.asarray(res.lod).shape == (bxd_like["p"],)
+    res2 = scan_perms_lite(np.zeros(n), G, np.ones((n, 0)), K, nperms=4)
+    assert np.asarray(res2.L_perms).shape[1] == 4
+
+
+def test_scan_perms_lite_h2_matches_scan(bxd_like):
+    """scan_perms_lite and scan(permutation_test=True) share the
+    backend-deterministic host float64 null fit — with the same prior the
+    fitted h2/sigma2 must agree bit-exactly."""
+    from bulklmm_tpu import scan, scan_perms_lite
+
+    y, G, K = bxd_like["Y"][:, 3], bxd_like["G"], bxd_like["K"]
+    a = scan(y, G, K, permutation_test=True, nperms=8, prior_variance=1.0)
+    b = scan_perms_lite(y, G, np.ones((bxd_like["n"], 0)), K, nperms=8)
+    assert float(a.h2_null) == float(b.h2_null)
+    assert float(a.sigma2_e) == float(b.sigma2_e)
+
+
+def test_perms_host_fit_untruncated_without_x64(tmp_path):
+    """With x64 OFF (the TPU session default), scan_perms_lite and
+    scan_perms_sharded must still feed the host float64 null fit the
+    untruncated phenotype — h2/sigma2 bit-equal to scan()'s."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # x64 stays OFF
+        import numpy as np
+        import bulklmm_tpu as bl
+        from bulklmm_tpu.parallel import make_mesh, scan_perms_sharded
+
+        rng = np.random.default_rng(11)
+        n, p = 40, 16
+        G = rng.choice([0.0, 1.0], size=(n, p))
+        K = np.asarray(bl.calc_kinship(G))
+        # f64 phenotype with digits beyond f32 precision
+        y = rng.normal(size=n) * (1.0 + 1e-9 * rng.normal(size=n))
+        a = bl.scan(y, G, K, permutation_test=True, nperms=4,
+                    prior_variance=1.0)
+        b = bl.scan_perms_lite(y, G, np.ones((n, 0)), K, nperms=4)
+        c = scan_perms_sharded(y, G, K, mesh=make_mesh(8), nperms=4)
+        assert float(a.h2_null) == float(b.h2_null), (a.h2_null, b.h2_null)
+        assert float(a.h2_null) == float(c.h2_null), (a.h2_null, c.h2_null)
+        print("OK", float(a.h2_null))
+    """)
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout

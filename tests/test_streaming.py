@@ -87,3 +87,35 @@ def test_streamed_guards(cohort):
     bad = np.empty((3, 3), dtype=np.float32)
     with pytest.raises(ValueError, match="shape"):
         bl.bulkscan_streamed(Y, G, K, out=bad)
+    with pytest.raises(ValueError, match="engine"):
+        bl.bulkscan_streamed(Y, G, K, engine="palas")
+    with pytest.raises(ValueError, match="alt-grid"):
+        bl.bulkscan_streamed(Y, G, K, method="null-grid", engine="pallas")
+    with pytest.raises(ValueError, match="shape"):
+        bl.bulkscan_streamed(Y, G, K, output_pvals=True, out_pvals=bad)
+    lr = kinship_lowrank_exact(K, 10, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="LowRank"):
+        bl.bulkscan_streamed(Y, G, lr, method="alt-grid", engine="pallas")
+
+
+def test_streamed_pvals_blockwise_memmap(cohort, tmp_path):
+    """P-values are computed per block on the host (never a full-matrix
+    device round-trip) and can land in a caller-provided memmap."""
+    G, K, Y, covar = cohort
+    p, m = G.shape[1], Y.shape[1]
+    ref = bl.bulkscan(Y, G, K, covar, method="alt-grid", engine="xla",
+                      output_pvals=True)
+    pv = np.memmap(tmp_path / "pv.dat", dtype=np.float32, mode="w+",
+                   shape=(p, m))
+    st = bl.bulkscan_streamed(Y, G, K, covar, method="alt-grid",
+                              output_pvals=True, out_pvals=pv,
+                              marker_block=16)
+    assert st.log10Pvals_mat is pv
+    assert np.max(np.abs(pv - np.asarray(ref.log10Pvals_mat))) < 1e-5
+    # low-rank route too
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    ref_lr = bl.bulkscan(Y, G, lr, covar, output_pvals=True)
+    st_lr = bl.bulkscan_streamed(Y, G, lr, covar, output_pvals=True,
+                                 marker_block=16)
+    assert np.max(np.abs(st_lr.log10Pvals_mat
+                         - np.asarray(ref_lr.log10Pvals_mat))) < 1e-5
