@@ -413,10 +413,6 @@ def bulkscan(
             precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_panel=h2_panel)
-    else:
-        raise ValueError(
-            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
-        )
 
     if output_pvals:
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)

@@ -187,6 +187,8 @@ def bulkscan_streamed(
     elif out.shape != (p, m):
         raise ValueError(f"out must have shape {(p, m)}, got {out.shape}")
     pv = None
+    if out_pvals is not None and not output_pvals:
+        raise ValueError("out_pvals requires output_pvals=True")
     if output_pvals:
         pv = (
             out_pvals

@@ -239,7 +239,10 @@ def _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml):
     prior_a, prior_b = prior
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - c if reml else n) + prior_df
-    sigma2 = (rss0 + prior_a * prior_b) / denom
+    # same degenerate-trait floor as ops/wls.py / ops/hostfit.py
+    sigma2 = jnp.maximum(
+        (rss0 + prior_a * prior_b) / denom, jnp.finfo(rss0.dtype).tiny
+    )
     ell = -0.5 * (
         (n + prior_b) * jnp.log(sigma2) - logw_sum + (rss0 + prior_a * prior_b) / sigma2
     )

@@ -108,7 +108,11 @@ def wls(
 
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - p if reml else n) + prior_df
-    sigma2 = (rss0 + prior_a * prior_b) / denom
+    # degenerate traits (rss0 == 0 with a zero prior) floor at dtype tiny so
+    # log/likelihood stay finite — mirrors the host fit (ops/hostfit.py)
+    sigma2 = jnp.maximum(
+        (rss0 + prior_a * prior_b) / denom, jnp.finfo(rss0.dtype).tiny
+    )
 
     sum_log_w = jnp.sum(jnp.log(w))
     ell = -0.5 * (
@@ -165,7 +169,9 @@ def wls_ell(
 
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
     denom = (n - p if reml else n) + prior_df
-    sigma2 = (rss0 + prior_a * prior_b) / denom
+    sigma2 = jnp.maximum(
+        (rss0 + prior_a * prior_b) / denom, jnp.finfo(rss0.dtype).tiny
+    )
 
     ell = -0.5 * (
         (n + prior_b) * jnp.log(sigma2)

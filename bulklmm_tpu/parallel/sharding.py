@@ -281,7 +281,9 @@ def scan_perms_sharded(
     y = np.asarray(y, dtype=np.float64)
     y = y[:, None] if y.ndim == 1 else y
     n = y.shape[0]
-    g = np.asarray(g, dtype=np.float64)
+    # markers stay at native dtype — only y/covar feed the host f64 fit,
+    # and an (n, p) f64 copy would double host RAM at cohort scale
+    g = np.asarray(g)
     if covar is None:
         covar = np.ones((n, 1))
         add_intercept = False

@@ -165,3 +165,18 @@ def test_bulkscan_invalid_engine_and_method(bxd_like):
     lr = kinship_lowrank_exact(K, 10)
     with pytest.raises(ValueError, match="LowRank"):
         bulkscan(Y, G, lr, method="alt-grid", engine="pallas")
+
+
+def test_bulkscan_degenerate_trait_isolated(bxd_like):
+    """An all-zero trait column must not raise (device sigma2 floors at
+    dtype tiny, ops/wls.py) and must not perturb the other traits' LODs."""
+    from bulklmm_tpu import bulkscan
+
+    G, K = bxd_like["G"], bxd_like["K"]
+    Y = bxd_like["Y"][:, :6].copy()
+    ref = {m: np.asarray(bulkscan(Y, G, K, method=m).L)
+           for m in ("null-grid", "null-exact", "alt-grid")}
+    Yz = np.concatenate([Y, np.zeros((Y.shape[0], 1))], axis=1)
+    for m, refL in ref.items():
+        L = np.asarray(bulkscan(Yz, G, K, method=m).L)  # must not raise
+        assert np.array_equal(L[:, :6], refL), m
