@@ -84,9 +84,13 @@ def _scan(args):
         nperms=max(args.nperms, 1),
         rndseed=args.seed,
         output_pvals=args.pvals,
+        output_effects=args.effects,
         precision=precision,
     )
     out = {"lod": np.asarray(res.lod)}
+    if args.effects:
+        out["beta"] = np.asarray(res.beta)
+        out["beta_se"] = np.asarray(res.beta_se)
     meta = {
         "trait": args.trait,
         "h2_null": float(res.h2_null),
@@ -167,6 +171,10 @@ def main(argv=None):
     s.add_argument("--nperms", type=int, default=0, help=">0 enables permutation test")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--pvals", action="store_true")
+    s.add_argument(
+        "--effects", action="store_true",
+        help="also output per-marker GLS effect sizes + Wald SEs",
+    )
     s.set_defaults(fn=_scan)
 
     b = sub.add_parser("bulkscan", help="all-trait genome scan")

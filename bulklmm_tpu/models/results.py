@@ -23,6 +23,8 @@ class ScanResult:
     lod: jnp.ndarray  # (p,)
     h2_each_marker: Optional[jnp.ndarray] = None  # (p,), alt only
     L_perms: Optional[jnp.ndarray] = None  # (p, nperms), permutation test only
+    beta: Optional[jnp.ndarray] = None  # (p,) GLS marker effects, output_effects only
+    beta_se: Optional[jnp.ndarray] = None  # (p,) Wald standard errors
     log10pvals: Optional[jnp.ndarray] = None  # (p,)
     log10Pvals_perms: Optional[jnp.ndarray] = None  # (p, nperms)
     ll_list_null: Optional[jnp.ndarray] = None  # profile-LL grid values

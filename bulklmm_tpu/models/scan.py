@@ -181,6 +181,89 @@ def _scan_perms_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
     )
 
 
+def _effects_from_whitened(yt, Xt, Ct, *, method="qr"):
+    """Per-marker GLS effect sizes from Sigma^{-1/2}-scaled inputs.
+
+    For each marker j in the whitened model y = C a + x_j b_j + e
+    (e iid after whitening), Frisch-Waugh gives b_j = <x_j^perp, y^perp> /
+    ||x_j^perp||^2 with ^perp the residual against the whitened covariates.
+    SE uses the per-marker unbiased residual variance rss_j / (n - c - 1)
+    (the GEMMA-style Wald convention). TPU addition — the reference outputs
+    LODs only (src/scan.jl:94-109).
+    """
+    from ..ops.wls import resid
+
+    n, c = Ct.shape
+    yperp = resid(yt, Ct, method=method)
+    Xperp = resid(Xt, Ct, method=method)
+    nx2 = jnp.maximum(
+        jnp.sum(Xperp * Xperp, axis=0), jnp.finfo(yt.dtype).tiny
+    )
+    cov = (Xperp.T @ yperp)[:, 0]
+    ny2 = jnp.sum(yperp * yperp)
+    beta = cov / nx2
+    rss = jnp.maximum(ny2 - cov * cov / nx2, 0.0)
+    dof = max(n - c - 1, 1)
+    se = jnp.sqrt(rss / dof / nx2)
+    return beta, se
+
+
+@partial(jax.jit, static_argnames=("method",))
+@with_highest_matmul
+def _effects_null_pipeline(y, Xm, C, Ut, lam, h2, *, method):
+    """Marker effects under the shared null-model h2 (assumption='null')."""
+    from ..ops.weights import make_weights
+
+    sw = jnp.sqrt(make_weights(h2, lam))[:, None]
+    return _effects_from_whitened(
+        jnp.matmul(Ut, y) * sw, jnp.matmul(Ut, Xm) * sw,
+        jnp.matmul(Ut, C) * sw, method=method,
+    )
+
+
+@partial(jax.jit, static_argnames=("method", "alt"))
+@with_highest_matmul
+def _effects_lowrank_pipeline(y, Xm, C, U, lam, h2_or_h2s, *, method, alt):
+    """Marker effects on a rank-k kinship: explicit Sigma^{-1/2} whitening
+    (ops/lowrank.py::whiten_lowrank, two (n, k) GEMMs per operand) feeds
+    the same Frisch-Waugh effects kernel as the rotated path."""
+    from ..ops.lowrank import whiten_lowrank
+
+    if not alt:
+        yw = whiten_lowrank(y, U, lam, h2_or_h2s)
+        Xw = whiten_lowrank(Xm, U, lam, h2_or_h2s)
+        Cw = whiten_lowrank(C, U, lam, h2_or_h2s)
+        return _effects_from_whitened(yw, Xw, Cw, method=method)
+
+    def one(x, h2):
+        yw = whiten_lowrank(y, U, lam, h2)
+        xw = whiten_lowrank(x[:, None], U, lam, h2)
+        Cw = whiten_lowrank(C, U, lam, h2)
+        b, s = _effects_from_whitened(yw, xw, Cw, method=method)
+        return b[0], s[0]
+
+    return jax.vmap(one, in_axes=(1, 0))(Xm, h2_or_h2s)
+
+
+@partial(jax.jit, static_argnames=("method",))
+@with_highest_matmul
+def _effects_alt_pipeline(y, Xm, C, Ut, lam, h2s, *, method):
+    """Marker effects with each marker's own fitted h2 (assumption='alt')."""
+    from ..ops.weights import make_weights
+
+    y0, X0m, C0 = jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
+
+    def one(x, h2):
+        sw = jnp.sqrt(make_weights(h2, lam))
+        b, s = _effects_from_whitened(
+            y0 * sw[:, None], (x * sw)[:, None], C0 * sw[:, None],
+            method=method,
+        )
+        return b[0], s[0]
+
+    return jax.vmap(one, in_axes=(1, 0))(X0m, h2s)
+
+
 def _host_null_fit(y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype):
     """Rotate y/covariates on the host in float64 and fit the null model
     there (ops/hostfit.py) so h2 is bit-identical on every backend; returns
@@ -242,6 +325,7 @@ def _scan_lowrank(
     y, g, covar, K, *, prior, reml, assumption, method, optim_interval,
     permutation_test, nperms, rndseed, profile_ll, marker_id, h2_grid,
     output_pvals, chisq_df, precision, compat_sqrt_weights,
+    output_effects=False,
 ):
     """Single-trait scan on a :class:`~bulklmm_tpu.ops.lowrank.LowRankKinship`.
 
@@ -319,6 +403,13 @@ def _scan_lowrank(
     else:
         raise ValueError("Assumption keyword is not supported. Please enter null or alt.")
 
+    if output_effects:
+        result.beta, result.beta_se = _effects_lowrank_pipeline(
+            yd, Xm, C, U, lam,
+            h2 if assumption == "null" else result.h2_each_marker,
+            method=method, alt=assumption == "alt",
+        )
+
     if profile_ll:
         if h2_grid is None:
             h2_grid = jnp.arange(0.0, 1.0, 0.05)
@@ -358,6 +449,7 @@ def scan(
     chisq_df: int = 1,
     precision: PrecisionConfig = DEFAULT_PRECISION,
     compat_sqrt_weights: bool = False,
+    output_effects: bool = False,
 ):
     """Genome scan for a single quantitative trait.
 
@@ -372,6 +464,11 @@ def scan(
     re-evaluates both likelihoods with sqrt-weights and ML. Off by default —
     the default evaluates the likelihood ratio with correctly-scaled weights
     (see COMPAT.md #1).
+
+    ``output_effects`` (TPU addition; the reference outputs LODs only)
+    attaches GEMMA-style per-marker GLS effect sizes and Wald standard
+    errors (``result.beta``, ``result.beta_se``) — under the shared null h2
+    for ``assumption="null"``, or each marker's own fitted h2 for "alt".
 
     Returns a :class:`ScanResult`; when ``profile_ll`` is set, returns a
     ``(ScanResult, (ll_list_null, ll_list_alt))`` tuple like the reference.
@@ -427,6 +524,7 @@ def scan(
             marker_id=marker_id, h2_grid=h2_grid, output_pvals=output_pvals,
             chisq_df=chisq_df, precision=precision,
             compat_sqrt_weights=compat_sqrt_weights,
+            output_effects=output_effects,
         )
     dtype = precision.resolve_solve()
     Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
@@ -476,6 +574,16 @@ def scan(
             result.log10pvals = lod2log10p(result.lod, chisq_df)
     else:
         raise ValueError("Assumption keyword is not supported. Please enter null or alt.")
+
+    if output_effects:
+        if assumption == "null":
+            result.beta, result.beta_se = _effects_null_pipeline(
+                y, Xm, C, Ut, lam, null_fit.h2, method=method
+            )
+        else:
+            result.beta, result.beta_se = _effects_alt_pipeline(
+                y, Xm, C, Ut, lam, result.h2_each_marker, method=method
+            )
 
     if profile_ll:
         from ..analysis.profile_ll import profile_LL

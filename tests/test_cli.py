@@ -134,3 +134,16 @@ def test_cli_kinship_precision_flag(csv_data):
     K32 = np.loadtxt(csv_data / "K.csv", delimiter=",")  # from test_cli_kinship
     assert np.allclose(K64, K32, atol=1e-6)
     assert np.allclose(np.diag(K64), 1.0)
+
+
+def test_cli_scan_effects(csv_data):
+    r = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--trait", "1", "--effects",
+              "-o", "eff.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = np.load(csv_data / "eff.npz")
+    assert out["beta"].shape == out["lod"].shape == out["beta_se"].shape
+    assert np.all(out["beta_se"] > 0)
+    # Wald and LOD rank markers identically (same partial correlation)
+    t = np.abs(out["beta"] / out["beta_se"])
+    assert np.argmax(t) == np.argmax(out["lod"])
