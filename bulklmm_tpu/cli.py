@@ -129,8 +129,12 @@ def _bulkscan(args):
         precision=precision,
         trait_chunk=args.trait_chunk,
         output_pvals=args.pvals,
+        output_effects=args.effects,
     )
     out = {"L": np.asarray(res.L)}
+    if args.effects:
+        out["beta"] = np.asarray(res.beta_mat)
+        out["beta_se"] = np.asarray(res.beta_se_mat)
     if res.h2_null_list is not None:
         out["h2_null_list"] = np.asarray(res.h2_null_list)
     if res.h2_panel is not None:
@@ -186,6 +190,10 @@ def main(argv=None):
     b.add_argument("--reml", action="store_true")
     b.add_argument("--trait-chunk", type=int, default=None)
     b.add_argument("--pvals", action="store_true")
+    b.add_argument(
+        "--effects", action="store_true",
+        help="also output (p, m) GLS effect sizes + Wald SEs (null methods)",
+    )
     b.add_argument(
         "--lowrank-k", type=int, default=0,
         help="use the rank-k kinship engine (no n x n kinship / host eigh); "

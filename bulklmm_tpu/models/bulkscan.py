@@ -264,6 +264,34 @@ def _alt_grid_pallas_pipeline(
     return _chunk_traits(impl, Y0, trait_chunk=trait_chunk)
 
 
+@partial(jax.jit, static_argnames=("precision",))
+@with_highest_matmul
+def _bulk_effects_pipeline(Y, Xm, C, Ut, lam, h2_list, *, precision):
+    """(p, m) GLS effects + Wald SEs at the fitted per-trait null h2
+    (ops/liteqtl.py::effects_per_trait), rotation fused in."""
+    from ..ops.liteqtl import effects_per_trait
+
+    return effects_per_trait(
+        jnp.matmul(Ut, Y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C),
+        lam, h2_list, precision=precision,
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "precision"))
+@with_highest_matmul
+def _bulk_effects_lowrank_pipeline(Y, Xm, C, U, lam, h2_list, *, n, precision):
+    from ..ops.lowrank import (
+        LowRankKinship, _base_parts, _parts_kwargs, effects_per_trait_lowrank,
+    )
+
+    lr = LowRankKinship(U=U, lam=lam)
+    parts = _base_parts(Y, Xm, C, lr, **_parts_kwargs(precision))
+    kdt = precision.resolve_kernel()
+    return effects_per_trait_lowrank(
+        parts, lam.astype(kdt), h2_list.astype(kdt), n, precision=precision
+    )
+
+
 def bulkscan(
     Y,
     G,
@@ -285,6 +313,7 @@ def bulkscan(
     precision: PrecisionConfig = DEFAULT_PRECISION,
     trait_chunk=None,
     engine: str = "auto",
+    output_effects: bool = False,
 ) -> BulkScanResult:
     """Genome scan for many traits at once.
 
@@ -303,6 +332,10 @@ def bulkscan(
     keeping the running-max carry in VMEM beats the XLA ``lax.scan``
     formulation ~3x; other backends/dtypes use XLA. The null engines are
     XLA-only (profiling favors XLA there; docs/PERF.md "Pallas status").
+
+    ``output_effects`` (TPU addition; null methods only): attach (p, m)
+    GEMMA-style GLS effect sizes and Wald SEs at each trait's fitted null
+    h2 (``result.beta_mat`` / ``result.beta_se_mat``).
     """
     if method not in ("null-grid", "null-exact", "alt-grid"):
         raise ValueError(
@@ -314,6 +347,12 @@ def bulkscan(
         raise ValueError(
             "engine='pallas' is only available for method='alt-grid' "
             "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
+        )
+    if output_effects and method == "alt-grid":
+        raise ValueError(
+            "output_effects applies to the null methods (one h2 per trait); "
+            "for per-marker-h2 effects run scan(assumption='alt', "
+            "output_effects=True) on the trait of interest"
         )
 
     Y = jnp.asarray(Y)
@@ -375,6 +414,14 @@ def bulkscan(
             result = BulkScanResult(L=L, h2_panel=h2_list)
         else:
             result = BulkScanResult(L=L, h2_null_list=h2_list)
+            if output_effects:
+                result.beta_mat, result.beta_se_mat = (
+                    _bulk_effects_lowrank_pipeline(
+                        Y.astype(dtype), G.astype(dtype), covar.astype(dtype),
+                        K.U.astype(dtype), K.lam.astype(dtype),
+                        result.h2_null_list, n=n, precision=precision,
+                    )
+                )
         if output_pvals:
             result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
             result.chisq_df = chisq_df
@@ -413,6 +460,11 @@ def bulkscan(
             precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_panel=h2_panel)
+
+    if output_effects:
+        result.beta_mat, result.beta_se_mat = _bulk_effects_pipeline(
+            Y, Xm, C, Ut, lam, result.h2_null_list, precision=precision
+        )
 
     if output_pvals:
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)

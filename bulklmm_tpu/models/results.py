@@ -38,5 +38,7 @@ class BulkScanResult:
     L: jnp.ndarray  # (p, m) LOD matrix
     h2_null_list: Optional[jnp.ndarray] = None  # (m,) null/grid methods
     h2_panel: Optional[jnp.ndarray] = None  # (p, m) alt-grid
+    beta_mat: Optional[jnp.ndarray] = None  # (p, m) GLS effects, output_effects only
+    beta_se_mat: Optional[jnp.ndarray] = None  # (p, m) Wald standard errors
     log10Pvals_mat: Optional[jnp.ndarray] = None  # (p, m)
     chisq_df: Optional[int] = None

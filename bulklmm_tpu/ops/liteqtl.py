@@ -41,7 +41,7 @@ from .weights import make_weights
 
 
 @with_highest_matmul
-def weighted_correlation_per_trait(
+def _nd_parts_per_trait(
     Y0,
     X0m,
     C0,
@@ -49,8 +49,10 @@ def weighted_correlation_per_trait(
     h2_per_trait,
     *,
     precision: PrecisionConfig = DEFAULT_PRECISION,
-) -> jnp.ndarray:
-    """(p, m) partial correlations with a distinct h2 (weight vector) per trait.
+):
+    """Shared core: (N, D, nrm2) — the (p, m) partial covariance numerator,
+    the (p, m) residualized marker norm^2, and the (m,) residualized trait
+    norm^2, all in the weighted (per-trait h2) metric.
 
     Y0: (n, m) rotated traits; X0m: (n, p) rotated markers; C0: (n, c)
     rotated covariates; lam: (n,) eigenvalues; h2_per_trait: (m,).
@@ -111,7 +113,43 @@ def weighted_correlation_per_trait(
         N = N - Z[k] * zeta[k][None, :]
     D = residual_sq(D1, Z)
 
+    return N, D, nrm2
+
+
+def weighted_correlation_per_trait(
+    Y0, X0m, C0, lam, h2_per_trait, *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+) -> jnp.ndarray:
+    """(p, m) partial correlations with a distinct h2 (weight vector) per
+    trait (see :func:`_nd_parts_per_trait` for the kernel derivation)."""
+    N, D, nrm2 = _nd_parts_per_trait(
+        Y0, X0m, C0, lam, h2_per_trait, precision=precision
+    )
     return N / jnp.sqrt(D * nrm2[None, :])
+
+
+def effects_per_trait(
+    Y0, X0m, C0, lam, h2_per_trait, *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """(p, m) GLS marker effects + Wald SEs with per-trait h2 weights.
+
+    Same Frisch-Waugh quantities as the correlation kernel: beta = N / D,
+    per-(marker, trait) weighted RSS = nrm2 - N^2/D, SE from the unbiased
+    residual variance rss / (n - c - 1) (the convention of
+    ``models/scan.py::_effects_from_whitened``). TPU addition — the
+    reference outputs LODs only.
+    """
+    n, c = C0.shape
+    N, D, nrm2 = _nd_parts_per_trait(
+        Y0, X0m, C0, lam, h2_per_trait, precision=precision
+    )
+    D = jnp.maximum(D, jnp.finfo(D.dtype).tiny)
+    beta = N / D
+    rss = jnp.maximum(nrm2[None, :] - N * N / D, 0.0)
+    dof = max(n - c - 1, 1)
+    se = jnp.sqrt(rss / dof / D)
+    return beta, se
 
 
 @with_highest_matmul

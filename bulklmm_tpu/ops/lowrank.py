@@ -380,18 +380,13 @@ def _base_parts(Y, Xm, C, lr, *, gemm_dtype, kernel_dtype, gemm_precision):
     return {**_marker_parts(Xm, C, lr, **kw), **_trait_parts(Y, Xm, C, lr, **kw)}
 
 
-def lods_per_trait_lowrank(
-    parts, lam, h2_per_trait, n, *, precision: PrecisionConfig = DEFAULT_PRECISION
+def _nd_parts_lowrank(
+    parts, lam, h2_per_trait, *, precision: PrecisionConfig = DEFAULT_PRECISION
 ):
-    """(p, m) LOD matrix with a distinct h2 per trait, rank-k weights.
-
-    Identical epilogue to ops/liteqtl.py::weighted_correlation_per_trait
-    (unrolled Cholesky + forward substitution + residual floors); the
-    h2-dependent terms are (p, k)(k, m) GEMMs with the per-trait weight
-    corrections folded elementwise into the (k, m) projections.
+    """Shared rank-k core: (N, D, nrm2) in the per-trait weighted metric —
+    same quantities as ops/liteqtl.py::_nd_parts_per_trait with rank-k
+    Woodbury corrections in place of rotation.
     """
-    from .liteqtl import _fast_log
-
     pgp = precision.gemm_precision
     P, Q, R = parts["P"], parts["Q"], parts["R"]
     c = parts["CtC"].shape[0]
@@ -424,8 +419,39 @@ def lods_per_trait_lowrank(
     for a in range(c):
         N = N - Z[a] * zeta[a][None, :]
     D = residual_sq(D1, Z)
+    return N, D, nrm2
+
+
+def lods_per_trait_lowrank(
+    parts, lam, h2_per_trait, n, *, precision: PrecisionConfig = DEFAULT_PRECISION
+):
+    """(p, m) LOD matrix with a distinct h2 per trait, rank-k weights.
+
+    Identical epilogue to ops/liteqtl.py::weighted_correlation_per_trait
+    (unrolled Cholesky + forward substitution + residual floors); the
+    h2-dependent terms are (p, k)(k, m) GEMMs with the per-trait weight
+    corrections folded elementwise into the (k, m) projections.
+    """
+    from .liteqtl import _fast_log
+
+    N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
     r = N / jnp.sqrt(D * nrm2[None, :])
     return r2lod(r, n, fast_log=_fast_log(precision))
+
+
+def effects_per_trait_lowrank(
+    parts, lam, h2_per_trait, n, *, precision: PrecisionConfig = DEFAULT_PRECISION
+):
+    """(p, m) GLS marker effects + Wald SEs on the rank-k kinship — the
+    Woodbury counterpart of ops/liteqtl.py::effects_per_trait."""
+    c = parts["CtC"].shape[0]
+    N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
+    D = jnp.maximum(D, jnp.finfo(D.dtype).tiny)
+    beta = N / D
+    rss = jnp.maximum(nrm2[None, :] - N * N / D, 0.0)
+    dof = max(n - c - 1, 1)
+    se = jnp.sqrt(rss / dof / D)
+    return beta, se
 
 
 def _alt_grid_lowrank(parts, lam, h2_grid, prior, *, n, precision, reml=False):

@@ -147,3 +147,12 @@ def test_cli_scan_effects(csv_data):
     # Wald and LOD rank markers identically (same partial correlation)
     t = np.abs(out["beta"] / out["beta_se"])
     assert np.argmax(t) == np.argmax(out["lod"])
+
+
+def test_cli_bulkscan_effects(csv_data):
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--effects", "-o", "beff.npz"],
+             csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = np.load(csv_data / "beff.npz")
+    assert out["beta"].shape == out["L"].shape == out["beta_se"].shape

@@ -97,3 +97,35 @@ def test_effects_wald_consistent_with_lod(bxd_like):
     lod = np.asarray(res.lod)
     assert np.array_equal(np.argsort(t), np.argsort(lod))
     assert float(res.beta[17]) > 0
+
+
+def test_bulkscan_effects_match_gls_oracle(bxd_like):
+    """bulkscan(output_effects=True): each (marker, trait) beta/SE equals
+    the direct GLS solve at that trait's fitted null h2."""
+    G = bxd_like["G"][:, :16]
+    Y = bxd_like["Y"][:, :3]
+    K, n = bxd_like["K"], bxd_like["n"]
+    res = bl.bulkscan(Y, G, K, output_effects=True)
+    C = np.ones((n, 1))
+    h2s = np.asarray(res.h2_null_list)
+    for j in range(Y.shape[1]):
+        eb, es = _oracle_effects(Y[:, j], G, C, K, float(h2s[j]))
+        assert np.max(np.abs(np.asarray(res.beta_mat[:, j]) - eb)) < 1e-8, j
+        assert np.max(np.abs(np.asarray(res.beta_se_mat[:, j]) - es)) < 1e-8, j
+
+
+def test_bulkscan_effects_lowrank_and_guards(bxd_like):
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    G = bxd_like["G"][:, :16]
+    Y = bxd_like["Y"][:, :3]
+    K, n = bxd_like["K"], bxd_like["n"]
+    full = bl.bulkscan(Y, G, K, method="null-exact", output_effects=True)
+    lr = kinship_lowrank_exact(K, n, dtype=jnp.float64)
+    low = bl.bulkscan(Y, G, lr, method="null-exact", output_effects=True)
+    assert np.max(np.abs(np.asarray(full.beta_mat)
+                         - np.asarray(low.beta_mat))) < 1e-6
+    assert np.max(np.abs(np.asarray(full.beta_se_mat)
+                         - np.asarray(low.beta_se_mat))) < 1e-6
+    with pytest.raises(ValueError, match="null methods"):
+        bl.bulkscan(Y, G, K, method="alt-grid", output_effects=True)
