@@ -69,11 +69,18 @@ def _fit_h2_rotated(Y, C, Ut, lam, h2_grid, *, prior, reml, method,
     return Y0, C0, h2_list
 
 
-@partial(jax.jit, static_argnames=("precision",))
+@partial(jax.jit, static_argnames=("precision", "effects"))
 @with_highest_matmul
-def _block_lods(Y0, Xb, C0, Ut, lam, h2_list, *, precision):
-    """Rotate one marker block and compute its (pb, m) LOD slab."""
+def _block_lods(Y0, Xb, C0, Ut, lam, h2_list, *, precision, effects=False):
+    """Rotate one marker block and compute its (pb, m) LOD slab (plus the
+    GLS effects slab when ``effects`` — shared parts, one pass)."""
     X0b = jnp.matmul(Ut, Xb)
+    if effects:
+        from ..ops.liteqtl import lods_and_effects_per_trait
+
+        return lods_and_effects_per_trait(
+            Y0, X0b, C0, lam, h2_list, precision=precision
+        )
     return lods_per_trait(Y0, X0b, C0, lam, h2_list, precision=precision)
 
 
@@ -131,6 +138,7 @@ def bulkscan_streamed(
     out=None,
     out_pvals=None,
     engine: str = "auto",
+    output_effects: bool = False,
 ) -> BulkScanResult:
     """Bulk scan over a HOST-resident genotype panel, streamed in marker
     blocks — for p too large to hold (n, p) genotypes or the (p, m) LOD
@@ -142,8 +150,11 @@ def bulkscan_streamed(
     ``output_pvals=True`` — p-values are computed block-by-block on the
     host, never materializing the LOD matrix on device). ``engine``
     selects the alt-grid implementation exactly as in :func:`bulkscan`
-    ("auto" uses the fused Pallas kernel per block on TPU). Keyword
-    surface otherwise mirrors :func:`bulkscan` (same engines and numerics
+    ("auto" uses the fused Pallas kernel per block on TPU).
+    ``output_effects`` (null methods) streams the (p, m) GLS effects +
+    Wald SEs alongside the LODs from the same per-block kernel pass.
+    Keyword surface otherwise mirrors :func:`bulkscan` (same engines and
+    numerics
     — each block goes through the identical kernels), minus ``weights``
     (pre-scale with the in-memory API) and ``trait_chunk`` (size
     ``marker_block`` instead). Returns a :class:`BulkScanResult` whose
@@ -176,6 +187,12 @@ def bulkscan_streamed(
             "engine='pallas' is only available for method='alt-grid' "
             "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
         )
+    if output_effects and method == "alt-grid":
+        raise ValueError(
+            "output_effects applies to the null methods (one h2 per trait); "
+            "for per-marker-h2 effects run scan(assumption='alt', "
+            "output_effects=True) on the trait of interest"
+        )
 
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
@@ -200,6 +217,12 @@ def bulkscan_streamed(
                 f"out_pvals must have shape {(p, m)}, got {pv.shape}"
             )
 
+    eff = (
+        (np.empty((p, m), dtype=out.dtype), np.empty((p, m), dtype=out.dtype))
+        if output_effects
+        else None
+    )
+
     from ..ops.lowrank import LowRankKinship
 
     if isinstance(K, LowRankKinship):
@@ -212,7 +235,7 @@ def bulkscan_streamed(
             Y, G, covar, K, out,
             method=method, block=block, h2_grid=h2_grid, prior=prior,
             reml=reml, optim_interval=optim_interval, precision=precision,
-            pv=pv, chisq_df=chisq_df, dtype=dtype, n=n,
+            pv=pv, chisq_df=chisq_df, dtype=dtype, n=n, eff=eff,
         )
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
@@ -255,7 +278,13 @@ def bulkscan_streamed(
             optim_interval=optim_interval, precision=precision,
         )
 
-        def write_null(lo, hi, Lb):
+        def write_null(lo, hi, res):
+            if eff is not None:
+                Lb, bb, sb = res
+                eff[0][lo:hi] = np.asarray(bb[: hi - lo])
+                eff[1][lo:hi] = np.asarray(sb[: hi - lo])
+            else:
+                Lb = res
             out[lo:hi] = np.asarray(Lb[: hi - lo])
             if pv is not None:
                 pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
@@ -263,12 +292,15 @@ def bulkscan_streamed(
         _stream_loop(
             G, p, block, dtype,
             lambda Xb: _block_lods(
-                Y0, Xb, C0, Ut, lam, h2_list, precision=precision
+                Y0, Xb, C0, Ut, lam, h2_list, precision=precision,
+                effects=eff is not None,
             ),
             write_null,
         )
         result = BulkScanResult(L=out, h2_null_list=h2_list)
 
+    if eff is not None:
+        result.beta_mat, result.beta_se_mat = eff
     if pv is not None:
         result.log10Pvals_mat = pv
         result.chisq_df = chisq_df
@@ -319,7 +351,7 @@ def _lr_trait_fit(Y, C, U, lam, h2_grid, *, n, prior, reml, method,
 
 def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
                       reml, optim_interval, precision, pv, chisq_df,
-                      dtype, n):
+                      dtype, n, eff=None):
     m = Y.shape[1]
     p = G.shape[1]
     Yd = Y.astype(dtype)
@@ -342,6 +374,10 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
         if alt:
             Lb, h2b = res
             h2_panel[lo:hi] = np.asarray(h2b[: hi - lo])
+        elif eff is not None:
+            Lb, bb, sb = res
+            eff[0][lo:hi] = np.asarray(bb[: hi - lo])
+            eff[1][lo:hi] = np.asarray(sb[: hi - lo])
         else:
             Lb = res
         out[lo:hi] = np.asarray(Lb[: hi - lo])
@@ -353,6 +389,7 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
         lambda Xb: _lr_block_with_y(
             Xb, Yd, Cd, U, lam, tbase, grid_d if alt else h2_list,
             n=n, prior=prior, reml=reml, precision=precision, alt=alt,
+            effects=eff is not None,
         ),
         write,
     )
@@ -360,19 +397,21 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
         result = BulkScanResult(L=out, h2_panel=h2_panel)
     else:
         result = BulkScanResult(L=out, h2_null_list=h2_list)
+        if eff is not None:
+            result.beta_mat, result.beta_se_mat = eff
     if pv is not None:
         result.log10Pvals_mat = pv
         result.chisq_df = chisq_df
     return result
 
 
-@partial(jax.jit, static_argnames=_STATIC + ("n", "alt"))
+@partial(jax.jit, static_argnames=_STATIC + ("n", "alt", "effects"))
 @with_highest_matmul
 def _lr_block_with_y(Xb, Y, C, U, lam, tbase, h2_or_grid, *, n, prior, reml,
-                     precision, alt=False):
+                     precision, alt=False, effects=False):
     from ..ops.lowrank import (
         LowRankKinship, _alt_grid_lowrank, _marker_side_parts, _parts_kwargs,
-        lods_per_trait_lowrank,
+        lods_and_effects_lowrank, lods_per_trait_lowrank,
     )
 
     lr = LowRankKinship(U=U, lam=lam)
@@ -389,6 +428,10 @@ def _lr_block_with_y(Xb, Y, C, U, lam, tbase, h2_or_grid, *, n, prior, reml,
         return _alt_grid_lowrank(
             parts, lam_k, h2_or_grid.astype(kdt), prior,
             n=n, precision=precision, reml=reml,
+        )
+    if effects:
+        return lods_and_effects_lowrank(
+            parts, lam_k, h2_or_grid.astype(kdt), n, precision=precision
         )
     return lods_per_trait_lowrank(
         parts, lam_k, h2_or_grid.astype(kdt), n, precision=precision

@@ -128,28 +128,48 @@ def weighted_correlation_per_trait(
     return N / jnp.sqrt(D * nrm2[None, :])
 
 
-def effects_per_trait(
-    Y0, X0m, C0, lam, h2_per_trait, *,
-    precision: PrecisionConfig = DEFAULT_PRECISION,
-):
-    """(p, m) GLS marker effects + Wald SEs with per-trait h2 weights.
-
-    Same Frisch-Waugh quantities as the correlation kernel: beta = N / D,
-    per-(marker, trait) weighted RSS = nrm2 - N^2/D, SE from the unbiased
-    residual variance rss / (n - c - 1) (the convention of
-    ``models/scan.py::_effects_from_whitened``). TPU addition — the
-    reference outputs LODs only.
-    """
-    n, c = C0.shape
-    N, D, nrm2 = _nd_parts_per_trait(
-        Y0, X0m, C0, lam, h2_per_trait, precision=precision
-    )
+def _effects_from_nd(N, D, nrm2, n, c):
+    """beta = N / D; SE from the per-(marker, trait) unbiased residual
+    variance (nrm2 - N^2/D) / (n - c - 1) — the convention of
+    ``models/scan.py::_effects_from_whitened``."""
     D = jnp.maximum(D, jnp.finfo(D.dtype).tiny)
     beta = N / D
     rss = jnp.maximum(nrm2[None, :] - N * N / D, 0.0)
     dof = max(n - c - 1, 1)
     se = jnp.sqrt(rss / dof / D)
     return beta, se
+
+
+def effects_per_trait(
+    Y0, X0m, C0, lam, h2_per_trait, *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """(p, m) GLS marker effects + Wald SEs with per-trait h2 weights.
+
+    Same Frisch-Waugh quantities as the correlation kernel. TPU addition —
+    the reference outputs LODs only.
+    """
+    n, c = C0.shape
+    N, D, nrm2 = _nd_parts_per_trait(
+        Y0, X0m, C0, lam, h2_per_trait, precision=precision
+    )
+    return _effects_from_nd(N, D, nrm2, n, c)
+
+
+def lods_and_effects_per_trait(
+    Y0, X0m, C0, lam, h2_per_trait, *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """(lod, beta, se) from ONE parts computation — for streamed engines
+    where recomputing the (c+2) GEMMs per block would double the cost."""
+    n, c = C0.shape
+    N, D, nrm2 = _nd_parts_per_trait(
+        Y0, X0m, C0, lam, h2_per_trait, precision=precision
+    )
+    r = N / jnp.sqrt(D * nrm2[None, :])
+    lod = r2lod(r, n, fast_log=_fast_log(precision))
+    beta, se = _effects_from_nd(N, D, nrm2, n, c)
+    return lod, beta, se
 
 
 @with_highest_matmul

@@ -444,14 +444,25 @@ def effects_per_trait_lowrank(
 ):
     """(p, m) GLS marker effects + Wald SEs on the rank-k kinship — the
     Woodbury counterpart of ops/liteqtl.py::effects_per_trait."""
+    from .liteqtl import _effects_from_nd
+
     c = parts["CtC"].shape[0]
     N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
-    D = jnp.maximum(D, jnp.finfo(D.dtype).tiny)
-    beta = N / D
-    rss = jnp.maximum(nrm2[None, :] - N * N / D, 0.0)
-    dof = max(n - c - 1, 1)
-    se = jnp.sqrt(rss / dof / D)
-    return beta, se
+    return _effects_from_nd(N, D, nrm2, n, c)
+
+
+def lods_and_effects_lowrank(
+    parts, lam, h2_per_trait, n, *, precision: PrecisionConfig = DEFAULT_PRECISION
+):
+    """(lod, beta, se) from ONE rank-k parts computation (streamed blocks)."""
+    from .liteqtl import _effects_from_nd, _fast_log
+
+    c = parts["CtC"].shape[0]
+    N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
+    r = N / jnp.sqrt(D * nrm2[None, :])
+    lod = r2lod(r, n, fast_log=_fast_log(precision))
+    beta, se = _effects_from_nd(N, D, nrm2, n, c)
+    return lod, beta, se
 
 
 def _alt_grid_lowrank(parts, lam, h2_grid, prior, *, n, precision, reml=False):

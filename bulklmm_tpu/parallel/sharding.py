@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from functools import partial
+
 from ..models.bulkscan import (
     _bulkscan_alt_grid_core,
     _bulkscan_null_exact_core,
@@ -122,15 +124,25 @@ def bulkscan_sharded(
     chisq_df: int = 1,
     solve_method: str = "qr",
     precision: PrecisionConfig = DEFAULT_PRECISION,
+    output_effects: bool = False,
 ) -> BulkScanResult:
     """Multi-trait scan sharded over a device mesh.
 
     Same numerics as :func:`bulklmm_tpu.bulkscan` (the cores are shared);
     this wrapper only changes data placement. Works on any mesh from
-    :func:`make_mesh`, including a multi-host one.
+    :func:`make_mesh`, including a multi-host one. ``output_effects``
+    attaches the sharded (p, m) GLS effects + Wald SEs (null methods; the
+    effects kernel contracts over the replicated individuals axis, so it
+    stays collective-free like the LOD kernel).
     """
     if mesh is None:
         mesh = make_mesh()
+    if output_effects and method == "alt-grid":
+        raise ValueError(
+            "output_effects applies to the null methods (one h2 per trait); "
+            "for per-marker-h2 effects run scan(assumption='alt', "
+            "output_effects=True) on the trait of interest"
+        )
 
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y
@@ -200,6 +212,12 @@ def bulkscan_sharded(
             result = BulkScanResult(L=L[:p, :m], h2_panel=h2_list[:p, :m])
         else:
             result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+            if output_effects:
+                bm, sm = _effects_lowrank_core(
+                    Ys, Gs, Cs, Us, lams, h2_list,
+                    n=n, precision=precision,
+                )
+                result.beta_mat, result.beta_se_mat = bm[:p, :m], sm[:p, :m]
         if output_pvals:
             from ..ops.lod import lod2log10p
 
@@ -238,12 +256,46 @@ def bulkscan_sharded(
         raise ValueError(
             "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
         )
+    if output_effects:
+        bm, sm = _effects_sharded_core(
+            y0s, X0ms, C0s, lams, h2_list, precision=precision
+        )
+        result.beta_mat, result.beta_se_mat = bm[:p, :m], sm[:p, :m]
     if output_pvals:
         from ..ops.lod import lod2log10p
 
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
         result.chisq_df = chisq_df
     return result
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _effects_sharded_core(y0s, X0ms, C0s, lams, h2_list, *, precision):
+    from ..ops.liteqtl import effects_per_trait
+    from ..utils.config import with_highest_matmul
+
+    return with_highest_matmul(effects_per_trait)(
+        y0s, X0ms, C0s, lams, h2_list, precision=precision
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "precision"))
+def _effects_lowrank_core(Ys, Gs, Cs, Us, lams, h2_list, *, n, precision):
+    from ..ops.lowrank import (
+        LowRankKinship, _base_parts, _parts_kwargs, effects_per_trait_lowrank,
+    )
+    from ..utils.config import with_highest_matmul
+
+    def impl():
+        lr = LowRankKinship(U=Us, lam=lams)
+        parts = _base_parts(Ys, Gs, Cs, lr, **_parts_kwargs(precision))
+        kdt = precision.resolve_kernel()
+        return effects_per_trait_lowrank(
+            parts, lams.astype(kdt), h2_list.astype(kdt), n,
+            precision=precision,
+        )
+
+    return with_highest_matmul(impl)()
 
 
 def scan_perms_sharded(

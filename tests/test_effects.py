@@ -129,3 +129,41 @@ def test_bulkscan_effects_lowrank_and_guards(bxd_like):
                          - np.asarray(low.beta_se_mat))) < 1e-6
     with pytest.raises(ValueError, match="null methods"):
         bl.bulkscan(Y, G, K, method="alt-grid", output_effects=True)
+
+
+def test_effects_sharded_and_streamed_match_inmemory(bxd_like):
+    """The sharded and streamed engines deliver the identical effects
+    matrices as the in-memory bulkscan (same kernels, different placement)."""
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+    from bulklmm_tpu.parallel import bulkscan_sharded, make_mesh
+
+    G = bxd_like["G"][:, :20]
+    Y = bxd_like["Y"][:, :5]
+    K, n = bxd_like["K"], bxd_like["n"]
+    ref = bl.bulkscan(Y, G, K, output_effects=True)
+    sh = bulkscan_sharded(Y, G, K, mesh=make_mesh(8), output_effects=True)
+    assert np.max(np.abs(np.asarray(sh.beta_mat)
+                         - np.asarray(ref.beta_mat))) < 1e-10
+    assert np.max(np.abs(np.asarray(sh.beta_se_mat)
+                         - np.asarray(ref.beta_se_mat))) < 1e-10
+    st = bl.bulkscan_streamed(Y, G, K, output_effects=True, marker_block=8)
+    assert np.max(np.abs(st.beta_mat - np.asarray(ref.beta_mat))) < 1e-10
+    assert np.max(np.abs(st.beta_se_mat
+                         - np.asarray(ref.beta_se_mat))) < 1e-10
+    # rank-k streamed route
+    lr = kinship_lowrank_exact(K, n, dtype=jnp.float64)
+    ref_lr = bl.bulkscan(Y, G, lr, output_effects=True)
+    st_lr = bl.bulkscan_streamed(Y, G, lr, output_effects=True,
+                                 marker_block=8)
+    assert np.max(np.abs(st_lr.beta_mat
+                         - np.asarray(ref_lr.beta_mat))) < 1e-10
+    # sharded rank-k
+    sh_lr = bulkscan_sharded(Y, G, lr, mesh=make_mesh(8),
+                             output_effects=True)
+    assert np.max(np.abs(np.asarray(sh_lr.beta_mat)
+                         - np.asarray(ref_lr.beta_mat))) < 1e-10
+    # guards
+    with pytest.raises(ValueError, match="null methods"):
+        bl.bulkscan_streamed(Y, G, K, method="alt-grid", output_effects=True)
+    with pytest.raises(ValueError, match="null methods"):
+        bulkscan_sharded(Y, G, K, method="alt-grid", output_effects=True)
