@@ -44,10 +44,13 @@ from .models import (
     ScanResult,
     bulkscan,
     bulkscan_alt_grid,
+    bulkscan_loco,
     bulkscan_null,
     bulkscan_null_grid,
     bulkscan_streamed,
+    loco_kinship,
     scan,
+    scan_loco,
     scan_perms_lite,
 )
 from .ops import (
@@ -102,6 +105,9 @@ __all__ = [
     "bulkscan_null",
     "bulkscan_null_grid",
     "bulkscan_streamed",
+    "bulkscan_loco",
+    "loco_kinship",
+    "scan_loco",
     "scan",
     "scan_perms_lite",
     "calc_kinship",

@@ -67,17 +67,29 @@ def _kinship(args):
     print(f"kinship {K.shape} -> {args.output}")
 
 
+def _loco_chrom(args, p):
+    """Chromosome labels for --loco from the marker map (--gmap)."""
+    from . import read_gmap
+
+    if not args.gmap:
+        raise SystemExit("--loco requires --gmap (marker map with Chr column)")
+    chrom = read_gmap(args.gmap).chromosome
+    if chrom.shape[0] != p:
+        raise SystemExit(
+            f"--gmap has {chrom.shape[0]} markers but the genotype file has {p}"
+        )
+    return chrom
+
+
 def _scan(args):
     precision = _resolve_precision(args)
-    from . import calc_kinship, get_thresholds, scan
+    from . import calc_kinship, get_thresholds, scan, scan_loco
     from . import io as bio
 
     G = _load_geno(args)
     Y = _load_pheno(args)
     y = Y[:, args.trait]
-    K = np.asarray(calc_kinship(G))
-    res = scan(
-        y, G, K,
+    kwargs = dict(
         reml=args.reml,
         assumption=args.assumption,
         permutation_test=args.nperms > 0,
@@ -87,6 +99,10 @@ def _scan(args):
         output_effects=args.effects,
         precision=precision,
     )
+    if args.loco:
+        res = scan_loco(y, G, _loco_chrom(args, G.shape[1]), **kwargs)
+    else:
+        res = scan(y, G, np.asarray(calc_kinship(G)), **kwargs)
     out = {"lod": np.asarray(res.lod)}
     if args.effects:
         out["beta"] = np.asarray(res.beta)
@@ -111,19 +127,11 @@ def _scan(args):
 
 def _bulkscan(args):
     precision = _resolve_precision(args)
-    from . import bulkscan, calc_kinship
+    from . import bulkscan, bulkscan_loco, calc_kinship
 
     G = _load_geno(args)
     Y = _load_pheno(args)
-    if getattr(args, "lowrank_k", 0):
-        # rank-k engine (ops/lowrank.py): no n x n kinship, no host eigh
-        from . import kinship_lowrank_from_geno
-
-        K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
-    else:
-        K = np.asarray(calc_kinship(G))
-    res = bulkscan(
-        Y, G, K,
+    kwargs = dict(
         method=args.method,
         reml=args.reml,
         precision=precision,
@@ -131,6 +139,19 @@ def _bulkscan(args):
         output_pvals=args.pvals,
         output_effects=args.effects,
     )
+    if args.loco:
+        res = bulkscan_loco(
+            Y, G, _loco_chrom(args, G.shape[1]),
+            lowrank_k=getattr(args, "lowrank_k", 0), **kwargs,
+        )
+    elif getattr(args, "lowrank_k", 0):
+        # rank-k engine (ops/lowrank.py): no n x n kinship, no host eigh
+        from . import kinship_lowrank_from_geno
+
+        K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
+        res = bulkscan(Y, G, K, **kwargs)
+    else:
+        res = bulkscan(Y, G, np.asarray(calc_kinship(G)), **kwargs)
     out = {"L": np.asarray(res.L)}
     if args.effects:
         out["beta"] = np.asarray(res.beta_mat)
@@ -162,6 +183,12 @@ def main(argv=None):
             "--precision", choices=["fast32", "balanced", "mixed", "exact64"],
             default="balanced",
         )
+        if pheno:
+            p.add_argument(
+                "--loco", action="store_true",
+                help="leave-one-chromosome-out kinship (needs --gmap)",
+            )
+            p.add_argument("--gmap", help="marker map CSV (Locus,Chr,cM,Mb)")
 
     k = sub.add_parser("kinship", help="kinship matrix from genotype probs")
     common(k, pheno=False)

@@ -7,6 +7,7 @@ from .bulkscan import (
     bulkscan_null_grid,
     grid_null_ell,
 )
+from .loco import bulkscan_loco, loco_kinship, scan_loco
 from .results import BulkScanResult, ScanResult
 from .streaming import bulkscan_streamed
 from .scan import scan, scan_perms_lite
@@ -18,6 +19,9 @@ __all__ = [
     "bulkscan_null_grid",
     "grid_null_ell",
     "bulkscan_streamed",
+    "bulkscan_loco",
+    "loco_kinship",
+    "scan_loco",
     "BulkScanResult",
     "ScanResult",
     "scan",

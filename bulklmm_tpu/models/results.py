@@ -29,6 +29,8 @@ class ScanResult:
     log10Pvals_perms: Optional[jnp.ndarray] = None  # (p, nperms)
     ll_list_null: Optional[jnp.ndarray] = None  # profile-LL grid values
     ll_list_alt: Optional[jnp.ndarray] = None
+    h2_null_by_chrom: Optional[dict] = None  # LOCO scans: chrom -> h2
+    sigma2_by_chrom: Optional[dict] = None  # LOCO scans: chrom -> sigma2_e
 
 
 @dataclasses.dataclass
@@ -42,3 +44,4 @@ class BulkScanResult:
     beta_se_mat: Optional[jnp.ndarray] = None  # (p, m) Wald standard errors
     log10Pvals_mat: Optional[jnp.ndarray] = None  # (p, m)
     chisq_df: Optional[int] = None
+    h2_null_by_chrom: Optional[dict] = None  # LOCO scans: chrom -> (m,) h2s

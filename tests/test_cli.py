@@ -156,3 +156,27 @@ def test_cli_bulkscan_effects(csv_data):
     assert r.returncode == 0, r.stderr[-500:]
     out = np.load(csv_data / "beff.npz")
     assert out["beta"].shape == out["L"].shape == out["beta_se"].shape
+
+
+def test_cli_loco(csv_data):
+    # marker map covering the 40 post-exclusion markers, 2 chromosomes
+    with open(csv_data / "gmap.csv", "w") as f:
+        f.write("Locus,Chr,cM,Mb\n")
+        for i in range(40):
+            f.write(f"m{i},{1 if i < 22 else 2},{i * 1.0},{i * 0.5}\n")
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--loco", "--gmap", "gmap.csv",
+              "-o", "loco.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = np.load(csv_data / "loco.npz")
+    assert out["L"].shape == (40, 6)
+    r2 = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--loco", "--gmap", "gmap.csv",
+               "--trait", "0", "-o", "loco_scan.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    meta = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "h2_null" in meta
+    # --loco without --gmap fails with a clear message
+    r3 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--loco", "-o", "x.npz"], csv_data)
+    assert r3.returncode != 0 and "--gmap" in (r3.stderr + r3.stdout)
