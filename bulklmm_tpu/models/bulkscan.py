@@ -59,7 +59,21 @@ def grid_null_ell(Y0, X0_cov, lam, h2_grid, prior, *, reml=False):
     return jax.vmap(ell_one)(h2_grid)
 
 
-def _null_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision):
+def _lod_kernel(Y0, X0m, C0, lam, h2_list, *, precision, effects):
+    """(L, h2) or (L, h2, beta, se) — the effects variant shares ONE parts
+    computation with the LODs (ops/liteqtl.py::lods_and_effects_per_trait)."""
+    if effects:
+        from ..ops.liteqtl import lods_and_effects_per_trait
+
+        L, beta, se = lods_and_effects_per_trait(
+            Y0, X0m, C0, lam, h2_list, precision=precision
+        )
+        return L, h2_list, beta, se
+    return lods_per_trait(Y0, X0m, C0, lam, h2_list, precision=precision), h2_list
+
+
+def _null_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision,
+                    effects=False):
     """Covariates (C0) and markers (X0m) stay separate arrays end-to-end —
     slicing a concatenated design would cross shard boundaries under marker
     sharding and force an all-gather.
@@ -76,12 +90,13 @@ def _null_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision
     )
     idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
     h2_list = h2_grid[idx]
-    L = lods_per_trait(Y0, X0m, C0, lam, h2_list, precision=precision)
-    return L, h2_list
+    return _lod_kernel(Y0, X0m, C0, lam, h2_list, precision=precision,
+                       effects=effects)
 
 
 def _null_exact_impl(
-    Y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision
+    Y0, X0m, C0, lam, *, prior, reml, method, optim_interval, precision,
+    effects=False,
 ):
     fits = jax.vmap(
         lambda yj: fit_lmm(
@@ -91,8 +106,8 @@ def _null_exact_impl(
         in_axes=1,
     )(Y0)
     h2_list = fits.h2
-    L = lods_per_trait(Y0, X0m, C0, lam, h2_list, precision=precision)
-    return L, h2_list
+    return _lod_kernel(Y0, X0m, C0, lam, h2_list, precision=precision,
+                       effects=effects)
 
 
 def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision):
@@ -190,17 +205,20 @@ def _rotate(Y, Xm, C, Ut):
     return jnp.matmul(Ut, Y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
 
 
-@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk", "effects"))
 @with_highest_matmul
 def _null_grid_pipeline(
-    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
+    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision,
+    trait_chunk=None, effects=False,
 ):
     """Rotation + grid fit + LOD kernel as ONE jitted computation — a single
     device dispatch per bulkscan call, with the rotation GEMMs fused into the
     same XLA program as the scan. ``trait_chunk`` bounds peak memory by
-    streaming trait blocks (for f64 runs / biobank-scale matrices)."""
+    streaming trait blocks (for f64 runs / biobank-scale matrices);
+    ``effects`` adds (beta, se) outputs from the same chunked kernel pass."""
     Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
-    kw = dict(prior=prior, reml=reml, method=method, precision=precision)
+    kw = dict(prior=prior, reml=reml, method=method, precision=precision,
+              effects=effects)
     if trait_chunk is None:
         return _null_grid_impl(Y0, X0m, C0, lam, h2_grid, **kw)
     return _chunk_traits(
@@ -209,16 +227,16 @@ def _null_grid_pipeline(
     )
 
 
-@partial(jax.jit, static_argnames=_STATIC_EXACT + ("trait_chunk",))
+@partial(jax.jit, static_argnames=_STATIC_EXACT + ("trait_chunk", "effects"))
 @with_highest_matmul
 def _null_exact_pipeline(
     Y, Xm, C, Ut, lam, *, prior, reml, method, optim_interval, precision,
-    trait_chunk=None,
+    trait_chunk=None, effects=False,
 ):
     Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
     kw = dict(
         prior=prior, reml=reml, method=method,
-        optim_interval=optim_interval, precision=precision,
+        optim_interval=optim_interval, precision=precision, effects=effects,
     )
     if trait_chunk is None:
         return _null_exact_impl(Y0, X0m, C0, lam, **kw)
@@ -262,34 +280,6 @@ def _alt_grid_pallas_pipeline(
     if trait_chunk is None:
         return impl(Y0)
     return _chunk_traits(impl, Y0, trait_chunk=trait_chunk)
-
-
-@partial(jax.jit, static_argnames=("precision",))
-@with_highest_matmul
-def _bulk_effects_pipeline(Y, Xm, C, Ut, lam, h2_list, *, precision):
-    """(p, m) GLS effects + Wald SEs at the fitted per-trait null h2
-    (ops/liteqtl.py::effects_per_trait), rotation fused in."""
-    from ..ops.liteqtl import effects_per_trait
-
-    return effects_per_trait(
-        jnp.matmul(Ut, Y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C),
-        lam, h2_list, precision=precision,
-    )
-
-
-@partial(jax.jit, static_argnames=("n", "precision"))
-@with_highest_matmul
-def _bulk_effects_lowrank_pipeline(Y, Xm, C, U, lam, h2_list, *, n, precision):
-    from ..ops.lowrank import (
-        LowRankKinship, _base_parts, _parts_kwargs, effects_per_trait_lowrank,
-    )
-
-    lr = LowRankKinship(U=U, lam=lam)
-    parts = _base_parts(Y, Xm, C, lr, **_parts_kwargs(precision))
-    kdt = precision.resolve_kernel()
-    return effects_per_trait_lowrank(
-        parts, lam.astype(kdt), h2_list.astype(kdt), n, precision=precision
-    )
 
 
 def bulkscan(
@@ -402,26 +392,21 @@ def bulkscan(
             )
         from ..ops.lowrank import _bulkscan_lowrank_core
 
-        L, h2_list = _bulkscan_lowrank_core(
+        out = _bulkscan_lowrank_core(
             Y.astype(dtype), G.astype(dtype), covar.astype(dtype),
             K.U.astype(dtype), K.lam.astype(dtype),
             jnp.asarray(h2_grid, dtype=dtype),
             n=n, prior=prior, reml=reml, precision=precision,
             trait_chunk=trait_chunk, method=method,
             optim_interval=optim_interval,
+            effects=output_effects and method != "alt-grid",
         )
         if method == "alt-grid":
-            result = BulkScanResult(L=L, h2_panel=h2_list)
+            result = BulkScanResult(L=out[0], h2_panel=out[1])
         else:
-            result = BulkScanResult(L=L, h2_null_list=h2_list)
+            result = BulkScanResult(L=out[0], h2_null_list=out[1])
             if output_effects:
-                result.beta_mat, result.beta_se_mat = (
-                    _bulk_effects_lowrank_pipeline(
-                        Y.astype(dtype), G.astype(dtype), covar.astype(dtype),
-                        K.U.astype(dtype), K.lam.astype(dtype),
-                        result.h2_null_list, n=n, precision=precision,
-                    )
-                )
+                result.beta_mat, result.beta_se_mat = out[2], out[3]
         if output_pvals:
             result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
             result.chisq_df = chisq_df
@@ -432,20 +417,25 @@ def bulkscan(
     Xm = G.astype(dtype)
 
     if method == "null-grid":
-        L, h2_list = _null_grid_pipeline(
+        out = _null_grid_pipeline(
             Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
             prior=prior, reml=reml, method=solve_method,
             precision=precision, trait_chunk=trait_chunk,
+            effects=output_effects,
         )
-        result = BulkScanResult(L=L, h2_null_list=h2_list)
+        result = BulkScanResult(L=out[0], h2_null_list=out[1])
+        if output_effects:
+            result.beta_mat, result.beta_se_mat = out[2], out[3]
     elif method == "null-exact":
-        L, h2_list = _null_exact_pipeline(
+        out = _null_exact_pipeline(
             Y, Xm, C, Ut, lam,
             prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
-            trait_chunk=trait_chunk,
+            trait_chunk=trait_chunk, effects=output_effects,
         )
-        result = BulkScanResult(L=L, h2_null_list=h2_list)
+        result = BulkScanResult(L=out[0], h2_null_list=out[1])
+        if output_effects:
+            result.beta_mat, result.beta_se_mat = out[2], out[3]
     elif method == "alt-grid":
         use_pallas = engine == "pallas" or (
             engine == "auto"
@@ -460,11 +450,6 @@ def bulkscan(
             precision=precision, trait_chunk=trait_chunk,
         )
         result = BulkScanResult(L=L, h2_panel=h2_panel)
-
-    if output_effects:
-        result.beta_mat, result.beta_se_mat = _bulk_effects_pipeline(
-            Y, Xm, C, Ut, lam, result.h2_null_list, precision=precision
-        )
 
     if output_pvals:
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)

@@ -11,7 +11,9 @@ Kinship algebra: ``calc_kinship`` is an affine function of the marker
 cross-product, so the per-leave-out kinships are assembled from ONE pass of
 per-chromosome Gram matrices — ``K_{-c} = 2 (A - A_c) / (p - p_c) + 0.5``
 with ``A_c = X_c X_c^T`` (one MXU GEMM per chromosome, each marker touched
-once) — rather than re-reading the panel per chromosome.
+once) — rather than re-reading the panel per chromosome. The scan loop
+materializes one leave-out kinship at a time and frees each chromosome's
+Gram once consumed, so peak memory is C Grams + ONE (n, n) kinship.
 
 Each chromosome then runs the ordinary engines (``bulkscan`` / ``scan``)
 against its own kinship; results are reassembled in the original marker
@@ -48,52 +50,80 @@ def _chrom_masks(chromosome, p):
     return order, {c: chromosome == c for c in order}
 
 
+def _chrom_grams(G, order, masks, dtype, gemm_precision):
+    """Per-chromosome marker cross-products + their sum (one GEMM each)."""
+    grams, counts = {}, {}
+    total = None
+    for c in order:
+        Xc = jnp.asarray(G[:, masks[c]], dtype=dtype) - 0.5
+        grams[c] = jnp.matmul(Xc, Xc.T, precision=gemm_precision)
+        counts[c] = Xc.shape[1]
+        total = grams[c] if total is None else total + grams[c]
+    return grams, counts, total
+
+
+def _leaveout_kinship(total, gram_c, p_rest):
+    K = 2.0 * (total - gram_c) / p_rest + 0.5
+    return jnp.fill_diagonal(K, 1.0, inplace=False)
+
+
 def loco_kinship(
     geno, chromosome, precision: PrecisionConfig = DEFAULT_PRECISION
 ):
     """Dict ``chrom -> K_{-chrom}`` (kinship from all other chromosomes).
 
     Exactly ``calc_kinship(geno[:, chromosome != c])`` for every c, computed
-    from one pass of per-chromosome cross-product GEMMs.
+    from one pass of per-chromosome cross-product GEMMs. Holds all C
+    kinships at once — the scan wrappers below stream them one at a time
+    instead; call this directly only when you want the full dict.
     """
-    dtype = precision.resolve_solve()
     G = np.asarray(geno)
     n, p = G.shape
     order, masks = _chrom_masks(chromosome, p)
-
-    grams, counts = {}, {}
-    total = jnp.zeros((n, n), dtype=dtype)
-    for c in order:
-        Xc = jnp.asarray(G[:, masks[c]], dtype=dtype) - 0.5
-        grams[c] = jnp.matmul(Xc, Xc.T, precision=precision.gemm_precision)
-        counts[c] = Xc.shape[1]
-        total = total + grams[c]
-
-    out = {}
-    for c in order:
-        p_rest = p - counts[c]
-        K = 2.0 * (total - grams[c]) / p_rest + 0.5
-        out[c] = jnp.fill_diagonal(K, 1.0, inplace=False)
-    return out
+    grams, counts, total = _chrom_grams(
+        G, order, masks, precision.resolve_solve(), precision.gemm_precision
+    )
+    return {
+        c: _leaveout_kinship(total, grams[c], p - counts[c]) for c in order
+    }
 
 
-def _loco_parts(G, chromosome, *, lowrank_k, precision):
-    """Per-chromosome (mask, K) pairs — dense LOCO kinships or rank-k
-    factors straight from the leave-out genotype block."""
+def _iter_loco(G, chromosome, *, lowrank_k, precision):
+    """Yield ``(chrom, mask, K_{-chrom})`` one chromosome at a time.
+
+    Dense path: Grams once, each leave-out kinship materialized only for
+    its own iteration (the Gram is freed after use). Rank-k path: factors
+    from the leave-out genotype block, one chromosome at a time.
+    """
     G = np.asarray(G)
-    order, masks = _chrom_masks(chromosome, G.shape[1])
+    p = G.shape[1]
+    order, masks = _chrom_masks(chromosome, p)
     if lowrank_k:
         from ..ops.lowrank import kinship_lowrank_from_geno
 
-        Ks = {
-            c: kinship_lowrank_from_geno(
+        for c in order:
+            yield c, masks[c], kinship_lowrank_from_geno(
                 G[:, ~masks[c]], lowrank_k, precision=precision
             )
-            for c in order
-        }
-    else:
-        Ks = loco_kinship(G, chromosome, precision=precision)
-    return G, order, masks, Ks
+        return
+    grams, counts, total = _chrom_grams(
+        G, order, masks, precision.resolve_solve(), precision.gemm_precision
+    )
+    for c in order:
+        K = _leaveout_kinship(total, grams.pop(c), p - counts[c])
+        yield c, masks[c], K
+
+
+def _scatter(buf, idx, val, p):
+    """Accumulate a per-chromosome result field into a (p, ...) host array
+    (allocated on first non-None value)."""
+    if val is None:
+        return buf
+    v = np.asarray(val)
+    if buf is None:
+        buf = np.empty((p,) + v.shape[1:], dtype=np.float64)
+    buf[idx] = v
+    return buf
 
 
 def bulkscan_loco(
@@ -118,41 +148,34 @@ def bulkscan_loco(
     """
     from .bulkscan import bulkscan
 
-    G, order, masks, Ks = _loco_parts(
-        G, chromosome, lowrank_k=lowrank_k, precision=precision
-    )
+    G = np.asarray(G)
     Y2 = np.asarray(Y)
     Y2 = Y2[:, None] if Y2.ndim == 1 else Y2
     p, m = G.shape[1], Y2.shape[1]
 
     L = np.empty((p, m), dtype=np.float64)
-    pvals = effects = None
+    pvals = beta = se = None
     h2_by_chrom = {}
-    for c in order:
-        res = bulkscan(Y2, G[:, masks[c]], Ks[c], covar,
-                       precision=precision, **kwargs)
-        idx = np.flatnonzero(masks[c])
+    for c, mask, K in _iter_loco(
+        G, chromosome, lowrank_k=lowrank_k, precision=precision
+    ):
+        res = bulkscan(Y2, G[:, mask], K, covar, precision=precision, **kwargs)
+        idx = np.flatnonzero(mask)
         L[idx] = np.asarray(res.L)
         h2_by_chrom[c] = (
             res.h2_null_list if res.h2_null_list is not None else res.h2_panel
         )
-        if res.log10Pvals_mat is not None:
-            if pvals is None:
-                pvals = np.empty((p, m), dtype=np.float64)
-            pvals[idx] = np.asarray(res.log10Pvals_mat)
-        if res.beta_mat is not None:
-            if effects is None:
-                effects = (np.empty((p, m)), np.empty((p, m)))
-            effects[0][idx] = np.asarray(res.beta_mat)
-            effects[1][idx] = np.asarray(res.beta_se_mat)
+        pvals = _scatter(pvals, idx, res.log10Pvals_mat, p)
+        beta = _scatter(beta, idx, res.beta_mat, p)
+        se = _scatter(se, idx, res.beta_se_mat, p)
 
     result = BulkScanResult(L=L)
     result.h2_null_by_chrom = h2_by_chrom
     if pvals is not None:
         result.log10Pvals_mat = pvals
         result.chisq_df = kwargs.get("chisq_df", 1)
-    if effects is not None:
-        result.beta_mat, result.beta_se_mat = effects
+    if beta is not None:
+        result.beta_mat, result.beta_se_mat = beta, se
     return result
 
 
@@ -173,6 +196,16 @@ def scan_loco(
     The null model is chromosome-specific: ``h2_null_by_chrom`` /
     ``sigma2_by_chrom`` map ``chrom -> scalar``; ``h2_null`` / ``sigma2_e``
     hold the across-chromosome means for a quick summary.
+
+    Permutation semantics: each chromosome permutes its own rotated null
+    residuals (the reference's scheme, per-chromosome eigenbasis), so
+    column j of the stitched ``L_perms`` combines INDEPENDENT per-chromosome
+    null replicates. Genome-wide thresholds from
+    :func:`~bulklmm_tpu.get_thresholds` therefore treat per-chromosome
+    maxima as independent — a Šidák-like approximation that is exact when
+    chromosomes are independent under the null and slightly conservative
+    (higher thresholds) under cross-chromosome dependence. Per-chromosome
+    thresholds (``get_thresholds(res.L_perms[chrom == c])``) are exact.
     """
     from .scan import scan
 
@@ -181,45 +214,27 @@ def scan_loco(
             "profile_ll is a single-(marker, kinship) diagnostic; run "
             "scan(profile_ll=True) against the wanted LOCO kinship directly"
         )
-    G, order, masks, Ks = _loco_parts(
-        G, chromosome, lowrank_k=lowrank_k, precision=precision
-    )
+    G = np.asarray(G)
     y = np.asarray(y, dtype=np.float64)
     p = G.shape[1]
 
     lod = np.empty(p, dtype=np.float64)
-    h2_each = perms = pvals = pvals_perms = effects = None
+    h2_each = perms = pvals = pvals_perms = beta = se = None
     h2_by_chrom, s2_by_chrom = {}, {}
-    for c in order:
-        res = scan(y, G[:, masks[c]], Ks[c], covar,
-                   precision=precision, **kwargs)
-        idx = np.flatnonzero(masks[c])
+    for c, mask, K in _iter_loco(
+        G, chromosome, lowrank_k=lowrank_k, precision=precision
+    ):
+        res = scan(y, G[:, mask], K, covar, precision=precision, **kwargs)
+        idx = np.flatnonzero(mask)
         lod[idx] = np.asarray(res.lod)
         h2_by_chrom[c] = float(res.h2_null)
         s2_by_chrom[c] = float(res.sigma2_e)
-        if res.h2_each_marker is not None:
-            if h2_each is None:
-                h2_each = np.empty(p, dtype=np.float64)
-            h2_each[idx] = np.asarray(res.h2_each_marker)
-        if res.L_perms is not None:
-            if perms is None:
-                perms = np.empty((p, res.L_perms.shape[1]), dtype=np.float64)
-            perms[idx] = np.asarray(res.L_perms)
-        if res.log10pvals is not None:
-            if pvals is None:
-                pvals = np.empty(p, dtype=np.float64)
-            pvals[idx] = np.asarray(res.log10pvals)
-        if res.log10Pvals_perms is not None:
-            if pvals_perms is None:
-                pvals_perms = np.empty(
-                    (p, res.log10Pvals_perms.shape[1]), dtype=np.float64
-                )
-            pvals_perms[idx] = np.asarray(res.log10Pvals_perms)
-        if res.beta is not None:
-            if effects is None:
-                effects = (np.empty(p), np.empty(p))
-            effects[0][idx] = np.asarray(res.beta)
-            effects[1][idx] = np.asarray(res.beta_se)
+        h2_each = _scatter(h2_each, idx, res.h2_each_marker, p)
+        perms = _scatter(perms, idx, res.L_perms, p)
+        pvals = _scatter(pvals, idx, res.log10pvals, p)
+        pvals_perms = _scatter(pvals_perms, idx, res.log10Pvals_perms, p)
+        beta = _scatter(beta, idx, res.beta, p)
+        se = _scatter(se, idx, res.beta_se, p)
 
     result = ScanResult(
         sigma2_e=float(np.mean(list(s2_by_chrom.values()))),
@@ -230,8 +245,8 @@ def scan_loco(
         log10pvals=pvals,
         log10Pvals_perms=pvals_perms,
     )
-    if effects is not None:
-        result.beta, result.beta_se = effects
+    if beta is not None:
+        result.beta, result.beta_se = beta, se
     result.h2_null_by_chrom = h2_by_chrom
     result.sigma2_by_chrom = s2_by_chrom
     return result

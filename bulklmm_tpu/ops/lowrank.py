@@ -604,11 +604,11 @@ _STATIC_LR = ("prior", "reml", "precision")
 
 
 @partial(jax.jit, static_argnames=_STATIC_LR + ("n", "trait_chunk", "method",
-                                                "optim_interval"))
+                                                "optim_interval", "effects"))
 @with_highest_matmul
 def _bulkscan_lowrank_core(
     Y, Xm, C, U, lam, h2_grid, *, n, prior, reml, precision, trait_chunk=None,
-    method="null-grid", optim_interval=1,
+    method="null-grid", optim_interval=1, effects=False,
 ):
     lr = LowRankKinship(U=U, lam=lam)
     kdt = precision.resolve_kernel()
@@ -638,6 +638,12 @@ def _bulkscan_lowrank_core(
             )
             idx = jnp.argmax(ells, axis=0)  # first max wins, like Julia findmax
             h2_list = h2_grid[idx]
+        if effects:
+            # one parts pass serves LODs AND the GLS effects
+            L, beta, se = lods_and_effects_lowrank(
+                parts, lam_k, h2_list.astype(kdt), n, precision=precision
+            )
+            return L, h2_list, beta, se
         L = lods_per_trait_lowrank(
             parts, lam_k, h2_list.astype(kdt), n, precision=precision
         )

@@ -167,3 +167,28 @@ def test_effects_sharded_and_streamed_match_inmemory(bxd_like):
         bl.bulkscan_streamed(Y, G, K, method="alt-grid", output_effects=True)
     with pytest.raises(ValueError, match="null methods"):
         bulkscan_sharded(Y, G, K, method="alt-grid", output_effects=True)
+
+
+def test_effects_trait_chunked_matches_unchunked(bxd_like):
+    """output_effects rides the same chunked single-pass pipeline as the
+    LODs — trait_chunk must not change (or drop) the effects."""
+    G = bxd_like["G"][:, :20]
+    Y = bxd_like["Y"][:, :7]
+    K = bxd_like["K"]
+    for method in ("null-grid", "null-exact"):
+        ref = bl.bulkscan(Y, G, K, method=method, output_effects=True)
+        ch = bl.bulkscan(Y, G, K, method=method, output_effects=True,
+                         trait_chunk=3)  # 7 traits -> ragged chunking
+        assert np.max(np.abs(np.asarray(ch.beta_mat)
+                             - np.asarray(ref.beta_mat))) < 1e-12, method
+        assert np.max(np.abs(np.asarray(ch.beta_se_mat)
+                             - np.asarray(ref.beta_se_mat))) < 1e-12, method
+        assert np.max(np.abs(np.asarray(ch.L) - np.asarray(ref.L))) < 1e-12
+    # low-rank route with chunking
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    lr = kinship_lowrank_exact(K, 30, dtype=jnp.float64)
+    ref = bl.bulkscan(Y, G, lr, output_effects=True)
+    ch = bl.bulkscan(Y, G, lr, output_effects=True, trait_chunk=4)
+    assert np.max(np.abs(np.asarray(ch.beta_mat)
+                         - np.asarray(ref.beta_mat))) < 1e-12
