@@ -112,6 +112,11 @@ def _scan(args):
         "h2_null": float(res.h2_null),
         "sigma2_e": float(res.sigma2_e),
     }
+    if getattr(res, "h2_null_by_chrom", None):
+        # LOCO: h2_null above is the across-chromosome mean
+        meta["h2_null_by_chrom"] = {
+            str(c): float(v) for c, v in res.h2_null_by_chrom.items()
+        }
     if args.nperms > 0:
         thr = get_thresholds(res.L_perms, [0.10, 0.05, 0.01])
         meta["thresholds"] = dict(zip(["0.10", "0.05", "0.01"], map(float, thr.thrs)))
@@ -160,6 +165,11 @@ def _bulkscan(args):
         out["h2_null_list"] = np.asarray(res.h2_null_list)
     if res.h2_panel is not None:
         out["h2_panel"] = np.asarray(res.h2_panel)
+    if getattr(res, "h2_null_by_chrom", None):
+        # LOCO: the null h2 is chromosome-specific — one (m,) array (or
+        # (p_c, m) panel for alt-grid) per chromosome
+        for c, v in res.h2_null_by_chrom.items():
+            out[f"h2_null_chr{c}"] = np.asarray(v)
     if args.pvals:
         out["log10Pvals"] = np.asarray(res.log10Pvals_mat)
     np.savez_compressed(args.output, **out)

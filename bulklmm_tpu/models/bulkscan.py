@@ -148,6 +148,17 @@ def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision)
     return L, h2_panel
 
 
+def _check_output_effects(output_effects: bool, method: str) -> None:
+    """Shared guard (bulkscan / bulkscan_streamed / bulkscan_sharded):
+    (p, m) effects need one h2 per trait, i.e. a null method."""
+    if output_effects and method == "alt-grid":
+        raise ValueError(
+            "output_effects applies to the null methods (one h2 per trait); "
+            "for per-marker-h2 effects run scan(assumption='alt', "
+            "output_effects=True) on the trait of interest"
+        )
+
+
 _STATIC_GRID = ("prior", "reml", "method", "precision")
 _STATIC_EXACT = ("prior", "reml", "method", "optim_interval", "precision")
 
@@ -190,12 +201,12 @@ def _chunk_traits(impl, Y0, *, trait_chunk):
 
 # jitted cores over pre-rotated data (used by bulklmm_tpu.parallel, which
 # device_puts sharded rotated arrays before the call)
-_bulkscan_null_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(
-    with_highest_matmul(_null_grid_impl)
-)
-_bulkscan_null_exact_core = partial(jax.jit, static_argnames=_STATIC_EXACT)(
-    with_highest_matmul(_null_exact_impl)
-)
+_bulkscan_null_grid_core = partial(
+    jax.jit, static_argnames=_STATIC_GRID + ("effects",)
+)(with_highest_matmul(_null_grid_impl))
+_bulkscan_null_exact_core = partial(
+    jax.jit, static_argnames=_STATIC_EXACT + ("effects",)
+)(with_highest_matmul(_null_exact_impl))
 _bulkscan_alt_grid_core = partial(jax.jit, static_argnames=_STATIC_GRID)(
     with_highest_matmul(_alt_grid_impl)
 )
@@ -338,12 +349,7 @@ def bulkscan(
             "engine='pallas' is only available for method='alt-grid' "
             "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
         )
-    if output_effects and method == "alt-grid":
-        raise ValueError(
-            "output_effects applies to the null methods (one h2 per trait); "
-            "for per-marker-h2 effects run scan(assumption='alt', "
-            "output_effects=True) on the trait of interest"
-        )
+    _check_output_effects(output_effects, method)
 
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y

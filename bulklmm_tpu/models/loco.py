@@ -198,14 +198,18 @@ def scan_loco(
     hold the across-chromosome means for a quick summary.
 
     Permutation semantics: each chromosome permutes its own rotated null
-    residuals (the reference's scheme, per-chromosome eigenbasis), so
-    column j of the stitched ``L_perms`` combines INDEPENDENT per-chromosome
-    null replicates. Genome-wide thresholds from
-    :func:`~bulklmm_tpu.get_thresholds` therefore treat per-chromosome
-    maxima as independent — a Šidák-like approximation that is exact when
-    chromosomes are independent under the null and slightly conservative
-    (higher thresholds) under cross-chromosome dependence. Per-chromosome
-    thresholds (``get_thresholds(res.L_perms[chrom == c])``) are exact.
+    residuals (the reference's scheme, per-chromosome eigenbasis) with a
+    DISTINCT seed derived from ``rndseed`` (chromosome i uses
+    ``rndseed + i`` — identical shuffle indices across chromosomes would
+    make the stitched per-chromosome maxima conditionally dependent given
+    y and bias genome-wide thresholds low), so column j of the stitched
+    ``L_perms`` combines INDEPENDENT per-chromosome null replicates.
+    Genome-wide thresholds from :func:`~bulklmm_tpu.get_thresholds`
+    therefore treat per-chromosome maxima as independent — a Šidák-like
+    approximation that is exact when chromosomes are independent under the
+    null and slightly conservative (higher thresholds) under
+    cross-chromosome dependence. Per-chromosome thresholds
+    (``get_thresholds(res.L_perms[chrom == c])``) are exact.
     """
     from .scan import scan
 
@@ -217,14 +221,16 @@ def scan_loco(
     G = np.asarray(G)
     y = np.asarray(y, dtype=np.float64)
     p = G.shape[1]
+    base_seed = int(kwargs.pop("rndseed", 0))
 
     lod = np.empty(p, dtype=np.float64)
     h2_each = perms = pvals = pvals_perms = beta = se = None
     h2_by_chrom, s2_by_chrom = {}, {}
-    for c, mask, K in _iter_loco(
+    for i, (c, mask, K) in enumerate(_iter_loco(
         G, chromosome, lowrank_k=lowrank_k, precision=precision
-    ):
-        res = scan(y, G[:, mask], K, covar, precision=precision, **kwargs)
+    )):
+        res = scan(y, G[:, mask], K, covar, precision=precision,
+                   rndseed=base_seed + i, **kwargs)
         idx = np.flatnonzero(mask)
         lod[idx] = np.asarray(res.lod)
         h2_by_chrom[c] = float(res.h2_null)

@@ -118,7 +118,9 @@ def _scan_perms_impl(
         reml=reml, method=method, optim_interval=optim_interval,
     )
     r0 = y0 - C0 @ vc.b
-    sqrtw = jnp.sqrt(make_weights(vc.h2, lam))
+    # abs guard mirrors the reference's sqrt.(abs.(makeweights(...))) for
+    # slightly negative kinship eigenvalues (src/bulkscan_helpers.jl:138)
+    sqrtw = jnp.sqrt(jnp.abs(make_weights(vc.h2, lam)))
     w_r0 = r0 * sqrtw[:, None]
     X00 = resid(X0m * sqrtw[:, None], C0 * sqrtw[:, None], method=method)
 
@@ -156,29 +158,68 @@ _scan_perms_core = partial(jax.jit, static_argnames=_STATIC_PERMS)(
 )
 
 
-@partial(jax.jit, static_argnames=_STATIC)
+def _effects_null_rotated(y0, X0m, C0, lam, h2, method):
+    """Effects under one shared h2, from ALREADY-ROTATED operands (reuses the
+    scan pipeline's rotation GEMMs). abs guard as in ops/liteqtl.py:73."""
+    from ..ops.weights import make_weights
+
+    sw = jnp.sqrt(jnp.abs(make_weights(h2, lam)))[:, None]
+    return _effects_from_whitened(y0 * sw, X0m * sw, C0 * sw, method=method)
+
+
+def _effects_alt_rotated(y0, X0m, C0, lam, h2s, method):
+    """Effects with each marker's own fitted h2, from already-rotated
+    operands."""
+    from ..ops.weights import make_weights
+
+    def one(x, h2):
+        sw = jnp.sqrt(jnp.abs(make_weights(h2, lam)))
+        b, s = _effects_from_whitened(
+            y0 * sw[:, None], (x * sw)[:, None], C0 * sw[:, None],
+            method=method,
+        )
+        return b[0], s[0]
+
+    return jax.vmap(one, in_axes=(1, 0))(X0m, h2s)
+
+
+@partial(jax.jit, static_argnames=_STATIC + ("output_effects",))
 @with_highest_matmul
-def _scan_null_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
-    """Rotation + null scan fused into one jitted device program."""
-    return _scan_null_impl(
-        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, null_fit, **kw
-    )
+def _scan_null_pipeline(y, Xm, C, Ut, lam, null_fit=None, *,
+                        output_effects=False, **kw):
+    """Rotation + null scan (+ optional GLS effects) fused into one jitted
+    device program — the effects reuse the same rotated operands instead of
+    paying the dominant O(n^2 p) rotation a second time."""
+    y0, X0m, C0 = jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
+    sigma2, h2, lod = _scan_null_impl(y0, X0m, C0, lam, null_fit, **kw)
+    if not output_effects:
+        return sigma2, h2, lod, None, None
+    beta, se = _effects_null_rotated(y0, X0m, C0, lam, h2, kw["method"])
+    return sigma2, h2, lod, beta, se
 
 
-@partial(jax.jit, static_argnames=_STATIC_ALT)
+@partial(jax.jit, static_argnames=_STATIC_ALT + ("output_effects",))
 @with_highest_matmul
-def _scan_alt_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
-    return _scan_alt_impl(
-        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, null_fit, **kw
-    )
+def _scan_alt_pipeline(y, Xm, C, Ut, lam, null_fit=None, *,
+                       output_effects=False, **kw):
+    y0, X0m, C0 = jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
+    sigma2, h2, h2s, lod = _scan_alt_impl(y0, X0m, C0, lam, null_fit, **kw)
+    if not output_effects:
+        return sigma2, h2, h2s, lod, None, None
+    beta, se = _effects_alt_rotated(y0, X0m, C0, lam, h2s, kw["method"])
+    return sigma2, h2, h2s, lod, beta, se
 
 
-@partial(jax.jit, static_argnames=_STATIC_PERMS)
+@partial(jax.jit, static_argnames=_STATIC_PERMS + ("output_effects",))
 @with_highest_matmul
-def _scan_perms_pipeline(y, Xm, C, Ut, lam, null_fit=None, **kw):
-    return _scan_perms_impl(
-        jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, null_fit, **kw
-    )
+def _scan_perms_pipeline(y, Xm, C, Ut, lam, null_fit=None, *,
+                         output_effects=False, **kw):
+    y0, X0m, C0 = jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
+    sigma2, h2, L = _scan_perms_impl(y0, X0m, C0, lam, null_fit, **kw)
+    if not output_effects:
+        return sigma2, h2, L, None, None
+    beta, se = _effects_null_rotated(y0, X0m, C0, lam, h2, kw["method"])
+    return sigma2, h2, L, beta, se
 
 
 def _effects_from_whitened(yt, Xt, Ct, *, method="qr"):
@@ -208,19 +249,6 @@ def _effects_from_whitened(yt, Xt, Ct, *, method="qr"):
     return beta, se
 
 
-@partial(jax.jit, static_argnames=("method",))
-@with_highest_matmul
-def _effects_null_pipeline(y, Xm, C, Ut, lam, h2, *, method):
-    """Marker effects under the shared null-model h2 (assumption='null')."""
-    from ..ops.weights import make_weights
-
-    sw = jnp.sqrt(make_weights(h2, lam))[:, None]
-    return _effects_from_whitened(
-        jnp.matmul(Ut, y) * sw, jnp.matmul(Ut, Xm) * sw,
-        jnp.matmul(Ut, C) * sw, method=method,
-    )
-
-
 @partial(jax.jit, static_argnames=("method", "alt"))
 @with_highest_matmul
 def _effects_lowrank_pipeline(y, Xm, C, U, lam, h2_or_h2s, *, method, alt):
@@ -243,25 +271,6 @@ def _effects_lowrank_pipeline(y, Xm, C, U, lam, h2_or_h2s, *, method, alt):
         return b[0], s[0]
 
     return jax.vmap(one, in_axes=(1, 0))(Xm, h2_or_h2s)
-
-
-@partial(jax.jit, static_argnames=("method",))
-@with_highest_matmul
-def _effects_alt_pipeline(y, Xm, C, Ut, lam, h2s, *, method):
-    """Marker effects with each marker's own fitted h2 (assumption='alt')."""
-    from ..ops.weights import make_weights
-
-    y0, X0m, C0 = jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C)
-
-    def one(x, h2):
-        sw = jnp.sqrt(make_weights(h2, lam))
-        b, s = _effects_from_whitened(
-            y0 * sw[:, None], (x * sw)[:, None], C0 * sw[:, None],
-            method=method,
-        )
-        return b[0], s[0]
-
-    return jax.vmap(one, in_axes=(1, 0))(X0m, h2s)
 
 
 def _host_null_fit(y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype):
@@ -377,11 +386,15 @@ def _scan_lowrank(
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
                 result.log10Pvals_perms = lod2log10p(result.L_perms, chisq_df)
         else:
-            lod = lrmod._scan_null_lowrank_core(
+            out = lrmod._scan_null_lowrank_core(
                 yd, Xm, C, U, lam, h2,
                 n=n, prior=prior, reml=reml, precision=precision,
+                effects=output_effects,
             )
-            result = ScanResult(sigma2_e=sigma2_e, h2_null=h2, lod=lod)
+            result = ScanResult(sigma2_e=sigma2_e, h2_null=h2, lod=out[0])
+            if output_effects:
+                # fused: LODs and effects from ONE rank-k parts pass
+                result.beta, result.beta_se = out[1], out[2]
             if output_pvals:
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
     elif assumption == "alt":
@@ -403,7 +416,9 @@ def _scan_lowrank(
     else:
         raise ValueError("Assumption keyword is not supported. Please enter null or alt.")
 
-    if output_effects:
+    if output_effects and result.beta is None:
+        # perms/alt paths: explicit Sigma^{-1/2} whitening (the non-perm null
+        # path gets its effects fused into the scan's parts pass above)
         result.beta, result.beta_se = _effects_lowrank_pipeline(
             yd, Xm, C, U, lam,
             h2 if assumption == "null" else result.h2_each_marker,
@@ -542,20 +557,26 @@ def scan(
 
     if assumption == "null":
         if permutation_test:
-            sigma2_e, h2_null, L = _scan_perms_pipeline(
-                y, Xm, C, Ut, lam, null_fit, nperms=nperms, rndseed=rndseed, **common
+            sigma2_e, h2_null, L, beta, beta_se = _scan_perms_pipeline(
+                y, Xm, C, Ut, lam, null_fit, nperms=nperms, rndseed=rndseed,
+                output_effects=output_effects, **common
             )
             result = ScanResult(
-                sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:]
+                sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:],
+                beta=beta, beta_se=beta_se,
             )
             if output_pvals:
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
                 result.log10Pvals_perms = lod2log10p(result.L_perms, chisq_df)
         else:
-            sigma2_e, h2_null, lod = _scan_null_pipeline(
-                y, Xm, C, Ut, lam, null_fit, **common
+            sigma2_e, h2_null, lod, beta, beta_se = _scan_null_pipeline(
+                y, Xm, C, Ut, lam, null_fit,
+                output_effects=output_effects, **common
             )
-            result = ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=lod)
+            result = ScanResult(
+                sigma2_e=sigma2_e, h2_null=h2_null, lod=lod,
+                beta=beta, beta_se=beta_se,
+            )
             if output_pvals:
                 result.log10pvals = lod2log10p(result.lod, chisq_df)
     elif assumption == "alt":
@@ -563,27 +584,19 @@ def scan(
             raise ValueError(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
-        sigma2_e, h2_null, h2_each, lod = _scan_alt_pipeline(
+        sigma2_e, h2_null, h2_each, lod, beta, beta_se = _scan_alt_pipeline(
             y, Xm, C, Ut, lam, null_fit,
-            compat_sqrt_weights=compat_sqrt_weights, **common
+            compat_sqrt_weights=compat_sqrt_weights,
+            output_effects=output_effects, **common
         )
         result = ScanResult(
-            sigma2_e=sigma2_e, h2_null=h2_null, h2_each_marker=h2_each, lod=lod
+            sigma2_e=sigma2_e, h2_null=h2_null, h2_each_marker=h2_each, lod=lod,
+            beta=beta, beta_se=beta_se,
         )
         if output_pvals:
             result.log10pvals = lod2log10p(result.lod, chisq_df)
     else:
         raise ValueError("Assumption keyword is not supported. Please enter null or alt.")
-
-    if output_effects:
-        if assumption == "null":
-            result.beta, result.beta_se = _effects_null_pipeline(
-                y, Xm, C, Ut, lam, null_fit.h2, method=method
-            )
-        else:
-            result.beta, result.beta_se = _effects_alt_pipeline(
-                y, Xm, C, Ut, lam, result.h2_each_marker, method=method
-            )
 
     if profile_ll:
         from ..analysis.profile_ll import profile_LL
@@ -660,7 +673,7 @@ def scan_perms_lite(
     null_fit = _host_null_fit(
         y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype
     )
-    sigma2_e, h2_null, L = _scan_perms_pipeline(
+    sigma2_e, h2_null, L, _, _ = _scan_perms_pipeline(
         y.astype(dtype), jnp.asarray(g).astype(dtype), covar.astype(dtype), Ut, lam,
         null_fit,
         prior=prior,

@@ -37,7 +37,7 @@ from ..ops.lmm import fit_lmm
 from ..ops.lod import lod2log10p
 from ..ops.rotation import resolve_kinship
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
-from .bulkscan import _alt_grid_impl, grid_null_ell
+from .bulkscan import _alt_grid_impl, _check_output_effects, grid_null_ell
 from .results import BulkScanResult
 
 _STATIC = ("prior", "reml", "precision")
@@ -187,12 +187,7 @@ def bulkscan_streamed(
             "engine='pallas' is only available for method='alt-grid' "
             "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
         )
-    if output_effects and method == "alt-grid":
-        raise ValueError(
-            "output_effects applies to the null methods (one h2 per trait); "
-            "for per-marker-h2 effects run scan(assumption='alt', "
-            "output_effects=True) on the trait of interest"
-        )
+    _check_output_effects(output_effects, method)
 
     dtype = precision.resolve_solve()
     block = min(marker_block, p)

@@ -685,16 +685,24 @@ def _trait_projections_lowrank(y, C, U, lam, *, precision):
     )
 
 
-@partial(jax.jit, static_argnames=_STATIC_LR + ("n",))
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "effects"))
 @with_highest_matmul
-def _scan_null_lowrank_core(y, Xm, C, U, lam, h2, *, n, prior, reml, precision):
+def _scan_null_lowrank_core(
+    y, Xm, C, U, lam, h2, *, n, prior, reml, precision, effects=False
+):
     lr = LowRankKinship(U=U, lam=lam)
     kdt = precision.resolve_kernel()
     parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
+    if effects:
+        # one parts pass serves the LODs AND the GLS effects
+        L, beta, se = lods_and_effects_lowrank(
+            parts, lam.astype(kdt), h2[None].astype(kdt), n, precision=precision
+        )
+        return L[:, 0], beta[:, 0], se[:, 0]
     L = lods_per_trait_lowrank(
         parts, lam.astype(kdt), h2[None].astype(kdt), n, precision=precision
     )
-    return L[:, 0]
+    return (L[:, 0],)
 
 
 @partial(jax.jit, static_argnames=_STATIC_LR + ("n", "optim_interval"))

@@ -38,6 +38,7 @@ from ..models.bulkscan import (
     _bulkscan_alt_grid_core,
     _bulkscan_null_exact_core,
     _bulkscan_null_grid_core,
+    _check_output_effects,
 )
 from ..models.results import BulkScanResult, ScanResult
 from ..models.scan import _scan_perms_core
@@ -137,12 +138,7 @@ def bulkscan_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
-    if output_effects and method == "alt-grid":
-        raise ValueError(
-            "output_effects applies to the null methods (one h2 per trait); "
-            "for per-marker-h2 effects run scan(assumption='alt', "
-            "output_effects=True) on the trait of interest"
-        )
+    _check_output_effects(output_effects, method)
 
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y
@@ -203,21 +199,21 @@ def bulkscan_sharded(
         Cs = jax.device_put(covar.astype(dtype), NamedSharding(mesh, P(None, None)))
         Us = jax.device_put(K.U.astype(dtype), NamedSharding(mesh, P(None, None)))
         lams = jax.device_put(K.lam.astype(dtype), NamedSharding(mesh, P(None)))
-        L, h2_list = _bulkscan_lowrank_core(
+        out = _bulkscan_lowrank_core(
             Ys, Gs, Cs, Us, lams, jnp.asarray(h2_grid, dtype=dtype),
             n=n, prior=prior, reml=reml, precision=precision,
             method=method, optim_interval=optim_interval,
+            effects=output_effects and method != "alt-grid",
         )
         if method == "alt-grid":
-            result = BulkScanResult(L=L[:p, :m], h2_panel=h2_list[:p, :m])
+            result = BulkScanResult(L=out[0][:p, :m], h2_panel=out[1][:p, :m])
         else:
-            result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+            result = BulkScanResult(L=out[0][:p, :m], h2_null_list=out[1][:m])
             if output_effects:
-                bm, sm = _effects_lowrank_core(
-                    Ys, Gs, Cs, Us, lams, h2_list,
-                    n=n, precision=precision,
-                )
-                result.beta_mat, result.beta_se_mat = bm[:p, :m], sm[:p, :m]
+                # fused: the effects come from the SAME parts pass as the
+                # LODs (ops/lowrank.py::lods_and_effects_lowrank)
+                result.beta_mat = out[2][:p, :m]
+                result.beta_se_mat = out[3][:p, :m]
         if output_pvals:
             from ..ops.lod import lod2log10p
 
@@ -232,19 +228,20 @@ def bulkscan_sharded(
     y0s, X0ms, C0s, lams, m, p = shard_rotated(rot.y0, rot.X0, rot.lam, n_covars, mesh)
 
     if method == "null-grid":
-        L, h2_list = _bulkscan_null_grid_core(
+        out = _bulkscan_null_grid_core(
             y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
             prior=prior, reml=reml, method=solve_method,
-            precision=precision,
+            precision=precision, effects=output_effects,
         )
-        result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+        result = BulkScanResult(L=out[0][:p, :m], h2_null_list=out[1][:m])
     elif method == "null-exact":
-        L, h2_list = _bulkscan_null_exact_core(
+        out = _bulkscan_null_exact_core(
             y0s, X0ms, C0s, lams,
             prior=prior, reml=reml, method=solve_method,
             optim_interval=optim_interval, precision=precision,
+            effects=output_effects,
         )
-        result = BulkScanResult(L=L[:p, :m], h2_null_list=h2_list[:m])
+        result = BulkScanResult(L=out[0][:p, :m], h2_null_list=out[1][:m])
     elif method == "alt-grid":
         L, h2_panel = _bulkscan_alt_grid_core(
             y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
@@ -256,46 +253,17 @@ def bulkscan_sharded(
         raise ValueError(
             "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
         )
-    if output_effects:
-        bm, sm = _effects_sharded_core(
-            y0s, X0ms, C0s, lams, h2_list, precision=precision
-        )
-        result.beta_mat, result.beta_se_mat = bm[:p, :m], sm[:p, :m]
+    if output_effects and method != "alt-grid":
+        # fused: the effects come from the SAME (c+2)-GEMM parts pass as the
+        # LODs (ops/liteqtl.py::lods_and_effects_per_trait)
+        result.beta_mat = out[2][:p, :m]
+        result.beta_se_mat = out[3][:p, :m]
     if output_pvals:
         from ..ops.lod import lod2log10p
 
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
         result.chisq_df = chisq_df
     return result
-
-
-@partial(jax.jit, static_argnames=("precision",))
-def _effects_sharded_core(y0s, X0ms, C0s, lams, h2_list, *, precision):
-    from ..ops.liteqtl import effects_per_trait
-    from ..utils.config import with_highest_matmul
-
-    return with_highest_matmul(effects_per_trait)(
-        y0s, X0ms, C0s, lams, h2_list, precision=precision
-    )
-
-
-@partial(jax.jit, static_argnames=("n", "precision"))
-def _effects_lowrank_core(Ys, Gs, Cs, Us, lams, h2_list, *, n, precision):
-    from ..ops.lowrank import (
-        LowRankKinship, _base_parts, _parts_kwargs, effects_per_trait_lowrank,
-    )
-    from ..utils.config import with_highest_matmul
-
-    def impl():
-        lr = LowRankKinship(U=Us, lam=lams)
-        parts = _base_parts(Ys, Gs, Cs, lr, **_parts_kwargs(precision))
-        kdt = precision.resolve_kernel()
-        return effects_per_trait_lowrank(
-            parts, lams.astype(kdt), h2_list.astype(kdt), n,
-            precision=precision,
-        )
-
-    return with_highest_matmul(impl)()
 
 
 def scan_perms_sharded(

@@ -62,6 +62,23 @@ def test_scan_loco_with_perms_and_thresholds(loco_data):
     assert abs(res.h2_null_by_chrom["2"] - float(ref.h2_null)) < 1e-6
 
 
+def test_scan_loco_perms_use_distinct_per_chromosome_seeds(loco_data):
+    """Chromosome i permutes with rndseed + i: identical shuffle indices
+    across chromosomes would make the stitched per-chromosome maxima
+    conditionally dependent given y and bias genome-wide thresholds low."""
+    G, Y, chrom = loco_data
+    y = Y[:, 2]
+    res = bl.scan_loco(y, G, chrom, permutation_test=True, nperms=16,
+                       rndseed=5)
+    for i, c in enumerate(["1", "2"]):
+        mask = chrom == c
+        Kc = np.asarray(bl.calc_kinship(G[:, ~mask]))
+        ref = bl.scan(y, G[:, mask], Kc, permutation_test=True, nperms=16,
+                      rndseed=5 + i)
+        assert np.max(np.abs(res.L_perms[mask]
+                             - np.asarray(ref.L_perms))) < 1e-9, c
+
+
 def test_scan_loco_alt_assumption(loco_data):
     G, Y, chrom = loco_data
     res = bl.scan_loco(Y[:, 1], G, chrom, assumption="alt")
