@@ -26,6 +26,7 @@ from .analysis import (
     bh_adjust,
     getLL,
     get_thresholds,
+    get_thresholds_bulk,
     lod_fdr,
     profile_LL,
 )
@@ -40,6 +41,7 @@ from .io import (
     write_to_file,
 )
 from .models import (
+    BulkPermResult,
     BulkScanResult,
     ScanResult,
     bulkscan,
@@ -47,6 +49,7 @@ from .models import (
     bulkscan_loco,
     bulkscan_null,
     bulkscan_null_grid,
+    bulkscan_perms,
     bulkscan_streamed,
     loco_kinship,
     scan,
@@ -97,8 +100,10 @@ __all__ = [
     "lod_fdr",
     "getLL",
     "get_thresholds",
+    "get_thresholds_bulk",
     "profile_LL",
     "BulkScanResult",
+    "BulkPermResult",
     "ScanResult",
     "bulkscan",
     "bulkscan_alt_grid",
@@ -106,6 +111,7 @@ __all__ = [
     "bulkscan_null_grid",
     "bulkscan_streamed",
     "bulkscan_loco",
+    "bulkscan_perms",
     "loco_kinship",
     "scan_loco",
     "scan",

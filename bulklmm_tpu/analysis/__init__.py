@@ -2,7 +2,7 @@
 
 from .fdr import bh_adjust, lod_fdr
 from .profile_ll import ProfileLL, getLL, profile_LL
-from .thresholds import Thresholds, get_thresholds
+from .thresholds import Thresholds, get_thresholds, get_thresholds_bulk
 
 __all__ = [
     "ProfileLL",
@@ -10,6 +10,7 @@ __all__ = [
     "profile_LL",
     "Thresholds",
     "get_thresholds",
+    "get_thresholds_bulk",
     "bh_adjust",
     "lod_fdr",
 ]

@@ -29,3 +29,23 @@ def get_thresholds(L, signif_level: Sequence[float]) -> Thresholds:
     probs = 1.0 - np.asarray(signif_level, dtype=np.float64)
     thrs = np.quantile(peaks, probs)
     return Thresholds(probs=probs, thrs=thrs)
+
+
+def get_thresholds_bulk(perm_maxima, signif_level: Sequence[float]) -> Thresholds:
+    """Per-trait thresholds from (m, nperms) genome-wide permutation maxima.
+
+    ``perm_maxima``: :attr:`bulklmm_tpu.BulkPermResult.perm_maxima` (each row
+    is one trait's null max-LOD replicates — the per-marker max is already
+    taken by the bulk engine). Returns ``thrs`` with shape
+    (len(signif_level), m): same type-7 quantiles as :func:`get_thresholds`,
+    row l = the level-l threshold for every trait.
+
+    The quantile reduction runs on device (``jnp.quantile``'s "linear"
+    method == numpy default == Julia type-7): at BXD scale ``perm_maxima``
+    is ~140 MB and stays device-resident (see ``BulkPermResult``); only the
+    (levels x m) threshold matrix is fetched.
+    """
+    peaks = jnp.asarray(perm_maxima)
+    probs = 1.0 - np.asarray(signif_level, dtype=np.float64)
+    thrs = jnp.quantile(peaks, jnp.asarray(probs, dtype=peaks.dtype), axis=1)
+    return Thresholds(probs=probs, thrs=np.asarray(thrs, dtype=np.float64))

@@ -7,6 +7,7 @@ from .bulkscan import (
     bulkscan_null_grid,
     grid_null_ell,
 )
+from .bulkperm import BulkPermResult, bulkscan_perms
 from .loco import bulkscan_loco, loco_kinship, scan_loco
 from .results import BulkScanResult, ScanResult
 from .streaming import bulkscan_streamed
@@ -20,6 +21,8 @@ __all__ = [
     "grid_null_ell",
     "bulkscan_streamed",
     "bulkscan_loco",
+    "bulkscan_perms",
+    "BulkPermResult",
     "loco_kinship",
     "scan_loco",
     "BulkScanResult",

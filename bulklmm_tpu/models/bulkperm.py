@@ -1,0 +1,301 @@
+"""Bulk permutation testing: genome-wide permutation null maxima and
+family-wise-error thresholds for EVERY trait in one pass.
+
+Beyond-reference capability. The reference's permutation test is
+single-trait (``scan_perms_lite``, src/scan.jl:485-557 + ``get_thresholds``,
+src/analysis_helpers/single_trait_analysis.jl:13-23); thresholding all
+35,554 BXD traits means 35,554 sequential scans (~47 min at the README's
+0.079 s per trait, README.md:229-233). ``bulkscan_perms`` produces the same
+per-trait genome-wide null maxima for all traits at once: per-trait null h2
+fits (grid or exact, as ``bulkscan``), shared shuffle indices (identical to
+the single-trait path's), and a fused max-over-markers correlation pass
+(ops/bulkperm.py derivation; pallas/bulkperm_fused.py kernel) that never
+materializes the (p, m, nperms) LOD tensor (~1 TB at BXD scale).
+
+Column semantics match ``transform_permute(original=True)``: column 0 of
+``maxlods`` is the observed (unpermuted) genome-wide max LOD per trait;
+columns 1.. are the permutation null replicates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bulkperm import (
+    max_r2_perms_xla,
+    maxr2_to_lod,
+    perm_trait_parts,
+    permutation_indices,
+)
+from ..ops.lmm import fit_lmm
+from ..ops.rotation import resolve_kinship
+from ..ops.weights import make_weights
+from ..ops.wls import wls_ell
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
+from .bulkscan import grid_null_ell
+from .scan import _apply_weights
+
+
+@dataclasses.dataclass
+class BulkPermResult:
+    """Output of :func:`bulkscan_perms`.
+
+    ``maxlods`` (m, 1 + nperms) when ``original=True`` (column 0 observed),
+    else (m, nperms). Use :func:`bulklmm_tpu.get_thresholds_bulk` on
+    ``perm_maxima`` for per-trait FWER thresholds.
+
+    ``maxlods`` stays DEVICE-resident: at BXD scale it is ~140 MB, and the
+    downstream consumers (thresholds, adjusted p-values) are tiny
+    reductions that run on device — fetching the full matrix is the user's
+    explicit choice via ``np.asarray``.
+    """
+
+    maxlods: jnp.ndarray
+    h2_null_list: jnp.ndarray  # (m,)
+    sigma2_e_list: jnp.ndarray  # (m,)
+    nperms: int = 0
+    original: bool = True
+    log10_adj_pvals: Optional[jnp.ndarray] = None  # (m,) genome-wide adjusted
+
+    @property
+    def perm_maxima(self) -> jnp.ndarray:
+        """(m, nperms) null maxima (observed column stripped)."""
+        return self.maxlods[:, 1:] if self.original else self.maxlods
+
+    @property
+    def lod_max(self) -> Optional[jnp.ndarray]:
+        """(m,) observed genome-wide max LOD (``original=True`` only)."""
+        return self.maxlods[:, 0] if self.original else None
+
+
+_STATIC_PREP = (
+    "prior", "reml", "method", "solve_method", "optim_interval", "precision"
+)
+
+
+@partial(jax.jit, static_argnames=_STATIC_PREP)
+@with_highest_matmul
+def _bulkperm_prep(
+    Y, Xm, C, Ut, lam, h2_grid, *,
+    prior, reml, method, solve_method, optim_interval, precision,
+):
+    """Rotation + per-trait null fits + whitening parts, one device program."""
+    Y0 = jnp.matmul(Ut, Y)
+    X0m = jnp.matmul(Ut, Xm)
+    C0 = jnp.matmul(Ut, C)
+
+    if method == "null-grid":
+        kdt = precision.resolve_kernel()
+        ells = grid_null_ell(
+            Y0.astype(kdt), C0.astype(kdt), lam.astype(kdt),
+            h2_grid.astype(kdt), prior, reml=reml,
+        )
+        h2_list = h2_grid[jnp.argmax(ells, axis=0)]
+    else:  # null-exact
+        fits = jax.vmap(
+            lambda yj: fit_lmm(
+                yj, C0, lam, prior,
+                reml=reml, method=solve_method, optim_interval=optim_interval,
+            ),
+            in_axes=1,
+        )(Y0)
+        h2_list = fits.h2
+
+    sigma2_list = jax.vmap(
+        lambda yj, h2: wls_ell(
+            yj[:, None], C0, make_weights(h2, lam), prior, reml=reml
+        )[1][0],
+        in_axes=(1, 0),
+    )(Y0, h2_list)
+
+    sqrtw, Q, wrn = perm_trait_parts(Y0, C0, lam, h2_list, precision=precision)
+    Qstack = jnp.transpose(jnp.stack(Q, axis=0), (2, 0, 1))  # (m, c, n)
+    return X0m, h2_list, sigma2_list, sqrtw.T, Qstack, wrn
+
+
+@partial(
+    jax.jit,
+    static_argnames=("engine", "n", "precision", "tile_p", "interpret"),
+)
+def _bulkperm_chunk(
+    X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, *,
+    engine, n, precision, tile_p, interpret,
+):
+    """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk."""
+    if engine == "pallas":
+        from ..pallas.bulkperm_fused import fused_perm_maxlods
+
+        Sperm = jnp.transpose(wrn_blk[idx_blk], (2, 1, 0))  # (mb, n, Kc)
+        return fused_perm_maxlods(
+            X0m, sqrtw_blk, Qblk, Sperm,
+            n=n, tile_p=tile_p, interpret=interpret,
+        )
+    maxr2 = max_r2_perms_xla(
+        X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, precision=precision
+    )
+    return maxr2_to_lod(maxr2, n, precision=precision)
+
+
+def bulkscan_perms(
+    Y,
+    G,
+    K,
+    covar=None,
+    *,
+    nperms: int = 1000,
+    rndseed: int = 0,
+    method: str = "null-grid",
+    h2_grid=None,
+    add_intercept: bool = True,
+    weights=None,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    solve_method: str = "qr",
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    engine: str = "auto",
+    trait_chunk: Optional[int] = None,
+    perm_chunk: int = 2048,
+    original: bool = True,
+    tile_p: int = 512,
+    interpret: bool = False,
+) -> BulkPermResult:
+    """Permutation-null genome-wide max LODs for every trait at once.
+
+    Semantics per trait are exactly ``scan(y_j, G, K, permutation_test=True,
+    nperms=nperms, rndseed=rndseed)`` followed by a max over markers — same
+    whitened-residual shuffles, SAME shuffle indices (so results for trait j
+    match the single-trait call at the same fitted h2) — but the null h2 is
+    fitted per trait the ``bulkscan`` way (``method``: "null-grid" grid
+    argmax, default, or "null-exact" per-trait Brent).
+
+    ``engine``: "auto" picks the fused Pallas kernel on TPU at f32 GEMM
+    dtype (the (p, m, nperms) LOD tensor never exists; VMEM running max),
+    "xla" the chunked vmap formulation (any backend). ``trait_chunk`` /
+    ``perm_chunk`` bound device memory per step.
+
+    Returns :class:`BulkPermResult`; feed ``result.perm_maxima`` to
+    :func:`bulklmm_tpu.get_thresholds_bulk` for (levels x m) thresholds.
+    ``log10_adj_pvals`` holds -log10 of the standard permutation-adjusted
+    genome-wide p-value per trait, ``(1 + #{null max >= observed}) /
+    (nperms + 1)``.
+    """
+    if method not in ("null-grid", "null-exact"):
+        raise ValueError("method must be one of 'null-grid', 'null-exact'")
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    from ..ops.lowrank import LowRankKinship
+
+    if isinstance(K, LowRankKinship):
+        raise ValueError(
+            "bulkscan_perms requires a full-rank kinship (the permutation "
+            "null shuffles eigen-rotated residuals; rank-k whitening does "
+            "not define them). Pass the dense K or a KinshipDecomposition."
+        )
+
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    G = jnp.asarray(G)
+    n, m = Y.shape
+
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+
+    if weights is not None:
+        from ..ops.rotation import KinshipDecomposition
+
+        if isinstance(K, KinshipDecomposition):
+            raise ValueError(
+                "weights rescale the kinship matrix (K -> WKW); pass the raw "
+                "K, not a cached decomposition."
+            )
+        Y, G, covar, K, add_intercept = _apply_weights(
+            Y, G, covar, K, weights, add_intercept
+        )
+    if add_intercept:
+        covar = jnp.concatenate(
+            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
+        )
+
+    prior = (float(prior_variance), float(prior_sample_size))
+    dtype = precision.resolve_solve()
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+
+    X0m, h2_list, sigma2_list, sqrtw, Qstack, wrn = _bulkperm_prep(
+        Y.astype(dtype), G.astype(dtype), covar.astype(dtype), Ut, lam,
+        h2_grid.astype(dtype),
+        prior=prior, reml=reml, method=method, solve_method=solve_method,
+        optim_interval=optim_interval, precision=precision,
+    )
+
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and jax.default_backend() == "tpu"
+        and precision.resolve_gemm() == jnp.float32
+    )
+    eng = "pallas" if use_pallas else "xla"
+    if trait_chunk is None:
+        trait_chunk = 1024 if eng == "pallas" else 16
+
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+
+    # results stay device-resident; every chunk dispatch is async (no host
+    # sync in the loop), so the per-chunk kernels pipeline back-to-back
+    trait_rows = []
+    for ms in range(0, m, trait_chunk):
+        me = min(ms + trait_chunk, m)
+        mb = me - ms
+        sw_b, Q_b, wrn_b = sqrtw[ms:me], Qstack[ms:me], wrn[:, ms:me]
+        if eng == "pallas" and mb % 8:
+            # zero-padded traits: all-zero operands -> max r2 = 0, no NaN
+            pad = -mb % 8
+            sw_b = jnp.pad(sw_b, ((0, pad), (0, 0)))
+            Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
+            wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+        perm_cols = []
+        for ks in range(0, K_total, perm_chunk):
+            ke = min(ks + perm_chunk, K_total)
+            blk = _bulkperm_chunk(
+                X0m, sw_b, Q_b, wrn_b, idx[ks:ke],
+                engine=eng, n=n, precision=precision,
+                tile_p=tile_p, interpret=interpret,
+            )
+            perm_cols.append(blk[:mb])
+        trait_rows.append(
+            perm_cols[0] if len(perm_cols) == 1
+            else jnp.concatenate(perm_cols, axis=1)
+        )
+    maxlods = (
+        trait_rows[0] if len(trait_rows) == 1
+        else jnp.concatenate(trait_rows, axis=0)
+    )
+
+    result = BulkPermResult(
+        maxlods=maxlods,
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    )
+    if original and nperms > 0:
+        exceed = jnp.sum(
+            result.perm_maxima >= result.lod_max[:, None], axis=1
+        )
+        result.log10_adj_pvals = -jnp.log10((1.0 + exceed) / (nperms + 1.0))
+    return result

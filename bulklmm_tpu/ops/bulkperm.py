@@ -1,0 +1,168 @@
+"""Bulk (multi-trait) permutation-scan math: per-trait whitened-residual
+permutation null maxima for every trait at once.
+
+The reference can permutation-test one trait per call (``scan_perms_lite``,
+src/scan.jl:485-557): rotate, fit the null h2, whiten the residual with the
+trait's sqrt-weights, shuffle it, residualize+normalize the markers against
+the weighted covariates, one (p x nperms) correlation GEMM, keep the
+per-permutation genome-wide max (src/analysis_helpers/
+single_trait_analysis.jl:13-23). Thresholding 35,554 BXD traits that way is
+35,554 sequential scans (~47 min at the README's 0.079 s/trait,
+README.md:229-233).
+
+This module batches the whole thing. Two identities make it TPU-shaped:
+
+1. **Self-adjoint residualization.** The reference residualizes the
+   *markers* against the weighted covariates and correlates with the raw
+   shuffled residual. Since the projector ``I - Q_j Q_j^T`` is symmetric,
+   ``<(I-P_j) W_j^{1/2} x_i, s> = <W_j^{1/2} x_i, (I-P_j) s>`` — so per
+   (trait j, marker i, permutation k) the numerator is one GEMM of raw
+   weighted markers against per-trait quantities, with NO per-trait marker
+   matrix materialized.
+2. **Monotone max.** LOD is monotone in r^2, so the genome-wide max LOD per
+   (trait, permutation) is a running max of ``num^2 / (xn * nrm2)`` — a pure
+   reduction that fuses into the correlation GEMM (the Pallas engine keeps
+   the (traits, perms) carry in VMEM; pallas/bulkperm_fused.py).
+
+Per-trait quantities (weights, weighted-covariate orthobasis, whitened
+residual) come from the same unrolled-Cholesky machinery as the
+per-trait-weight scan kernel (ops/liteqtl.py, ops/smallchol.py) — batched
+(m, c, c) linalg is never touched.
+
+Permutation indices are SHARED across traits and identical to the
+single-trait path's (``transform_permute``, threefry on ``rndseed``), so
+column j of the bulk result is bit-for-bit the single-trait
+``scan(..., permutation_test=True, rndseed=rndseed)`` null maxima for
+trait j given the same h2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
+from .smallchol import pair_indices, unrolled_cholesky, fwd_subst
+from .weights import make_weights
+
+
+def permutation_indices(n: int, nperms: int, rndseed: int, *, original: bool = True):
+    """(K, n) int32 shuffle-index matrix, K = nperms (+1 identity row first
+    when ``original=True``).
+
+    Row k applied as ``x[idx[k]]`` reproduces ``shuffle_vector`` /
+    ``transform_permute`` column k exactly: ``jax.random.permutation(key, x)
+    == x[jax.random.permutation(key, len(x))]`` (same threefry sort keys).
+    """
+    if nperms < 0:
+        raise ValueError(
+            "The required number of permutations must be a positive integer."
+        )
+    keys = jax.random.split(jax.random.PRNGKey(rndseed), nperms)
+    idx = jax.vmap(lambda k: jax.random.permutation(k, n))(keys).astype(jnp.int32)
+    if original:
+        idx = jnp.concatenate([jnp.arange(n, dtype=jnp.int32)[None, :], idx], axis=0)
+    return idx
+
+
+def perm_trait_parts(
+    Y0,
+    C0,
+    lam,
+    h2_list,
+    *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """Per-trait whitening quantities from rotated operands.
+
+    Returns ``(sqrtw, Q, wrn)``:
+
+    - ``sqrtw`` (n, m): per-trait sqrt-weights ``sqrt(|makeweights(h2_j)|)``
+      (abs guard as the reference, src/bulkscan_helpers.jl:138);
+    - ``Q`` list of c arrays (n, m): per-trait orthonormal basis of the
+      weighted covariates (unrolled Gram Cholesky — no batched QR);
+    - ``wrn`` (n, m): whitened null residual
+      ``W^{1/2}(y0 - C0 bhat)``, normalized to unit length (the shuffled
+      vector's norm is permutation-invariant, so normalizing once folds the
+      trait-side denominator away).
+    """
+    sdt = precision.resolve_kernel()
+    pgp = precision.gemm_precision
+    n, c = C0.shape
+
+    W = jnp.abs(make_weights(h2_list, lam)).T.astype(sdt)  # (n, m)
+    S = jnp.sqrt(W)
+    Y = Y0.astype(sdt)
+    C = C0.astype(sdt)
+
+    pairs = pair_indices(c)
+    CC = jnp.stack([C[:, k] * C[:, l] for k, l in pairs], axis=1)  # (n, npair)
+    Gv = jnp.matmul(CC.T, W, precision=pgp)  # (npair, m)
+    Lc = unrolled_cholesky({kl: Gv[i] for i, kl in enumerate(pairs)}, c)
+
+    # Q^T = L^{-1} (W^{1/2} C)^T, as c arrays of (n, m)
+    Q = fwd_subst(Lc, [C[:, k][:, None] * S for k in range(c)], c)
+
+    Sy = S * Y  # (n, m) weighted traits
+    zeta = [jnp.sum(Q[k] * Sy, axis=0) for k in range(c)]  # c x (m,)
+    wr = Sy
+    for k in range(c):
+        wr = wr - Q[k] * zeta[k][None, :]
+    # explicit residual => nrm2 nonnegative by construction; tiny floor only
+    # guards exactly-covariate-spanned traits (wr == 0 -> wrn == 0)
+    nrm2 = jnp.sum(wr * wr, axis=0)
+    wrn = wr / jnp.sqrt(jnp.maximum(nrm2, jnp.finfo(sdt).tiny))[None, :]
+    return S, Q, wrn
+
+
+def max_r2_perms_xla(
+    X0m,
+    sqrtw,
+    Qstack,
+    wrn,
+    perm_idx,
+    *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """(m, K) max-over-markers squared correlation, XLA formulation.
+
+    ``X0m`` (n, p) rotated markers; ``sqrtw`` (m, n); ``Qstack`` (m, c, n);
+    ``wrn`` (n, m) unit-normalized whitened residuals; ``perm_idx`` (K, n).
+
+    Materializes a per-trait (n, p) weighted marker block under ``vmap`` —
+    intended for modest trait chunks (the models layer chunks traits); the
+    Pallas engine (pallas/bulkperm_fused.py) is the large-scale path.
+    """
+    sdt = precision.resolve_kernel()
+    gdt = precision.resolve_gemm()
+    pgp = precision.gemm_precision
+    tiny = jnp.finfo(sdt).tiny
+    X = X0m.astype(sdt)
+    Sperm = wrn[perm_idx]  # (K, n, m)
+
+    def one(sw_j, q_j, sp_j):
+        # sw_j (n,), q_j (c, n), sp_j (K, n)
+        Xw = X * sw_j[:, None]  # (n, p)
+        pX = jnp.matmul(q_j, Xw, precision=pgp)  # (c, p)
+        Xr = Xw - jnp.matmul(q_j.T, pX, precision=pgp)
+        xn = jnp.sum(Xr * Xr, axis=0)  # (p,)
+        num = jnp.matmul(
+            sp_j.astype(gdt), Xr.astype(gdt), precision=pgp
+        ).astype(sdt)  # (K, p)
+        r2 = (num * num) / jnp.maximum(xn, tiny)[None, :]
+        return jnp.max(r2, axis=1)  # (K,)
+
+    return jax.vmap(one, in_axes=(0, 0, 2))(sqrtw, Qstack, Sperm)
+
+
+def maxr2_to_lod(maxr2, n: int, *, precision: PrecisionConfig = DEFAULT_PRECISION):
+    """Genome-wide max LOD from max r^2 (monotone transform), with the same
+    cancellation floor as the fused kernel (r2 can round to >= 1 for a
+    marker perfectly correlated with the residual)."""
+    from .liteqtl import _fast_log
+    from .lod import log10_f32_accurate
+
+    one_minus = jnp.maximum(1.0 - maxr2, jnp.finfo(maxr2.dtype).tiny)
+    if _fast_log(precision):
+        return -(n / 2.0) * log10_f32_accurate(one_minus.astype(jnp.float32))
+    return -(n / 2.0) * jnp.log10(one_minus)

@@ -1,0 +1,176 @@
+"""Bulk permutation engine (models/bulkperm.py): per-trait genome-wide
+permutation null maxima + thresholds for all traits at once.
+
+Strategy mirrors the reference's fast-path == exact-path consistency tests
+(test/bulkscan_test.jl:86-107 h2-injection trick): with each trait's exact
+fitted h2 injected into the grid, the bulk engine's per-trait rows must
+reproduce the single-trait permutation path (``scan(...,
+permutation_test=True)`` + max over markers) — same shuffle indices by
+construction.
+"""
+
+import numpy as np
+import pytest
+
+import bulklmm_tpu as bl
+
+
+@pytest.fixture(scope="module")
+def perm_data():
+    rng = np.random.default_rng(11)
+    n, p, m = 52, 96, 4
+    G = rng.choice([0.0, 0.5, 1.0], size=(n, p))
+    K = np.asarray(bl.calc_kinship(G))
+    lam, U = np.linalg.eigh(K)
+    Y = np.stack(
+        [
+            U @ (np.sqrt(np.abs(lam)) * rng.normal(size=n)) * s
+            + rng.normal(size=n)
+            for s in [0.3, 1.0, 0.0, 2.0]
+        ],
+        axis=1,
+    )
+    Y[:, 1] += G[:, 7] * 2.0
+    return G, Y, K
+
+
+@pytest.fixture(scope="module")
+def singles(perm_data):
+    """Single-trait permutation references: fitted h2 + (m, 1+nperms)
+    genome-wide maxima (column 0 observed)."""
+    G, Y, K = perm_data
+    h2s, maxima = [], []
+    for j in range(Y.shape[1]):
+        r = bl.scan(Y[:, j], G, K, permutation_test=True, nperms=24, rndseed=7)
+        h2s.append(float(r.h2_null))
+        full = np.concatenate(
+            [np.asarray(r.lod)[:, None], np.asarray(r.L_perms)], axis=1
+        )
+        maxima.append(full.max(axis=0))
+    return np.asarray(h2s), np.stack(maxima)
+
+
+def test_bulkscan_perms_matches_single_trait_with_injected_h2(perm_data, singles):
+    G, Y, K = perm_data
+    h2s, ref = singles
+    res = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    assert np.max(np.abs(np.asarray(res.h2_null_list) - h2s)) < 1e-12
+    assert res.maxlods.shape == ref.shape
+    assert np.max(np.abs(res.maxlods - ref)) < 1e-4
+    # observed column == genome-wide max of the bulk scan itself
+    L = np.asarray(bl.bulkscan(Y, G, K, method="null-grid", h2_grid=h2s).L)
+    assert np.max(np.abs(res.lod_max - L.max(axis=0))) < 1e-4
+
+
+def test_bulkscan_perms_chunking_invariance(perm_data, singles):
+    G, Y, K = perm_data
+    h2s, _ = singles
+    a = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    b = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s,
+        trait_chunk=3, perm_chunk=7,
+    )
+    # different chunk shapes reassociate the XLA reductions -> ulp-level
+    np.testing.assert_allclose(
+        np.asarray(a.maxlods), np.asarray(b.maxlods), atol=1e-12
+    )
+
+
+def test_bulkscan_perms_pallas_interpret_matches_xla(perm_data, singles):
+    G, Y, K = perm_data
+    h2s, _ = singles
+    a = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    b = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s,
+        engine="pallas", interpret=True, trait_chunk=3,  # exercises padding
+    )
+    assert np.max(np.abs(a.maxlods - b.maxlods)) < 1e-5
+
+
+def test_bulkscan_perms_deterministic_and_seed_sensitive(perm_data):
+    G, Y, K = perm_data
+    a = bl.bulkscan_perms(Y, G, K, nperms=16, rndseed=3)
+    b = bl.bulkscan_perms(Y, G, K, nperms=16, rndseed=3)
+    c = bl.bulkscan_perms(Y, G, K, nperms=16, rndseed=4)
+    np.testing.assert_array_equal(a.maxlods, b.maxlods)
+    assert np.any(a.maxlods[:, 1:] != c.maxlods[:, 1:])
+    # observed column does not depend on the seed
+    np.testing.assert_allclose(a.maxlods[:, 0], c.maxlods[:, 0], atol=1e-6)
+
+
+def test_bulkscan_perms_null_exact_matches_scan_h2(perm_data):
+    G, Y, K = perm_data
+    res = bl.bulkscan_perms(Y, G, K, nperms=8, rndseed=1, method="null-exact")
+    for j in range(Y.shape[1]):
+        r = bl.scan(Y[:, j], G, K)
+        assert abs(float(res.h2_null_list[j]) - float(r.h2_null)) < 1e-5, j
+        assert abs(float(res.sigma2_e_list[j]) - float(r.sigma2_e)) < 1e-5, j
+
+
+def test_get_thresholds_bulk_rows_match_single_trait(perm_data, singles):
+    G, Y, K = perm_data
+    h2s, _ = singles
+    res = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    thr = bl.get_thresholds_bulk(res.perm_maxima, [0.10, 0.05])
+    assert thr.thrs.shape == (2, Y.shape[1])
+    for j in range(Y.shape[1]):
+        r = bl.scan(Y[:, j], G, K, permutation_test=True, nperms=24, rndseed=7)
+        t = bl.get_thresholds(np.asarray(r.L_perms), [0.10, 0.05])
+        np.testing.assert_allclose(thr.thrs[:, j], t.thrs, atol=2e-4)
+
+
+def test_bulkscan_perms_adjusted_pvals(perm_data):
+    G, Y, K = perm_data
+    res = bl.bulkscan_perms(Y, G, K, nperms=40, rndseed=2)
+    assert res.log10_adj_pvals.shape == (Y.shape[1],)
+    # bounded by the permutation resolution
+    assert np.all(res.log10_adj_pvals <= np.log10(41.0) + 1e-12)
+    assert np.all(res.log10_adj_pvals >= -1e-12)
+    # the planted-signal trait is the most genome-wide significant
+    assert np.argmax(res.log10_adj_pvals) == 1
+
+
+def test_bulkscan_perms_with_covariates_and_weights(perm_data):
+    G, Y, K = perm_data
+    rng = np.random.default_rng(5)
+    covar = rng.normal(size=(Y.shape[0], 2))
+    w = rng.uniform(0.5, 2.0, size=Y.shape[0])
+    res = bl.bulkscan_perms(
+        Y, G, K, covar, weights=w, nperms=12, rndseed=9, method="null-grid"
+    )
+    assert np.all(np.isfinite(res.maxlods))
+    # single-trait consistency under covariates+weights via h2 injection
+    j = 1
+    r = bl.scan(
+        Y[:, j], G, K, covar, weights=w, permutation_test=True,
+        nperms=12, rndseed=9,
+    )
+    res_j = bl.bulkscan_perms(
+        Y, G, K, covar, weights=w, nperms=12, rndseed=9,
+        method="null-grid", h2_grid=np.array([float(r.h2_null)]),
+    )
+    full = np.concatenate(
+        [np.asarray(r.lod)[:, None], np.asarray(r.L_perms)], axis=1
+    )
+    assert np.max(np.abs(res_j.maxlods[j] - full.max(axis=0))) < 1e-4
+
+
+def test_bulkscan_perms_validation(perm_data):
+    G, Y, K = perm_data
+    with pytest.raises(ValueError, match="null-grid"):
+        bl.bulkscan_perms(Y, G, K, method="alt-grid")
+    with pytest.raises(ValueError, match="engine"):
+        bl.bulkscan_perms(Y, G, K, engine="banana")
+    lr = bl.LowRankKinship(
+        U=np.linalg.eigh(K)[1][:, -4:], lam=np.linalg.eigh(K)[0][-4:]
+    )
+    with pytest.raises(ValueError, match="full-rank"):
+        bl.bulkscan_perms(Y, G, lr)
