@@ -34,6 +34,7 @@ TOL = {
     "bulk_null_grid": 2e-5,
     "bulk_null_exact": 2e-5,
     "bulk_alt_grid": 2e-5,
+    "bulk_perms": 2e-5,
 }
 
 CHILD = r"""
@@ -60,6 +61,9 @@ out["perms"] = np.asarray(
 out["bulk_null_grid"] = np.asarray(bl.bulkscan(Y, G, K).L)
 out["bulk_null_exact"] = np.asarray(bl.bulkscan(Y, G, K, method="null-exact").L)
 out["bulk_alt_grid"] = np.asarray(bl.bulkscan(Y, G, K, method="alt-grid").L)
+out["bulk_perms"] = np.asarray(
+    bl.bulkscan_perms(Y, G, K, nperms=100, rndseed=7).maxlods
+)
 np.savez(sys.argv[2], **out)
 print("cpu goldens done")
 """
@@ -121,6 +125,11 @@ def main():
     )
     results["bulk_alt_grid"] = np.asarray(
         bl.bulkscan(Y, G, K, method="alt-grid", precision=BALANCED).L
+    )
+    results["bulk_perms"] = np.asarray(
+        bl.bulkscan_perms(
+            Y, G, K, nperms=100, rndseed=7, precision=BALANCED
+        ).maxlods  # auto -> fused Pallas kernel on TPU
     )
 
     ok = True

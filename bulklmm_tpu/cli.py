@@ -136,6 +136,11 @@ def _bulkscan(args):
 
     G = _load_geno(args)
     Y = _load_pheno(args)
+    if args.nperms > 0 and (args.loco or getattr(args, "lowrank_k", 0)):
+        raise SystemExit(
+            "--nperms (bulk permutation thresholds) requires the full-rank, "
+            "non-LOCO kinship"
+        )
     kwargs = dict(
         method=args.method,
         reml=args.reml,
@@ -172,6 +177,20 @@ def _bulkscan(args):
             out[f"h2_null_chr{c}"] = np.asarray(v)
     if args.pvals:
         out["log10Pvals"] = np.asarray(res.log10Pvals_mat)
+    if args.nperms > 0:
+        # all-trait permutation FWER thresholds (models/bulkperm.py)
+        from . import bulkscan_perms, get_thresholds_bulk
+
+        pr = bulkscan_perms(
+            Y, G, np.asarray(calc_kinship(G)),
+            nperms=args.nperms, rndseed=args.seed,
+            method=args.method if args.method != "alt-grid" else "null-grid",
+            precision=precision,
+        )
+        thr = get_thresholds_bulk(pr.perm_maxima, [0.10, 0.05, 0.01])
+        out["perm_maxlods"] = np.asarray(pr.maxlods)
+        out["thresholds"] = thr.thrs  # (3, m): rows = 0.10 / 0.05 / 0.01
+        out["log10_adj_pvals"] = np.asarray(pr.log10_adj_pvals)
     np.savez_compressed(args.output, **out)
     print(f"bulkscan {out['L'].shape} ({args.method}) -> {args.output}")
 
@@ -227,6 +246,12 @@ def main(argv=None):
     b.add_argument("--reml", action="store_true")
     b.add_argument("--trait-chunk", type=int, default=None)
     b.add_argument("--pvals", action="store_true")
+    b.add_argument(
+        "--nperms", type=int, default=0,
+        help=">0 adds per-trait permutation FWER thresholds "
+        "(perm_maxlods/thresholds/log10_adj_pvals in the .npz)",
+    )
+    b.add_argument("--seed", type=int, default=0)
     b.add_argument(
         "--effects", action="store_true",
         help="also output (p, m) GLS effect sizes + Wald SEs (null methods)",

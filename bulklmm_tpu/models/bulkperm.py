@@ -118,15 +118,13 @@ def _bulkperm_prep(
     return X0m, h2_list, sigma2_list, sqrtw.T, Qstack, wrn
 
 
-@partial(
-    jax.jit,
-    static_argnames=("engine", "n", "precision", "tile_p", "interpret"),
-)
-def _bulkperm_chunk(
+def _chunk_impl(
     X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, *,
     engine, n, precision, tile_p, interpret,
 ):
-    """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk."""
+    """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk. Pure —
+    jitted directly (single device) or as a ``shard_map`` body
+    (parallel/sharding.py::bulkscan_perms_sharded, per-device shards)."""
     if engine == "pallas":
         from ..pallas.bulkperm_fused import fused_perm_maxlods
 
@@ -139,6 +137,12 @@ def _bulkperm_chunk(
         X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, precision=precision
     )
     return maxr2_to_lod(maxr2, n, precision=precision)
+
+
+_bulkperm_chunk = partial(
+    jax.jit,
+    static_argnames=("engine", "n", "precision", "tile_p", "interpret"),
+)(_chunk_impl)
 
 
 def bulkscan_perms(

@@ -56,7 +56,9 @@ def _kernel(w_ref, q_ref, x_ref, s_ref, o_ref, *, n, p_tiles, tile_p, k_pad):
         St = s_ref[t]  # (n_pad, k_pad)
 
         def body(i, acc, sw=sw, Qt=Qt, St=St):
-            Xt = x_ref[pl.ds(i * tile_p, tile_p), :]  # (TP, n_pad)
+            # i32 offset arithmetic: with jax x64 enabled a python-int
+            # factor traces as i64 and Mosaic rejects the mixed mul
+            Xt = x_ref[pl.ds(i * jnp.int32(tile_p), tile_p), :]  # (TP, n_pad)
             Xw = Xt * sw[None, :]
             pX = jax.lax.dot_general(
                 Xw, Qt, (((1,), (1,)), ((), ())), precision=_HI
@@ -73,7 +75,8 @@ def _kernel(w_ref, q_ref, x_ref, s_ref, o_ref, *, n, p_tiles, tile_p, k_pad):
             return jnp.maximum(acc, jnp.max(r2, axis=0, keepdims=True))
 
         acc = jax.lax.fori_loop(
-            0, p_tiles, body, jnp.zeros((1, k_pad), dtype=jnp.float32)
+            jnp.int32(0), jnp.int32(p_tiles), body,
+            jnp.zeros((1, k_pad), dtype=jnp.float32),
         )
         # same cancellation floor as the XLA path: r2 can round to >= 1 for
         # a marker perfectly correlated with the residual
@@ -131,20 +134,27 @@ def fused_perm_maxlods(
         kernel,
         out_shape=jax.ShapeDtypeStruct((mb, k_pad), f32),
         grid=(mb // _TM,),
+        # index-map zeros are derived from the i32 grid index (j * 0, not
+        # the literal 0): with jax x64 enabled a literal traces as i64 and
+        # Mosaic rejects the mixed index tuple
         in_specs=[
-            pl.BlockSpec((_TM, n_pad), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (_TM, c, n_pad), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (_TM, n_pad), lambda j: (j, j * 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_TM, c, n_pad), lambda j: (j, j * 0, j * 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (p_pad, n_pad), lambda j: (j * 0, j * 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_TM, n_pad, k_pad), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+                (_TM, n_pad, k_pad), lambda j: (j, j * 0, j * 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_TM, k_pad), lambda j: (j, 0), memory_space=pltpu.VMEM
+            (_TM, k_pad), lambda j: (j, j * 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

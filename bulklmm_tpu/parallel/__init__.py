@@ -16,6 +16,7 @@ from .distributed import (
     merge_shards,
 )
 from .sharding import (
+    bulkscan_perms_sharded,
     bulkscan_sharded,
     make_mesh,
     scan_perms_sharded,
@@ -29,6 +30,7 @@ __all__ = [
     "local_trait_slice",
     "make_global_mesh",
     "merge_shards",
+    "bulkscan_perms_sharded",
     "bulkscan_sharded",
     "make_mesh",
     "scan_perms_sharded",

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from functools import partial
+from functools import lru_cache, partial
 
 from ..models.bulkscan import (
     _bulkscan_alt_grid_core,
@@ -357,6 +357,189 @@ def scan_perms_sharded(
     )
     L = L[:p, : nperms + 1]
     return ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:])
+
+
+@lru_cache(maxsize=None)
+def _bulkperm_sharded_fn(mesh, engine, n, precision, tile_p, interpret):
+    """shard_map-wrapped bulk-perm chunk core, cached per (mesh, config).
+
+    Device (i, j) of the (traits x markers) mesh computes trait shard i
+    x permutation shard j — permutations ride the markers axis (the marker
+    panel itself is tiny at LMM scale, n x p ~ a few MB, and is replicated;
+    the genome-wide max over markers is device-local, so the whole engine
+    is collective-free).
+    """
+    from ..models.bulkperm import _chunk_impl
+
+    f = partial(
+        _chunk_impl,
+        engine=engine, n=n, precision=precision,
+        tile_p=tile_p, interpret=interpret,
+    )
+    return jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),              # X0m replicated
+                P(TRAITS_AXIS, None),       # sqrt-weights
+                P(TRAITS_AXIS, None, None), # covariate orthobases
+                P(None, TRAITS_AXIS),       # whitened residuals
+                P(MARKERS_AXIS, None),      # shuffle indices (perm shards)
+            ),
+            out_specs=P(TRAITS_AXIS, MARKERS_AXIS),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )
+    )
+
+
+def bulkscan_perms_sharded(
+    Y,
+    G,
+    K,
+    covar=None,
+    *,
+    mesh: Optional[Mesh] = None,
+    nperms: int = 1000,
+    rndseed: int = 0,
+    method: str = "null-grid",
+    h2_grid=None,
+    add_intercept: bool = True,
+    weights=None,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    solve_method: str = "qr",
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    engine: str = "auto",
+    trait_chunk: Optional[int] = None,
+    original: bool = True,
+    tile_p: int = 512,
+    interpret: bool = False,
+):
+    """All-trait permutation maxima sharded over the device mesh.
+
+    Same numerics as :func:`bulklmm_tpu.bulkscan_perms` (the chunk core is
+    shared); traits shard the traits axis and permutation columns the
+    markers axis, so every device owns an independent (trait-block x
+    perm-block) tile of the output — no collectives anywhere (the
+    genome-wide max over markers is computed against the replicated,
+    MB-scale marker panel). The fused Pallas kernel runs per device under
+    ``shard_map`` on TPU meshes; CPU/virtual meshes use the XLA engine.
+    """
+    from ..models.bulkperm import (
+        BulkPermResult, _bulkperm_prep,
+    )
+    from ..models.scan import _apply_weights
+    from ..ops.bulkperm import permutation_indices
+    from ..ops.rotation import resolve_kinship
+
+    if mesh is None:
+        mesh = make_mesh()
+    if method not in ("null-grid", "null-exact"):
+        raise ValueError("method must be one of 'null-grid', 'null-exact'")
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    G = jnp.asarray(G)
+    n, m = Y.shape
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    if weights is not None:
+        Y, G, covar, K, add_intercept = _apply_weights(
+            Y, G, covar, K, weights, add_intercept
+        )
+    if add_intercept:
+        covar = jnp.concatenate(
+            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
+        )
+
+    prior = (float(prior_variance), float(prior_sample_size))
+    dtype = precision.resolve_solve()
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+
+    X0m, h2_list, sigma2_list, sqrtw, Qstack, wrn = _bulkperm_prep(
+        Y.astype(dtype), G.astype(dtype), covar.astype(dtype), Ut, lam,
+        h2_grid.astype(dtype),
+        prior=prior, reml=reml, method=method, solve_method=solve_method,
+        optim_interval=optim_interval, precision=precision,
+    )
+
+    # engine choice keys off the MESH's devices, not the session default
+    # backend (a CPU dry-run mesh can coexist with a TPU default backend)
+    mesh_platform = mesh.devices.flat[0].platform
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and mesh_platform == "tpu"
+        and precision.resolve_gemm() == jnp.float32
+    )
+    eng = "pallas" if use_pallas else "xla"
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
+    # per-device trait blocks: multiples of 8 for the Pallas output tile
+    quantum = tshards * (8 if eng == "pallas" else 1)
+    if trait_chunk is None:
+        trait_chunk = (1024 if eng == "pallas" else 16) * tshards
+    trait_chunk += (-trait_chunk) % quantum
+
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+    # pad perm rows so the markers axis divides them (extra rows repeat the
+    # identity permutation; their columns are sliced off)
+    k_pad = (-K_total) % (mshards * 128 if eng == "pallas" else mshards)
+    if k_pad:
+        idx = jnp.concatenate([idx, jnp.tile(idx[:1], (k_pad, 1))], axis=0)
+
+    run = _bulkperm_sharded_fn(mesh, eng, n, precision, tile_p, interpret)
+    X0m = jax.device_put(X0m, NamedSharding(mesh, P(None, None)))
+    idx = jax.device_put(idx, NamedSharding(mesh, P(MARKERS_AXIS, None)))
+
+    trait_rows = []
+    for ms in range(0, m, trait_chunk):
+        me = min(ms + trait_chunk, m)
+        mb = me - ms
+        sw_b, Q_b, wrn_b = sqrtw[ms:me], Qstack[ms:me], wrn[:, ms:me]
+        if mb % quantum:
+            pad = -mb % quantum
+            sw_b = jnp.pad(sw_b, ((0, pad), (0, 0)))
+            Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
+            wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+        sw_b = jax.device_put(sw_b, NamedSharding(mesh, P(TRAITS_AXIS, None)))
+        Q_b = jax.device_put(
+            Q_b, NamedSharding(mesh, P(TRAITS_AXIS, None, None))
+        )
+        wrn_b = jax.device_put(wrn_b, NamedSharding(mesh, P(None, TRAITS_AXIS)))
+        trait_rows.append(run(X0m, sw_b, Q_b, wrn_b, idx)[:mb, :K_total])
+    maxlods = (
+        trait_rows[0] if len(trait_rows) == 1
+        else jnp.concatenate(trait_rows, axis=0)
+    )
+
+    result = BulkPermResult(
+        maxlods=maxlods,
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    )
+    if original and nperms > 0:
+        exceed = jnp.sum(
+            result.perm_maxima >= result.lod_max[:, None], axis=1
+        )
+        result.log10_adj_pvals = -jnp.log10((1.0 + exceed) / (nperms + 1.0))
+    return result
 
 
 def train_step_sharded(mesh: Mesh, Y, G, K, h2_grid=None, **kwargs) -> BulkScanResult:

@@ -174,3 +174,47 @@ def test_bulkscan_perms_validation(perm_data):
     )
     with pytest.raises(ValueError, match="full-rank"):
         bl.bulkscan_perms(Y, G, lr)
+
+
+def test_bulkscan_perms_sharded_matches_unsharded(perm_data, singles):
+    """8-device virtual mesh: traits axis, then a (4 x 2) mesh where the
+    permutation columns shard the markers axis. Collective-free by design —
+    every device owns an independent output tile."""
+    G, Y, K = perm_data
+    h2s, _ = singles
+    ref = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    for kw in ({}, {"marker_shards": 2}):
+        mesh = bl.parallel.make_mesh(**kw)
+        res = bl.parallel.bulkscan_perms_sharded(
+            Y, G, K, mesh=mesh, nperms=24, rndseed=7,
+            method="null-grid", h2_grid=h2s,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.maxlods), np.asarray(ref.maxlods), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.h2_null_list), np.asarray(ref.h2_null_list),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.log10_adj_pvals),
+            np.asarray(ref.log10_adj_pvals), atol=1e-12,
+        )
+
+
+def test_bulkscan_perms_sharded_pallas_interpret(perm_data, singles):
+    """The fused kernel runs per device under shard_map (interpret mode on
+    the CPU mesh)."""
+    G, Y, K = perm_data
+    h2s, _ = singles
+    ref = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    mesh = bl.parallel.make_mesh(4)
+    res = bl.parallel.bulkscan_perms_sharded(
+        Y, G, K, mesh=mesh, nperms=24, rndseed=7,
+        method="null-grid", h2_grid=h2s, engine="pallas", interpret=True,
+    )
+    assert np.max(np.abs(np.asarray(res.maxlods) - np.asarray(ref.maxlods))) < 1e-5

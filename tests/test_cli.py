@@ -180,3 +180,21 @@ def test_cli_loco(csv_data):
     r3 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
                "--pheno", "pheno.csv", "--loco", "-o", "x.npz"], csv_data)
     assert r3.returncode != 0 and "--gmap" in (r3.stderr + r3.stdout)
+
+
+def test_cli_bulkscan_with_perm_thresholds(csv_data):
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--nperms", "32", "--seed", "4",
+              "-o", "bulk_perm.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    z = np.load(csv_data / "bulk_perm.npz")
+    assert z["perm_maxlods"].shape == (6, 33)
+    assert z["thresholds"].shape == (3, 6)
+    assert z["log10_adj_pvals"].shape == (6,)
+    # observed column consistent with the scan's own LOD matrix
+    assert np.allclose(z["perm_maxlods"][:, 0], z["L"].max(axis=0), atol=1e-4)
+    # LOCO + perms is rejected
+    r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--nperms", "8", "--loco",
+               "--gmap", "nope.csv", "-o", "x.npz"], csv_data)
+    assert r2.returncode != 0 and "full-rank" in r2.stderr
