@@ -50,6 +50,8 @@ from .models import (
     bulkscan_null,
     bulkscan_null_grid,
     bulkscan_perms,
+    bulkscan_perms_loco,
+    bulkscan_perms_streamed,
     bulkscan_streamed,
     loco_kinship,
     scan,
@@ -112,6 +114,8 @@ __all__ = [
     "bulkscan_streamed",
     "bulkscan_loco",
     "bulkscan_perms",
+    "bulkscan_perms_loco",
+    "bulkscan_perms_streamed",
     "loco_kinship",
     "scan_loco",
     "scan",

@@ -136,10 +136,10 @@ def _bulkscan(args):
 
     G = _load_geno(args)
     Y = _load_pheno(args)
-    if args.nperms > 0 and (args.loco or getattr(args, "lowrank_k", 0)):
+    if args.nperms > 0 and getattr(args, "lowrank_k", 0):
         raise SystemExit(
-            "--nperms (bulk permutation thresholds) requires the full-rank, "
-            "non-LOCO kinship"
+            "--nperms (bulk permutation thresholds) requires the full-rank "
+            "kinship"
         )
     kwargs = dict(
         method=args.method,
@@ -178,15 +178,24 @@ def _bulkscan(args):
     if args.pvals:
         out["log10Pvals"] = np.asarray(res.log10Pvals_mat)
     if args.nperms > 0:
-        # all-trait permutation FWER thresholds (models/bulkperm.py)
-        from . import bulkscan_perms, get_thresholds_bulk
+        # all-trait permutation FWER thresholds (models/bulkperm.py);
+        # with --loco, per-chromosome maxima stitched via elementwise max
+        # (models/loco.py::bulkscan_perms_loco)
+        from . import bulkscan_perms, bulkscan_perms_loco, get_thresholds_bulk
 
-        pr = bulkscan_perms(
-            Y, G, np.asarray(calc_kinship(G)),
+        perm_kwargs = dict(
             nperms=args.nperms, rndseed=args.seed,
             method=args.method if args.method != "alt-grid" else "null-grid",
             precision=precision,
         )
+        if args.loco:
+            pr = bulkscan_perms_loco(
+                Y, G, _loco_chrom(args, G.shape[1]), **perm_kwargs
+            )
+        else:
+            pr = bulkscan_perms(
+                Y, G, np.asarray(calc_kinship(G)), **perm_kwargs
+            )
         thr = get_thresholds_bulk(pr.perm_maxima, [0.10, 0.05, 0.01])
         out["perm_maxlods"] = np.asarray(pr.maxlods)
         out["thresholds"] = thr.thrs  # (3, m): rows = 0.10 / 0.05 / 0.01
@@ -249,7 +258,8 @@ def main(argv=None):
     b.add_argument(
         "--nperms", type=int, default=0,
         help=">0 adds per-trait permutation FWER thresholds "
-        "(perm_maxlods/thresholds/log10_adj_pvals in the .npz)",
+        "(perm_maxlods/thresholds/log10_adj_pvals in the .npz); "
+        "composes with --loco",
     )
     b.add_argument("--seed", type=int, default=0)
     b.add_argument(

@@ -8,9 +8,11 @@ from .bulkscan import (
     grid_null_ell,
 )
 from .bulkperm import BulkPermResult, bulkscan_perms
-from .loco import bulkscan_loco, loco_kinship, scan_loco
+from .loco import (
+    bulkscan_loco, bulkscan_perms_loco, loco_kinship, scan_loco,
+)
 from .results import BulkScanResult, ScanResult
-from .streaming import bulkscan_streamed
+from .streaming import bulkscan_perms_streamed, bulkscan_streamed
 from .scan import scan, scan_perms_lite
 
 __all__ = [
@@ -22,6 +24,8 @@ __all__ = [
     "bulkscan_streamed",
     "bulkscan_loco",
     "bulkscan_perms",
+    "bulkscan_perms_loco",
+    "bulkscan_perms_streamed",
     "BulkPermResult",
     "loco_kinship",
     "scan_loco",

@@ -61,6 +61,8 @@ class BulkPermResult:
     nperms: int = 0
     original: bool = True
     log10_adj_pvals: Optional[jnp.ndarray] = None  # (m,) genome-wide adjusted
+    h2_null_by_chrom: Optional[dict] = None  # LOCO: chrom -> (m,) h2s
+    sigma2_by_chrom: Optional[dict] = None  # LOCO: chrom -> (m,) sigma2_e
 
     @property
     def perm_maxima(self) -> jnp.ndarray:
@@ -73,6 +75,19 @@ class BulkPermResult:
         return self.maxlods[:, 0] if self.original else None
 
 
+def _attach_adj_pvals(result: BulkPermResult) -> BulkPermResult:
+    """Permutation-adjusted genome-wide -log10 p per trait:
+    (1 + #{null max >= observed}) / (nperms + 1), on device."""
+    if result.original and result.nperms > 0:
+        exceed = jnp.sum(
+            result.perm_maxima >= result.lod_max[:, None], axis=1
+        )
+        result.log10_adj_pvals = -jnp.log10(
+            (1.0 + exceed) / (result.nperms + 1.0)
+        )
+    return result
+
+
 _STATIC_PREP = (
     "prior", "reml", "method", "solve_method", "optim_interval", "precision"
 )
@@ -80,13 +95,15 @@ _STATIC_PREP = (
 
 @partial(jax.jit, static_argnames=_STATIC_PREP)
 @with_highest_matmul
-def _bulkperm_prep(
-    Y, Xm, C, Ut, lam, h2_grid, *,
+def _bulkperm_prep_traits(
+    Y, C, Ut, lam, h2_grid, *,
     prior, reml, method, solve_method, optim_interval, precision,
 ):
-    """Rotation + per-trait null fits + whitening parts, one device program."""
+    """Trait-side prep (no markers): rotation + per-trait null fits +
+    whitening parts, one device program. The marker-streamed engine
+    (models/streaming.py::bulkscan_perms_streamed) rotates marker blocks
+    separately."""
     Y0 = jnp.matmul(Ut, Y)
-    X0m = jnp.matmul(Ut, Xm)
     C0 = jnp.matmul(Ut, C)
 
     if method == "null-grid":
@@ -115,7 +132,22 @@ def _bulkperm_prep(
 
     sqrtw, Q, wrn = perm_trait_parts(Y0, C0, lam, h2_list, precision=precision)
     Qstack = jnp.transpose(jnp.stack(Q, axis=0), (2, 0, 1))  # (m, c, n)
-    return X0m, h2_list, sigma2_list, sqrtw.T, Qstack, wrn
+    return h2_list, sigma2_list, sqrtw.T, Qstack, wrn
+
+
+@partial(jax.jit, static_argnames=_STATIC_PREP)
+@with_highest_matmul
+def _bulkperm_prep(
+    Y, Xm, C, Ut, lam, h2_grid, *,
+    prior, reml, method, solve_method, optim_interval, precision,
+):
+    """Trait-side prep + marker rotation fused into one device program."""
+    out = _bulkperm_prep_traits(
+        Y, C, Ut, lam, h2_grid,
+        prior=prior, reml=reml, method=method, solve_method=solve_method,
+        optim_interval=optim_interval, precision=precision,
+    )
+    return (jnp.matmul(Ut, Xm),) + tuple(out)
 
 
 def _chunk_impl(
@@ -290,16 +322,10 @@ def bulkscan_perms(
         else jnp.concatenate(trait_rows, axis=0)
     )
 
-    result = BulkPermResult(
+    return _attach_adj_pvals(BulkPermResult(
         maxlods=maxlods,
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,
         original=original,
-    )
-    if original and nperms > 0:
-        exceed = jnp.sum(
-            result.perm_maxima >= result.lod_max[:, None], axis=1
-        )
-        result.log10_adj_pvals = -jnp.log10((1.0 + exceed) / (nperms + 1.0))
-    return result
+    ))

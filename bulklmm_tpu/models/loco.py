@@ -31,7 +31,7 @@ import numpy as np
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 from .results import BulkScanResult, ScanResult
 
-__all__ = ["loco_kinship", "bulkscan_loco", "scan_loco"]
+__all__ = ["loco_kinship", "bulkscan_loco", "bulkscan_perms_loco", "scan_loco"]
 
 
 def _chrom_masks(chromosome, p):
@@ -256,3 +256,69 @@ def scan_loco(
     result.h2_null_by_chrom = h2_by_chrom
     result.sigma2_by_chrom = s2_by_chrom
     return result
+
+
+def bulkscan_perms_loco(
+    Y,
+    G,
+    chromosome,
+    covar=None,
+    *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    rndseed: int = 0,
+    **kwargs,
+):
+    """All-trait LOCO permutation maxima: per chromosome, markers scan
+    against the leave-that-chromosome-out kinship with its own null fits
+    and whitened-residual shuffles; the genome-wide max per (trait,
+    permutation) is the elementwise max of the per-chromosome maxima
+    (LOD is monotone in r^2, so maxima stitch exactly).
+
+    Permutation semantics match :func:`scan_loco`: chromosome i uses
+    ``rndseed + i`` (identical shuffle indices across chromosomes would
+    make the stitched maxima conditionally dependent given Y and bias
+    genome-wide thresholds low). Remaining keywords go to
+    :func:`bulklmm_tpu.bulkscan_perms` (nperms, method, h2_grid, engine,
+    ...). ``h2_null_by_chrom`` / ``sigma2_by_chrom`` map ``chrom -> (m,)``;
+    the result's ``h2_null_list`` / ``sigma2_e_list`` are the
+    across-chromosome means.
+    """
+    import jax.numpy as _jnp
+
+    from .bulkperm import BulkPermResult, _attach_adj_pvals, bulkscan_perms
+
+    G = np.asarray(G)
+    base_seed = int(rndseed)
+
+    maxlods = None
+    h2_by_chrom, s2_by_chrom = {}, {}
+    nperms = original = None
+    for i, (c, mask, K) in enumerate(_iter_loco(
+        G, chromosome, lowrank_k=0, precision=precision
+    )):
+        res = bulkscan_perms(
+            Y, G[:, mask], K, covar,
+            precision=precision, rndseed=base_seed + i, **kwargs,
+        )
+        h2_by_chrom[c] = res.h2_null_list
+        s2_by_chrom[c] = res.sigma2_e_list
+        nperms, original = res.nperms, res.original
+        maxlods = (
+            res.maxlods if maxlods is None
+            else _jnp.maximum(maxlods, res.maxlods)
+        )
+
+    result = BulkPermResult(
+        maxlods=maxlods,
+        h2_null_list=_jnp.mean(
+            _jnp.stack(list(h2_by_chrom.values())), axis=0
+        ),
+        sigma2_e_list=_jnp.mean(
+            _jnp.stack(list(s2_by_chrom.values())), axis=0
+        ),
+        nperms=nperms,
+        original=original,
+        h2_null_by_chrom=h2_by_chrom,
+        sigma2_by_chrom=s2_by_chrom,
+    )
+    return _attach_adj_pvals(result)

@@ -431,3 +431,148 @@ def _lr_block_with_y(Xb, Y, C, U, lam, tbase, h2_or_grid, *, n, prior, reml,
     return lods_per_trait_lowrank(
         parts, lam_k, h2_or_grid.astype(kdt), n, precision=precision
     )
+
+
+@partial(jax.jit, static_argnames=())
+@with_highest_matmul
+def _rotate_block(Ut, Xb):
+    return jnp.matmul(Ut, Xb)
+
+
+def bulkscan_perms_streamed(
+    Y,
+    G,
+    K,
+    covar=None,
+    *,
+    nperms: int = 1000,
+    rndseed: int = 0,
+    method: str = "null-grid",
+    h2_grid=None,
+    marker_block: int = 32_768,
+    add_intercept: bool = True,
+    prior_variance: float = 1.0,
+    prior_sample_size: float = 0.0,
+    reml: bool = False,
+    solve_method: str = "qr",
+    optim_interval: int = 1,
+    decomp_scheme: str = "eigen",
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+    engine: str = "auto",
+    trait_chunk=None,
+    perm_chunk: int = 2048,
+    original: bool = True,
+    tile_p: int = 512,
+    interpret: bool = False,
+):
+    """All-trait permutation maxima over a HOST-resident marker panel,
+    streamed in marker blocks — for p too large to hold (n, p) genotypes on
+    device.
+
+    Same numerics as :func:`bulklmm_tpu.bulkscan_perms` (shared chunk
+    core): LOD is monotone in r^2, so the genome-wide maxima accumulate as
+    an elementwise running max over marker blocks — the (m, 1+nperms)
+    device accumulator is the ONLY marker-extensive state, and each block
+    goes through the identical fused kernel (Pallas on TPU) or XLA path.
+    ``G`` is any sliceable host (n, p) array — plain numpy or
+    ``np.memmap``.
+    """
+    from ..ops.bulkperm import permutation_indices
+    from ..ops.lowrank import LowRankKinship
+    from .bulkperm import (
+        BulkPermResult, _attach_adj_pvals, _bulkperm_chunk,
+        _bulkperm_prep_traits,
+    )
+
+    if method not in ("null-grid", "null-exact"):
+        raise ValueError("method must be one of 'null-grid', 'null-exact'")
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    if isinstance(K, LowRankKinship):
+        raise ValueError(
+            "bulkscan_perms_streamed requires a full-rank kinship (see "
+            "bulkscan_perms)"
+        )
+
+    n, p = G.shape[0], G.shape[1]
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    m = Y.shape[1]
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    if add_intercept:
+        covar = jnp.concatenate(
+            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
+        )
+    prior = (float(prior_variance), float(prior_sample_size))
+    dtype = precision.resolve_solve()
+    block = min(marker_block, p)
+
+    Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+    h2_list, sigma2_list, sqrtw, Qstack, wrn = _bulkperm_prep_traits(
+        Y.astype(dtype), covar.astype(dtype), Ut, lam, h2_grid.astype(dtype),
+        prior=prior, reml=reml, method=method, solve_method=solve_method,
+        optim_interval=optim_interval, precision=precision,
+    )
+
+    use_pallas = engine == "pallas" or (
+        engine == "auto"
+        and jax.default_backend() == "tpu"
+        and precision.resolve_gemm() == jnp.float32
+    )
+    eng = "pallas" if use_pallas else "xla"
+    if trait_chunk is None:
+        trait_chunk = 1024 if eng == "pallas" else 16
+
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+
+    # per-(trait chunk, perm chunk) device accumulators; marker blocks fold
+    # in via elementwise max (monotone in r^2), zero-padded block columns
+    # contribute r^2 = 0 and never win
+    acc = {}
+    for lo, hi in _blocks(p, block):
+        X0b = _rotate_block(Ut, _pad_block(G, lo, hi, block, dtype))
+        for ms in range(0, m, trait_chunk):
+            me = min(ms + trait_chunk, m)
+            mb = me - ms
+            sw_b, Q_b, wrn_b = sqrtw[ms:me], Qstack[ms:me], wrn[:, ms:me]
+            if eng == "pallas" and mb % 8:
+                pad = -mb % 8
+                sw_b = jnp.pad(sw_b, ((0, pad), (0, 0)))
+                Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
+                wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+            for ks in range(0, K_total, perm_chunk):
+                ke = min(ks + perm_chunk, K_total)
+                blk = _bulkperm_chunk(
+                    X0b, sw_b, Q_b, wrn_b, idx[ks:ke],
+                    engine=eng, n=n, precision=precision,
+                    tile_p=tile_p, interpret=interpret,
+                )[:mb]
+                key = (ms, ks)
+                acc[key] = blk if key not in acc else jnp.maximum(acc[key], blk)
+
+    trait_rows = []
+    for ms in range(0, m, trait_chunk):
+        cols = [acc[(ms, ks)] for ks in range(0, K_total, perm_chunk)]
+        trait_rows.append(
+            cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+        )
+    maxlods = (
+        trait_rows[0] if len(trait_rows) == 1
+        else jnp.concatenate(trait_rows, axis=0)
+    )
+    return _attach_adj_pvals(BulkPermResult(
+        maxlods=maxlods,
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    ))

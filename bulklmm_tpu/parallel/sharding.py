@@ -527,19 +527,15 @@ def bulkscan_perms_sharded(
         else jnp.concatenate(trait_rows, axis=0)
     )
 
-    result = BulkPermResult(
+    from ..models.bulkperm import _attach_adj_pvals
+
+    return _attach_adj_pvals(BulkPermResult(
         maxlods=maxlods,
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,
         original=original,
-    )
-    if original and nperms > 0:
-        exceed = jnp.sum(
-            result.perm_maxima >= result.lod_max[:, None], axis=1
-        )
-        result.log10_adj_pvals = -jnp.log10((1.0 + exceed) / (nperms + 1.0))
-    return result
+    ))
 
 
 def train_step_sharded(mesh: Mesh, Y, G, K, h2_grid=None, **kwargs) -> BulkScanResult:

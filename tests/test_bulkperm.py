@@ -218,3 +218,47 @@ def test_bulkscan_perms_sharded_pallas_interpret(perm_data, singles):
         method="null-grid", h2_grid=h2s, engine="pallas", interpret=True,
     )
     assert np.max(np.abs(np.asarray(res.maxlods) - np.asarray(ref.maxlods))) < 1e-5
+
+
+def test_bulkscan_perms_streamed_matches_in_memory(perm_data, singles):
+    G, Y, K = perm_data
+    h2s, _ = singles
+    ref = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    # 96 markers in 3 blocks of 40 (last padded) through the same chunk core
+    res = bl.bulkscan_perms_streamed(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s,
+        marker_block=40,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.maxlods), np.asarray(ref.maxlods), atol=1e-12
+    )
+    res_p = bl.bulkscan_perms_streamed(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s,
+        marker_block=40, engine="pallas", interpret=True,
+    )
+    assert np.max(np.abs(np.asarray(res_p.maxlods) - np.asarray(ref.maxlods))) < 1e-5
+
+
+def test_bulkscan_perms_loco_stitches_per_chromosome_maxima(perm_data):
+    G, Y, K = perm_data
+    p = G.shape[1]
+    chrom = np.array(["1"] * (p // 2) + ["2"] * (p - p // 2))
+    res = bl.bulkscan_perms_loco(Y, G, chrom, nperms=16, rndseed=5)
+    # manual composition: chromosome i scans against the leave-out kinship
+    # with seed 5 + i; stitched maxima = elementwise max
+    expected = None
+    for i, c in enumerate(["1", "2"]):
+        mask = chrom == c
+        Kc = np.asarray(bl.calc_kinship(G[:, ~mask]))
+        r = bl.bulkscan_perms(Y, G[:, mask], Kc, nperms=16, rndseed=5 + i)
+        np.testing.assert_allclose(
+            np.asarray(res.h2_null_by_chrom[c]), np.asarray(r.h2_null_list),
+            atol=1e-12,
+        )
+        e = np.asarray(r.maxlods)
+        expected = e if expected is None else np.maximum(expected, e)
+    np.testing.assert_allclose(np.asarray(res.maxlods), expected, atol=1e-12)
+    # adjusted p-values recomputed on the stitched maxima
+    assert res.log10_adj_pvals.shape == (Y.shape[1],)

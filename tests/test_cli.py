@@ -193,8 +193,20 @@ def test_cli_bulkscan_with_perm_thresholds(csv_data):
     assert z["log10_adj_pvals"].shape == (6,)
     # observed column consistent with the scan's own LOD matrix
     assert np.allclose(z["perm_maxlods"][:, 0], z["L"].max(axis=0), atol=1e-4)
-    # LOCO + perms is rejected
+    # LOCO + perms: stitched per-chromosome maxima (bulkscan_perms_loco)
+    with open(csv_data / "gmap.csv", "w") as f:
+        f.write("Locus,Chr,cM,Mb\n")
+        for i in range(40):
+            f.write(f"m{i},{1 if i < 22 else 2},{i * 1.0},{i * 0.5}\n")
     r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
                "--pheno", "pheno.csv", "--nperms", "8", "--loco",
-               "--gmap", "nope.csv", "-o", "x.npz"], csv_data)
-    assert r2.returncode != 0 and "full-rank" in r2.stderr
+               "--gmap", "gmap.csv", "-o", "bulk_perm_loco.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    z2 = np.load(csv_data / "bulk_perm_loco.npz")
+    assert z2["perm_maxlods"].shape == (6, 9)
+    assert z2["thresholds"].shape == (3, 6)
+    # lowrank + perms is still rejected
+    r3 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--nperms", "8", "--lowrank-k", "4",
+               "-o", "x.npz"], csv_data)
+    assert r3.returncode != 0 and "full-rank" in r3.stderr
