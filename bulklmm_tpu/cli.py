@@ -136,11 +136,6 @@ def _bulkscan(args):
 
     G = _load_geno(args)
     Y = _load_pheno(args)
-    if args.nperms > 0 and getattr(args, "lowrank_k", 0):
-        raise SystemExit(
-            "--nperms (bulk permutation thresholds) requires the full-rank "
-            "kinship"
-        )
     kwargs = dict(
         method=args.method,
         reml=args.reml,
@@ -149,6 +144,7 @@ def _bulkscan(args):
         output_pvals=args.pvals,
         output_effects=args.effects,
     )
+    K = None
     if args.loco:
         res = bulkscan_loco(
             Y, G, _loco_chrom(args, G.shape[1]),
@@ -161,7 +157,8 @@ def _bulkscan(args):
         K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
         res = bulkscan(Y, G, K, **kwargs)
     else:
-        res = bulkscan(Y, G, np.asarray(calc_kinship(G)), **kwargs)
+        K = np.asarray(calc_kinship(G))
+        res = bulkscan(Y, G, K, **kwargs)
     out = {"L": np.asarray(res.L)}
     if args.effects:
         out["beta"] = np.asarray(res.beta_mat)
@@ -190,12 +187,13 @@ def _bulkscan(args):
         )
         if args.loco:
             pr = bulkscan_perms_loco(
-                Y, G, _loco_chrom(args, G.shape[1]), **perm_kwargs
+                Y, G, _loco_chrom(args, G.shape[1]),
+                lowrank_k=getattr(args, "lowrank_k", 0), **perm_kwargs,
             )
         else:
-            pr = bulkscan_perms(
-                Y, G, np.asarray(calc_kinship(G)), **perm_kwargs
-            )
+            # K from the scan branch above: dense, or rank-k with
+            # --lowrank-k (bulkscan_perms runs the Woodbury whitening path)
+            pr = bulkscan_perms(Y, G, K, **perm_kwargs)
         thr = get_thresholds_bulk(pr.perm_maxima, [0.10, 0.05, 0.01])
         out["perm_maxlods"] = np.asarray(pr.maxlods)
         out["thresholds"] = thr.thrs  # (3, m): rows = 0.10 / 0.05 / 0.01

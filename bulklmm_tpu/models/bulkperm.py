@@ -30,6 +30,7 @@ from ..ops.bulkperm import (
     max_r2_perms_xla,
     maxr2_to_lod,
     perm_trait_parts,
+    perm_trait_parts_lowrank,
     permutation_indices,
 )
 from ..ops.lmm import fit_lmm
@@ -135,6 +136,114 @@ def _bulkperm_prep_traits(
     return h2_list, sigma2_list, sqrtw.T, Qstack, wrn
 
 
+_STATIC_PREP_LR = ("prior", "reml", "method", "optim_interval", "precision", "n")
+
+
+@partial(jax.jit, static_argnames=_STATIC_PREP_LR)
+@with_highest_matmul
+def _bulkperm_prep_traits_lowrank(
+    Y, C, U, lam, h2_grid, *,
+    n, prior, reml, method, optim_interval, precision,
+):
+    """Rank-k trait-side prep: per-trait null fits on the Woodbury
+    likelihood (no rotation, no (n, n) kinship) + standard-coordinate
+    whitening parts (ops/bulkperm.py::perm_trait_parts_lowrank)."""
+    from ..ops.lowrank import (
+        LowRankKinship, _parts_kwargs, _shared_parts, _trait_side_parts,
+        fit_h2_lowrank, grid_null_ell_lowrank, null_sigma2_lowrank,
+    )
+
+    lr = LowRankKinship(U=U, lam=lam)
+    kw = _parts_kwargs(precision)
+    kdt = precision.resolve_kernel()
+    parts = {**_shared_parts(C, lr, **kw), **_trait_side_parts(Y, C, lr, **kw)}
+    lam_k = lam.astype(kdt)
+
+    if method == "null-grid":
+        ells = grid_null_ell_lowrank(
+            parts, lam_k, h2_grid.astype(kdt), prior, n=n, reml=reml
+        )
+        h2_list = h2_grid[jnp.argmax(ells, axis=0)]
+    else:  # null-exact
+        h2_list = fit_h2_lowrank(
+            parts, lam_k, prior, n=n, reml=reml, optim_interval=optim_interval
+        )
+    sigma2_list = null_sigma2_lowrank(
+        parts, lam_k, h2_list.astype(kdt), prior, n=n, reml=reml
+    )
+
+    sm1, Qstack, wrn = perm_trait_parts_lowrank(
+        Y, C, U, lam, h2_list, precision=precision
+    )
+    return h2_list, sigma2_list, sm1, Qstack, wrn
+
+
+@partial(
+    jax.jit, static_argnames=("n", "precision")
+)
+def _bulkperm_chunk_lowrank(X, U, sm1_blk, Qblk, wrn_blk, idx_blk, *, n, precision):
+    """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk, rank-k
+    whitening (XLA only — the fused Pallas kernel assumes the diagonal
+    whitening of the rotated basis)."""
+    from ..ops.bulkperm import max_r2_perms_lowrank_xla
+
+    maxr2 = max_r2_perms_lowrank_xla(
+        X, U, sm1_blk, Qblk, wrn_blk, idx_blk, precision=precision
+    )
+    return maxr2_to_lod(maxr2, n, precision=precision)
+
+
+def _bulkscan_perms_lowrank(
+    Y, G, lr, covar, *,
+    nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
+    precision, trait_chunk, perm_chunk, original,
+):
+    """Rank-k engine body for :func:`bulkscan_perms` (same chunk loop and
+    result semantics; whitening in standard coordinates)."""
+    n, m = Y.shape
+    dtype = precision.resolve_solve()
+    U = jnp.asarray(lr.U, dtype=dtype)
+    lam = jnp.asarray(lr.lam, dtype=dtype)
+
+    h2_list, sigma2_list, sm1, Qstack, wrn = _bulkperm_prep_traits_lowrank(
+        Y.astype(dtype), covar.astype(dtype), U, lam, h2_grid.astype(dtype),
+        n=n, prior=prior, reml=reml, method=method,
+        optim_interval=optim_interval, precision=precision,
+    )
+
+    X = jnp.asarray(G, dtype=dtype)
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+    if trait_chunk is None:
+        trait_chunk = 16
+
+    trait_rows = []
+    for ms in range(0, m, trait_chunk):
+        me = min(ms + trait_chunk, m)
+        perm_cols = []
+        for ks in range(0, K_total, perm_chunk):
+            ke = min(ks + perm_chunk, K_total)
+            perm_cols.append(_bulkperm_chunk_lowrank(
+                X, U, sm1[ms:me], Qstack[ms:me], wrn[:, ms:me], idx[ks:ke],
+                n=n, precision=precision,
+            ))
+        trait_rows.append(
+            perm_cols[0] if len(perm_cols) == 1
+            else jnp.concatenate(perm_cols, axis=1)
+        )
+    maxlods = (
+        trait_rows[0] if len(trait_rows) == 1
+        else jnp.concatenate(trait_rows, axis=0)
+    )
+    return _attach_adj_pvals(BulkPermResult(
+        maxlods=maxlods,
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    ))
+
+
 @partial(jax.jit, static_argnames=_STATIC_PREP)
 @with_highest_matmul
 def _bulkperm_prep(
@@ -217,6 +326,13 @@ def bulkscan_perms(
     "xla" the chunked vmap formulation (any backend). ``trait_chunk`` /
     ``perm_chunk`` bound device memory per step.
 
+    ``K`` may be a :class:`~bulklmm_tpu.ops.lowrank.LowRankKinship`: the
+    whole test then runs on the rank-k Woodbury likelihood with whitening
+    in standard coordinates (``A_j = I + U diag(sqrt(w_j)-1) U^T``; the
+    whitened residual's standard coordinates are iid under the null) — no
+    (n, n) kinship and no host eigh, for cohorts beyond the eigh wall
+    (XLA engine only).
+
     Returns :class:`BulkPermResult`; feed ``result.perm_maxima`` to
     :func:`bulklmm_tpu.get_thresholds_bulk` for (levels x m) thresholds.
     ``log10_adj_pvals`` holds -log10 of the standard permutation-adjusted
@@ -229,16 +345,16 @@ def bulkscan_perms(
         raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
     from ..ops.lowrank import LowRankKinship
 
-    if isinstance(K, LowRankKinship):
+    lowrank = isinstance(K, LowRankKinship)
+    if lowrank and engine == "pallas":
         raise ValueError(
-            "bulkscan_perms requires a full-rank kinship (the permutation "
-            "null shuffles eigen-rotated residuals; rank-k whitening does "
-            "not define them). Pass the dense K or a KinshipDecomposition."
+            "engine='pallas' is not available for LowRankKinship inputs "
+            "(the fused kernel assumes the rotated basis's diagonal "
+            "whitening); use engine='xla' or 'auto'."
         )
 
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y
-    G = jnp.asarray(G)
     n, m = Y.shape
 
     if h2_grid is None:
@@ -255,10 +371,10 @@ def bulkscan_perms(
     if weights is not None:
         from ..ops.rotation import KinshipDecomposition
 
-        if isinstance(K, KinshipDecomposition):
+        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
             raise ValueError(
                 "weights rescale the kinship matrix (K -> WKW); pass the raw "
-                "K, not a cached decomposition."
+                "K, not a cached decomposition or rank-k factorization."
             )
         Y, G, covar, K, add_intercept = _apply_weights(
             Y, G, covar, K, weights, add_intercept
@@ -269,6 +385,15 @@ def bulkscan_perms(
         )
 
     prior = (float(prior_variance), float(prior_sample_size))
+    if lowrank:
+        return _bulkscan_perms_lowrank(
+            Y, G, K, covar,
+            nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
+            prior=prior, reml=reml, optim_interval=optim_interval,
+            precision=precision, trait_chunk=trait_chunk,
+            perm_chunk=perm_chunk, original=original,
+        )
+    G = jnp.asarray(G)
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
 

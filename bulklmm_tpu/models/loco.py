@@ -266,6 +266,7 @@ def bulkscan_perms_loco(
     *,
     precision: PrecisionConfig = DEFAULT_PRECISION,
     rndseed: int = 0,
+    lowrank_k: int = 0,
     **kwargs,
 ):
     """All-trait LOCO permutation maxima: per chromosome, markers scan
@@ -281,7 +282,9 @@ def bulkscan_perms_loco(
     :func:`bulklmm_tpu.bulkscan_perms` (nperms, method, h2_grid, engine,
     ...). ``h2_null_by_chrom`` / ``sigma2_by_chrom`` map ``chrom -> (m,)``;
     the result's ``h2_null_list`` / ``sigma2_e_list`` are the
-    across-chromosome means.
+    across-chromosome means. ``lowrank_k`` > 0 builds each leave-out
+    kinship as a rank-k factorization (no n x n kinship, no host eigh)
+    and tests on the Woodbury whitening engine.
     """
     import jax.numpy as _jnp
 
@@ -294,7 +297,7 @@ def bulkscan_perms_loco(
     h2_by_chrom, s2_by_chrom = {}, {}
     nperms = original = None
     for i, (c, mask, K) in enumerate(_iter_loco(
-        G, chromosome, lowrank_k=0, precision=precision
+        G, chromosome, lowrank_k=lowrank_k, precision=precision
     )):
         res = bulkscan_perms(
             Y, G[:, mask], K, covar,

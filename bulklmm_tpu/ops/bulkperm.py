@@ -155,6 +155,139 @@ def max_r2_perms_xla(
     return jax.vmap(one, in_axes=(0, 0, 2))(sqrtw, Qstack, Sperm)
 
 
+def perm_trait_parts_lowrank(
+    Y,
+    C,
+    U,
+    lam,
+    h2_list,
+    *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """Per-trait whitening quantities on a rank-k kinship, in STANDARD
+    coordinates (no rotation, no (n, n) kinship).
+
+    The rank-k whitening operator is ``A_j = I + U diag(sqrt(w_j) - 1) U^T``
+    with ``w_i = 1/(delta_j lam_i + 1)`` (ops/lowrank.py::whiten_lowrank) —
+    the orthogonal complement of ``U`` has eigenvalue 0, hence weight 1.
+    Under the null, ``A_j y`` has iid coordinates in the STANDARD basis, so
+    shuffling standard coordinates of the whitened residual is exactly the
+    rank-k analog of the full-rank path's shuffle of the rotated,
+    reweighted residual (:func:`perm_trait_parts`).
+
+    Returns ``(sm1, Q, wrn)``:
+
+    - ``sm1`` (m, k): per-trait ``sqrt(w) - 1`` correction factors;
+    - ``Q`` (m, c, n): per-trait orthonormal basis of the whitened
+      covariates (unrolled Gram Cholesky, standard coordinates);
+    - ``wrn`` (n, m): unit-normalized whitened null residuals
+      ``(I - Q_j Q_j^T) A_j y_j``.
+    """
+    from .lowrank import _correction_weights
+
+    sdt = precision.resolve_kernel()
+    pgp = precision.gemm_precision
+    c = C.shape[1]
+    Ck = C.astype(sdt)
+    Yk = Y.astype(sdt)
+    Uk = U.astype(sdt)
+
+    dm1 = _correction_weights(h2_list, lam)  # (m, k): w - 1
+    sm1 = jnp.sqrt(1.0 + dm1) - 1.0  # (m, k): sqrt(w) - 1
+    UtC = jnp.matmul(Uk.T, Ck, precision=pgp)  # (k, c)
+    UtY = jnp.matmul(Uk.T, Yk, precision=pgp)  # (k, m)
+
+    # whitened covariates, one (n, m) panel per covariate column:
+    # A_j C[:, a] = C[:, a] + U (sm1_j ⊙ UtC[:, a])
+    Cw = [
+        Ck[:, a][:, None]
+        + jnp.matmul(Uk, sm1.T * UtC[:, a][:, None], precision=pgp)
+        for a in range(c)
+    ]
+    pairs = pair_indices(c)
+    Gv = {ab: jnp.sum(Cw[ab[0]] * Cw[ab[1]], axis=0) for ab in pairs}
+    Lc = unrolled_cholesky(Gv, c)
+    Q = fwd_subst(Lc, Cw, c)  # c x (n, m)
+
+    Yw = Yk + jnp.matmul(Uk, sm1.T * UtY, precision=pgp)  # (n, m)
+    zeta = [jnp.sum(Q[a] * Yw, axis=0) for a in range(c)]
+    wr = Yw
+    for a in range(c):
+        wr = wr - Q[a] * zeta[a][None, :]
+    nrm2 = jnp.sum(wr * wr, axis=0)
+    wrn = wr / jnp.sqrt(jnp.maximum(nrm2, jnp.finfo(sdt).tiny))[None, :]
+    Qstack = jnp.transpose(jnp.stack(Q, axis=0), (2, 0, 1))  # (m, c, n)
+    return sm1, Qstack, wrn
+
+
+def max_r2_perms_lowrank_xla(
+    X,
+    U,
+    sm1,
+    Qstack,
+    wrn,
+    perm_idx,
+    *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """(m, K) max-over-markers squared correlation under rank-k whitening.
+
+    ``X`` (n, p) UNROTATED markers; ``U`` (n, k); ``sm1`` (m, k) per-trait
+    ``sqrt(w) - 1``; ``Qstack`` (m, c, n); ``wrn`` (n, m); ``perm_idx``
+    (K, n).
+
+    Never materializes a per-trait whitened marker panel: every whitened
+    inner product expands to the raw product plus a rank-k correction
+    through the shared ``U^T X`` projection (the same Woodbury split as the
+    rank-k scan kernels, ops/lowrank.py::_nd_parts_lowrank), so the
+    per-trait work is GEMM-shaped in (K, n), (K, k) and (c, p).
+    """
+    from .smallchol import residual_sq
+
+    sdt = precision.resolve_kernel()
+    gdt = precision.resolve_gemm()
+    pgp = precision.gemm_precision
+    tiny = jnp.finfo(sdt).tiny
+    Xk = X.astype(sdt)
+    Uk = U.astype(sdt)
+    UtX = jnp.matmul(Uk.T, Xk, precision=pgp)  # (k, p), shared
+    UtX2 = UtX * UtX  # (k, p)
+    xsq = jnp.sum(Xk * Xk, axis=0)  # (p,)
+    Sperm = wrn[perm_idx]  # (K, n, m)
+
+    def one(sm1_j, q_j, sp_j):
+        # sm1_j (k,), q_j (c, n), sp_j (K, n)
+        dm1_j = sm1_j * sm1_j + 2.0 * sm1_j  # w - 1
+        # covariate-basis projections of the whitened markers, (c, p)
+        qU = jnp.matmul(q_j, Uk, precision=pgp)  # (c, k)
+        qX = (
+            jnp.matmul(q_j, Xk, precision=pgp)
+            + jnp.matmul(qU * sm1_j[None, :], UtX, precision=pgp)
+        )
+        # ||(I - QQ^T) A_j x||^2 with the same cancellation floor as the
+        # rank-k scan kernel (residual_sq; D1 pattern of _nd_parts_lowrank)
+        d1 = xsq + jnp.matmul(dm1_j, UtX2, precision=pgp)  # ||A_j x||^2
+        xn = residual_sq(d1, [qX[a] for a in range(qX.shape[0])])
+        # <(I - QQ^T) A_j x, s> = <x, s> + rank-k correction - <qX, Q s>
+        spU = jnp.matmul(sp_j, Uk, precision=pgp)  # (K, k)
+        num = (
+            jnp.matmul(
+                sp_j.astype(gdt), Xk.astype(gdt), precision=pgp
+            ).astype(sdt)
+            + jnp.matmul(
+                (spU * sm1_j[None, :]).astype(gdt), UtX.astype(gdt),
+                precision=pgp,
+            ).astype(sdt)
+            - jnp.matmul(
+                jnp.matmul(sp_j, q_j.T, precision=pgp), qX, precision=pgp
+            )
+        )  # (K, p)
+        r2 = (num * num) / jnp.maximum(xn, tiny)[None, :]
+        return jnp.max(r2, axis=1)  # (K,)
+
+    return jax.vmap(one, in_axes=(0, 0, 2))(sm1, Qstack, Sperm)
+
+
 def maxr2_to_lod(maxr2, n: int, *, precision: PrecisionConfig = DEFAULT_PRECISION):
     """Genome-wide max LOD from max r^2 (monotone transform), with the same
     cancellation floor as the fused kernel (r2 can round to >= 1 for a

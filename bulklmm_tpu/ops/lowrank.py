@@ -282,6 +282,34 @@ def grid_null_ell_lowrank(parts, lam, h2_grid, prior, *, n, reml=False):
     )(h2_grid)
 
 
+def null_sigma2_lowrank(parts, lam, h2_list, prior, *, n, reml=False):
+    """(m,) null-model ``sigma2_e`` of every trait at its OWN h2 (the
+    per-trait analog of :func:`null_ell_lowrank`, vmapped over the
+    (trait, h2) pairs)."""
+    CtC, R = parts["CtC"], parts["R"]
+    c = CtC.shape[0]
+
+    def one(CtY_j, Q_j, yty_j, h2_j):
+        dm1 = _correction_weights(h2_j, lam)  # (k,)
+        Qd = dm1 * Q_j
+        yWy = yty_j + jnp.sum(Q_j * Qd)
+        t = CtY_j + jnp.matmul(R.T, Qd)  # (c,)
+        G = {}
+        for a in range(c):
+            for b in range(a, c):
+                G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+        Lc = unrolled_cholesky(G, c)
+        zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
+        rss0 = residual_sq(yWy, zeta)
+        logw_sum = jnp.sum(jnp.log1p(dm1))
+        _, sigma2 = _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
+        return sigma2
+
+    return jax.vmap(one, in_axes=(1, 1, 0, 0))(
+        parts["CtY"], parts["Q"], parts["yty"], h2_list
+    )
+
+
 def fit_h2_lowrank(parts, lam, prior, *, n, reml=False, optim_interval=1):
     """(m,) per-trait exact-Brent null h2 on the rank-k likelihood.
 

@@ -443,6 +443,13 @@ def bulkscan_perms_sharded(
         raise ValueError("method must be one of 'null-grid', 'null-exact'")
     if engine not in ("auto", "xla", "pallas"):
         raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    from ..ops.lowrank import LowRankKinship
+
+    if isinstance(K, LowRankKinship):
+        raise ValueError(
+            "bulkscan_perms_sharded requires a full-rank kinship; the rank-k "
+            "Woodbury permutation engine is single-device (bulkscan_perms)."
+        )
 
     Y = jnp.asarray(Y)
     Y = Y[:, None] if Y.ndim == 1 else Y

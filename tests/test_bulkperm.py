@@ -172,8 +172,10 @@ def test_bulkscan_perms_validation(perm_data):
     lr = bl.LowRankKinship(
         U=np.linalg.eigh(K)[1][:, -4:], lam=np.linalg.eigh(K)[0][-4:]
     )
+    # rank-k runs through bulkscan_perms (Woodbury whitening engine), but
+    # the sharded variant stays full-rank-only
     with pytest.raises(ValueError, match="full-rank"):
-        bl.bulkscan_perms(Y, G, lr)
+        bl.parallel.bulkscan_perms_sharded(Y, G, lr, nperms=4)
 
 
 def test_bulkscan_perms_sharded_matches_unsharded(perm_data, singles):
@@ -262,3 +264,126 @@ def test_bulkscan_perms_loco_stitches_per_chromosome_maxima(perm_data):
     np.testing.assert_allclose(np.asarray(res.maxlods), expected, atol=1e-12)
     # adjusted p-values recomputed on the stitched maxima
     assert res.log10_adj_pvals.shape == (Y.shape[1],)
+
+
+@pytest.fixture(scope="module")
+def lowrank_data():
+    """Exactly-rank-k kinship: the rank-k Woodbury likelihood is exact, so
+    the low-rank engine must agree with full-rank wherever the two compute
+    basis-invariant quantities."""
+    rng = np.random.default_rng(23)
+    n, p, m, k = 30, 48, 4, 6
+    A = rng.normal(size=(n, k))
+    K = A @ A.T / k
+    K = K / np.mean(np.diag(K))
+    G = rng.uniform(0, 1, (n, p))
+    L = np.linalg.cholesky(K + 1e-9 * np.eye(n))
+    Y = 0.7 * (L @ rng.normal(size=(n, m))) + 0.5 * rng.normal(size=(n, m))
+    return G, Y, K, k
+
+
+def test_bulkscan_perms_lowrank_matches_full_rank_invariants(lowrank_data):
+    """h2 / sigma2 fits and the OBSERVED column are whitening-basis
+    invariant -> rank-k == full-rank on an exactly-rank-k kinship. (The
+    permuted columns are different-but-equally-valid null draws: full-rank
+    shuffles rotated coordinates, rank-k shuffles standard coordinates.)"""
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    G, Y, K, k = lowrank_data
+    lr = kinship_lowrank_exact(K, k)
+    res = bl.bulkscan_perms(Y, G, lr, nperms=16, rndseed=3)
+    full = bl.bulkscan_perms(Y, G, K, nperms=16, rndseed=3)
+    np.testing.assert_allclose(
+        np.asarray(res.h2_null_list), np.asarray(full.h2_null_list), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sigma2_e_list), np.asarray(full.sigma2_e_list),
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.maxlods[:, 0]), np.asarray(full.maxlods[:, 0]),
+        atol=1e-9,
+    )
+    assert res.log10_adj_pvals.shape == (Y.shape[1],)
+    assert np.isfinite(np.asarray(res.maxlods)).all()
+
+
+def test_bulkscan_perms_lowrank_numpy_oracle(lowrank_data):
+    """Every (trait, permutation) entry against a dense numpy oracle that
+    whitens explicitly with A_j = I + U (sqrt(w_j) - 1) U^T and shuffles
+    the whitened residual's standard coordinates with the SAME indices."""
+    from bulklmm_tpu.ops.bulkperm import permutation_indices
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    G, Y, K, k = lowrank_data
+    n, m = Y.shape
+    lr = kinship_lowrank_exact(K, k)
+    nperms = 12
+    res = bl.bulkscan_perms(Y, G, lr, nperms=nperms, rndseed=5)
+
+    U = np.asarray(lr.U, dtype=np.float64)
+    lam = np.asarray(lr.lam, dtype=np.float64)
+    idx = np.asarray(permutation_indices(n, nperms, 5, original=True))
+    C = np.ones((n, 1))
+    expected = np.empty((m, nperms + 1))
+    for j in range(m):
+        h2 = float(res.h2_null_list[j])
+        w = 1.0 / (h2 / (1.0 - h2) * lam + 1.0)
+        A = np.eye(n) + U @ np.diag(np.sqrt(w) - 1.0) @ U.T
+        Cw, Xw, yw = A @ C, A @ G, A @ Y[:, j]
+        bhat = np.linalg.lstsq(Cw, yw, rcond=None)[0]
+        r0 = yw - Cw @ bhat
+        Xr = Xw - Cw @ np.linalg.lstsq(Cw, Xw, rcond=None)[0]
+        for kk in range(nperms + 1):
+            s = r0[idx[kk]]
+            r = (Xr.T @ s) / (
+                np.linalg.norm(Xr, axis=0) * np.linalg.norm(s)
+            )
+            expected[j, kk] = -(n / 2.0) * np.log10(1.0 - np.max(r * r))
+    np.testing.assert_allclose(np.asarray(res.maxlods), expected, atol=1e-8)
+
+
+def test_bulkscan_perms_lowrank_chunking_and_validation(lowrank_data):
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    G, Y, K, k = lowrank_data
+    lr = kinship_lowrank_exact(K, k)
+    ref = bl.bulkscan_perms(Y, G, lr, nperms=16, rndseed=3, method="null-exact")
+    chunked = bl.bulkscan_perms(
+        Y, G, lr, nperms=16, rndseed=3, method="null-exact",
+        trait_chunk=1, perm_chunk=5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.maxlods), np.asarray(ref.maxlods), atol=1e-12
+    )
+    with pytest.raises(ValueError, match="pallas"):
+        bl.bulkscan_perms(Y, G, lr, nperms=4, engine="pallas")
+    with pytest.raises(ValueError, match="rank-k"):
+        bl.bulkscan_perms(Y, G, lr, nperms=4, weights=np.ones(Y.shape[0]))
+
+
+def test_bulkscan_perms_loco_lowrank(perm_data):
+    """LOCO x rank-k composition: per-chromosome leave-out kinships as
+    rank-k factorizations, permutation-tested on the Woodbury whitening
+    engine, maxima stitched across chromosomes."""
+    G, Y, K = perm_data
+    p = G.shape[1]
+    chrom = np.array(["1"] * (p // 2) + ["2"] * (p - p // 2))
+    res = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=12, rndseed=5, lowrank_k=24
+    )
+    m = Y.shape[1]
+    assert res.maxlods.shape == (m, 13)
+    assert np.isfinite(np.asarray(res.maxlods)).all()
+    assert set(res.h2_null_by_chrom) == {"1", "2"}
+    assert res.log10_adj_pvals.shape == (m,)
+    # rank high enough to capture the leave-out spectra (n=52, k=24
+    # against ~48-marker chromosomes): observed column near the dense
+    # LOCO engine's
+    dense = bl.bulkscan_perms_loco(Y, G, chrom, nperms=12, rndseed=5)
+    # rank truncation can flip a trait's grid-h2 bin, shifting its observed
+    # max LOD slightly — approximation-level agreement only
+    np.testing.assert_allclose(
+        np.asarray(res.maxlods[:, 0]), np.asarray(dense.maxlods[:, 0]),
+        atol=0.25,
+    )

@@ -205,8 +205,20 @@ def test_cli_bulkscan_with_perm_thresholds(csv_data):
     z2 = np.load(csv_data / "bulk_perm_loco.npz")
     assert z2["perm_maxlods"].shape == (6, 9)
     assert z2["thresholds"].shape == (3, 6)
-    # lowrank + perms is still rejected
+    # lowrank + perms: rank-k Woodbury whitening engine
     r3 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
-               "--pheno", "pheno.csv", "--nperms", "8", "--lowrank-k", "4",
-               "-o", "x.npz"], csv_data)
-    assert r3.returncode != 0 and "full-rank" in r3.stderr
+               "--pheno", "pheno.csv", "--nperms", "8", "--lowrank-k", "8",
+               "-o", "bulk_perm_lr.npz"], csv_data)
+    assert r3.returncode == 0, r3.stderr[-500:]
+    z3 = np.load(csv_data / "bulk_perm_lr.npz")
+    assert z3["perm_maxlods"].shape == (6, 9)
+    assert np.allclose(z3["perm_maxlods"][:, 0], z3["L"].max(axis=0), atol=1e-4)
+    # loco + lowrank + perms: rank-k leave-out kinships, stitched maxima
+    r4 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--nperms", "8", "--loco",
+               "--lowrank-k", "8", "--gmap", "gmap.csv",
+               "-o", "bulk_perm_loco_lr.npz"], csv_data)
+    assert r4.returncode == 0, r4.stderr[-500:]
+    z4 = np.load(csv_data / "bulk_perm_loco_lr.npz")
+    assert z4["perm_maxlods"].shape == (6, 9)
+    assert np.isfinite(z4["perm_maxlods"]).all()
