@@ -52,6 +52,16 @@ def main():
         help="run the rank-k kinship engine (ops/lowrank.py) instead of the "
              "rotated full-rank path; 0 = full-rank",
     )
+    ap.add_argument(
+        "--perms", type=int, default=0,
+        help="benchmark bulkscan_perms with N permutations instead of the "
+             "scan (rank-k Woodbury whitening when combined with --lowrank)",
+    )
+    ap.add_argument(
+        "--perm-traits", type=int, default=128,
+        help="trait count for --perms (per-trait whitening makes the "
+             "permutation pass cost ~ m x p x n x nperms GEMM flops)",
+    )
     args = ap.parse_args()
 
     n, p, m = (5000, 100_000, 20_000) if args.full else (2000, 30_000, 8_000)
@@ -93,6 +103,33 @@ def main():
             lam=jax.device_put(jnp.asarray(lam_np, dtype=jnp.float32)),
         )
         jax.block_until_ready((K.Ut, K.lam))
+
+    if args.perms:
+        mp_ = min(args.perm_traits, m)
+        Yp = Yd[:, :mp_]
+
+        def run():
+            r = bl.bulkscan_perms(Yp, Gd, K, nperms=args.perms)
+            return float(jnp.sum(r.maxlods))  # checksum forces completion
+
+        run()
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        # reference equivalent: sequential single-trait perm scans at the
+        # README's 0.079 s/trait (README.md:229-233), which also pays a
+        # ~n^3 host eigh it cannot avoid
+        print(json.dumps({
+            "metric": f"biobank_bulkperms_{n}x{p}x{mp_}x{args.perms}",
+            "value": round(dt, 3),
+            "unit": "s",
+            "vs_baseline": round(mp_ * 0.079 / dt, 1),
+            "note": (
+                f"lowrank k={args.lowrank} constructor {eigh_s:.1f}s"
+                if args.lowrank else f"eigh setup {eigh_s:.1f}s (cached)"
+            ),
+        }))
+        return
 
     if args.sharded and len(jax.devices()) > 1:
         from bulklmm_tpu.parallel import bulkscan_sharded, make_mesh

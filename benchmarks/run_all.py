@@ -134,6 +134,22 @@ def main():
         return float(jnp.sum(r.lod))
     record("scan_alt_exact", timeit(f))
 
+    # 7. all-trait bulk permutation thresholds (fused Pallas engine)
+    def f():
+        r = bl.bulkscan_perms(Yd, Gd, K, nperms=1000, rndseed=0)
+        return float(jnp.sum(r.maxlods))
+    dt = timeit(f, repeats=1)
+    results["bulkscan_perms_1000"] = {
+        "metric": "bulkscan_perms_1000",
+        "value": round(dt, 5),
+        "unit": "s",
+        "vs_baseline": round(m * BASELINES["scan_perms_1000"] / dt, 1),
+        "note": f"m={m} traits x 1000 perms, per-trait genome-wide null "
+        "maxima + FWER thresholds; reference equivalent = 35,554 sequential "
+        "single-trait perm scans ~2,809 s (README.md:229-233 0.079 s/trait)",
+    }
+    print(json.dumps(results["bulkscan_perms_1000"]))
+
     out = Path(__file__).parent / "results.json"
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"# wrote {out}")

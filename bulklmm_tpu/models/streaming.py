@@ -530,6 +530,10 @@ def bulkscan_perms_streamed(
     eng = "pallas" if use_pallas else "xla"
     if trait_chunk is None:
         trait_chunk = 1024 if eng == "pallas" else 16
+    if eng == "pallas":
+        from ..ops.bulkperm import pallas_perm_chunk_cap
+
+        perm_chunk = min(perm_chunk, pallas_perm_chunk_cap(n))
 
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])

@@ -155,6 +155,16 @@ def max_r2_perms_xla(
     return jax.vmap(one, in_axes=(0, 0, 2))(sqrtw, Qstack, Sperm)
 
 
+def pallas_perm_chunk_cap(n: int, budget_bytes: int = 40 * 1024 * 1024) -> int:
+    """Largest permutation-chunk width whose (8, n, Kc) pre-shuffled
+    residual block stays within ``budget_bytes`` of VMEM (it is the
+    dominant, double-buffered input of the fused kernel — at BXD n the cap
+    is far above any real nperms; at biobank n it bounds the chunk so the
+    kernel compiles within the scoped VMEM limit)."""
+    cap = budget_bytes // (8 * max(n, 1) * 4)
+    return max(128, (cap // 128) * 128)
+
+
 def perm_trait_parts_lowrank(
     Y,
     C,

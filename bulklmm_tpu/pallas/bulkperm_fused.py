@@ -8,11 +8,13 @@ identities).
 
 Why a kernel: the full (p, m, nperms) correlation tensor at BXD scale is
 7,321 x 35,554 x 1,024 ~ 1 TB — it cannot touch HBM. What the user needs is
-only its max over markers. The Pallas grid is one program per 8-trait row
-block; each program keeps its (8, K) running-max carry in VMEM, loops the
-marker tiles with ``fori_loop``, and writes the (8, K) genome-wide maxima
-to HBM exactly once. The rotated marker panel (p x n, ~2 MB at BXD scale)
-has a constant index map, so it stays VMEM-resident across the whole grid.
+only its max over markers. The Pallas grid is (trait-row-block, marker-tile)
+with the marker axis innermost: each 8-trait program's (8, K) running-max
+carry lives in the revisited output block (its index map ignores the marker
+index, so Mosaic keeps it VMEM-resident across all marker tiles and writes
+HBM exactly once), while the rotated marker panel streams through VMEM one
+(tile_p, n) tile at a time — panels far larger than VMEM (biobank n x p)
+stream fine.
 
 Per (trait, marker-tile) step the kernel re-derives the trait's weighted,
 covariate-residualized marker tile in VMEM from (n,)-scale inputs (the
@@ -21,6 +23,8 @@ sqrt-weights, project out the 2-3-column weighted-covariate orthobasis,
 then one (TP, n)(n, K) MXU dot against the pre-shuffled unit-normalized
 residuals. All dots run at ``Precision.HIGHEST`` (Mosaic's default f32 dot
 is single-pass bf16 — ~1e-3 relative, far outside the 1e-5 parity bar).
+The kernel emits max r^2; the (tiny) monotone LOD transform runs outside
+(ops/bulkperm.py::maxr2_to_lod semantics, fused by XLA into the consumer).
 """
 
 from __future__ import annotations
@@ -39,51 +43,49 @@ _HI = jax.lax.Precision.HIGHEST
 _TM = 8  # traits per program (sublane quantum of the output block)
 
 
-def _kernel(w_ref, q_ref, x_ref, s_ref, o_ref, *, n, p_tiles, tile_p, k_pad):
-    """One program = 8 traits x all perms x all marker tiles.
+def _kernel(w_ref, q_ref, x_ref, s_ref, o_ref, *, k_pad):
+    """One program = 8 traits x all perms x ONE marker tile.
 
     w_ref: (TM, n_pad)        per-trait sqrt-weights
     q_ref: (TM, c, n_pad)     per-trait weighted-covariate orthobasis Q^T
-    x_ref: (p_pad, n_pad)     markers^T, constant across programs
+    x_ref: (tile_p, n_pad)    this marker tile, transposed
     s_ref: (TM, n_pad, k_pad) pre-shuffled unit-normalized residuals
-    o_ref: (TM, k_pad)        genome-wide max LOD per (trait, perm)
+    o_ref: (TM, k_pad)        running max r^2 per (trait, perm) — revisited
+                              across marker tiles (index map ignores the
+                              marker grid index)
     """
     tiny = jnp.finfo(jnp.float32).tiny
+    Xt = x_ref[:]  # (TP, n_pad)
     rows = []
     for t in range(_TM):
         sw = w_ref[t, :]  # (n_pad,)
         Qt = q_ref[t]  # (c, n_pad)
         St = s_ref[t]  # (n_pad, k_pad)
-
-        def body(i, acc, sw=sw, Qt=Qt, St=St):
-            # i32 offset arithmetic: with jax x64 enabled a python-int
-            # factor traces as i64 and Mosaic rejects the mixed mul
-            Xt = x_ref[pl.ds(i * jnp.int32(tile_p), tile_p), :]  # (TP, n_pad)
-            Xw = Xt * sw[None, :]
-            pX = jax.lax.dot_general(
-                Xw, Qt, (((1,), (1,)), ((), ())), precision=_HI
-            )  # (TP, c)
-            Xr = Xw - jax.lax.dot_general(
-                pX, Qt, (((1,), (0,)), ((), ())), precision=_HI
-            )
-            xn = jnp.sum(Xr * Xr, axis=1, keepdims=True)  # (TP, 1)
-            num = jax.lax.dot_general(
-                Xr, St, (((1,), (0,)), ((), ())), precision=_HI
-            )  # (TP, k_pad)
-            # padded marker rows are all-zero => num = 0, xn = 0 -> r2 = 0
-            r2 = (num * num) / jnp.maximum(xn, tiny)
-            return jnp.maximum(acc, jnp.max(r2, axis=0, keepdims=True))
-
-        acc = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(p_tiles), body,
-            jnp.zeros((1, k_pad), dtype=jnp.float32),
+        Xw = Xt * sw[None, :]
+        pX = jax.lax.dot_general(
+            Xw, Qt, (((1,), (1,)), ((), ())), precision=_HI
+        )  # (TP, c)
+        Xr = Xw - jax.lax.dot_general(
+            pX, Qt, (((1,), (0,)), ((), ())), precision=_HI
         )
-        # same cancellation floor as the XLA path: r2 can round to >= 1 for
-        # a marker perfectly correlated with the residual
-        rows.append(
-            (-0.5 * n) * log10_f32_accurate(jnp.maximum(1.0 - acc, tiny))
-        )
-    o_ref[:] = jnp.concatenate(rows, axis=0)
+        xn = jnp.sum(Xr * Xr, axis=1, keepdims=True)  # (TP, 1)
+        num = jax.lax.dot_general(
+            Xr, St, (((1,), (0,)), ((), ())), precision=_HI
+        )  # (TP, k_pad)
+        # padded marker rows are all-zero => num = 0, xn = 0 -> r2 = 0
+        r2 = (num * num) / jnp.maximum(xn, tiny)
+        rows.append(jnp.max(r2, axis=0, keepdims=True))
+    new = jnp.concatenate(rows, axis=0)  # (TM, k_pad)
+
+    pi = pl.program_id(1)
+
+    @pl.when(pi == 0)
+    def _init():
+        o_ref[:] = new
+
+    @pl.when(pi != 0)
+    def _accum():
+        o_ref[:] = jnp.maximum(o_ref[:], new)
 
 
 def _pad_axis(x, axis, size):
@@ -127,38 +129,40 @@ def fused_perm_maxlods(
     Sp = _pad_axis(_pad_axis(Sperm.astype(f32), 1, n_pad), 2, k_pad)
 
     p_tiles = p_pad // tile_p
-    kernel = functools.partial(
-        _kernel, n=n, p_tiles=p_tiles, tile_p=tile_p, k_pad=k_pad
-    )
-    out = pl.pallas_call(
+    kernel = functools.partial(_kernel, k_pad=k_pad)
+    maxr2 = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((mb, k_pad), f32),
-        grid=(mb // _TM,),
-        # index-map zeros are derived from the i32 grid index (j * 0, not
+        grid=(mb // _TM, p_tiles),
+        # index-map zeros are derived from the i32 grid indices (j * 0, not
         # the literal 0): with jax x64 enabled a literal traces as i64 and
         # Mosaic rejects the mixed index tuple
         in_specs=[
             pl.BlockSpec(
-                (_TM, n_pad), lambda j: (j, j * 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_TM, c, n_pad), lambda j: (j, j * 0, j * 0),
+                (_TM, n_pad), lambda j, i: (j, j * 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (p_pad, n_pad), lambda j: (j * 0, j * 0), memory_space=pltpu.VMEM
+                (_TM, c, n_pad), lambda j, i: (j, j * 0, j * 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (_TM, n_pad, k_pad), lambda j: (j, j * 0, j * 0),
+                (tile_p, n_pad), lambda j, i: (i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (_TM, n_pad, k_pad), lambda j, i: (j, j * 0, j * 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
+        # marker index dropped: the (TM, k_pad) block is revisited across
+        # all marker tiles — the running max stays in VMEM until the last
         out_specs=pl.BlockSpec(
-            (_TM, k_pad), lambda j: (j, j * 0), memory_space=pltpu.VMEM
+            (_TM, k_pad), lambda j, i: (j, i * 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             # HIGHEST = 6 bf16 passes on every dot; the two c-wide
@@ -170,4 +174,9 @@ def fused_perm_maxlods(
         ),
         interpret=interpret,
     )(Wp, Qp, Xt, Sp)
-    return out[:, :K]
+    # same cancellation floor as the XLA path: r2 can round to >= 1 for a
+    # marker perfectly correlated with the residual
+    tiny = jnp.finfo(f32).tiny
+    return (-0.5 * n) * log10_f32_accurate(
+        jnp.maximum(1.0 - maxr2[:, :K], tiny)
+    )

@@ -91,6 +91,13 @@ def test_bulkscan_perms_pallas_interpret_matches_xla(perm_data, singles):
         engine="pallas", interpret=True, trait_chunk=3,  # exercises padding
     )
     assert np.max(np.abs(a.maxlods - b.maxlods)) < 1e-5
+    # tile_p < p forces multiple marker tiles: exercises the VMEM-resident
+    # running-max carry across the marker grid dimension
+    c = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s,
+        engine="pallas", interpret=True, tile_p=32,
+    )
+    assert np.max(np.abs(a.maxlods - c.maxlods)) < 1e-5
 
 
 def test_bulkscan_perms_deterministic_and_seed_sensitive(perm_data):
