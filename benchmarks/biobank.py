@@ -117,13 +117,14 @@ def main():
         run()
         dt = time.perf_counter() - t0
         # reference equivalent: sequential single-trait perm scans at the
-        # README's 0.079 s/trait (README.md:229-233), which also pays a
-        # ~n^3 host eigh it cannot avoid
+        # README's 0.079 s/trait for 1,000 permutations (README.md:229-233),
+        # scaled to the permutation count actually benchmarked; the
+        # reference additionally pays a ~n^3 host eigh it cannot avoid
         print(json.dumps({
             "metric": f"biobank_bulkperms_{n}x{p}x{mp_}x{args.perms}",
             "value": round(dt, 3),
             "unit": "s",
-            "vs_baseline": round(mp_ * 0.079 / dt, 1),
+            "vs_baseline": round(mp_ * 0.079 * (args.perms / 1000.0) / dt, 1),
             "note": (
                 f"lowrank k={args.lowrank} constructor {eigh_s:.1f}s"
                 if args.lowrank else f"eigh setup {eigh_s:.1f}s (cached)"

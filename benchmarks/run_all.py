@@ -145,8 +145,9 @@ def main():
         "unit": "s",
         "vs_baseline": round(m * BASELINES["scan_perms_1000"] / dt, 1),
         "note": f"m={m} traits x 1000 perms, per-trait genome-wide null "
-        "maxima + FWER thresholds; reference equivalent = 35,554 sequential "
-        "single-trait perm scans ~2,809 s (README.md:229-233 0.079 s/trait)",
+        f"maxima + FWER thresholds; reference equivalent = {m} sequential "
+        f"single-trait perm scans ~{m * 0.079:.0f} s (README.md:229-233 "
+        "0.079 s/trait)",
     }
     print(json.dumps(results["bulkscan_perms_1000"]))
 

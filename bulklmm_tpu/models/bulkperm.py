@@ -89,6 +89,78 @@ def _attach_adj_pvals(result: BulkPermResult) -> BulkPermResult:
     return result
 
 
+def _perm_common_inputs(
+    Y, G, K, covar, *, method, engine, h2_grid, weights, add_intercept,
+    prior_variance, prior_sample_size,
+):
+    """Shared validation + trait/covariate/prior prep for the three
+    permutation entry points (in-memory / marker-streamed / sharded) —
+    they must never diverge on argument semantics."""
+    if method not in ("null-grid", "null-exact"):
+        raise ValueError("method must be one of 'null-grid', 'null-exact'")
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    n = Y.shape[0]
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    if weights is not None:
+        from ..ops.lowrank import LowRankKinship
+        from ..ops.rotation import KinshipDecomposition
+
+        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
+            raise ValueError(
+                "weights rescale the kinship matrix (K -> WKW); pass the raw "
+                "K, not a cached decomposition or rank-k factorization."
+            )
+        Y, G, covar, K, add_intercept = _apply_weights(
+            Y, G, covar, K, weights, add_intercept
+        )
+    if add_intercept:
+        covar = jnp.concatenate(
+            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
+        )
+    prior = (float(prior_variance), float(prior_sample_size))
+    return Y, G, K, covar, h2_grid, prior
+
+
+def _resolve_perm_engine(engine, n, *, on_tpu, precision):
+    """Engine + perm-chunk cap policy shared by the three entry points.
+
+    Returns ``(eng, cap)``: ``cap`` is the Pallas perm-chunk bound (None
+    for the XLA engine). "auto" picks the fused kernel on TPU at f32 GEMM
+    dtype, falling back to XLA when n is too large for even a 128-wide
+    pre-shuffled residual block to fit VMEM; explicit "pallas" at such n
+    raises instead.
+    """
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and on_tpu
+        and precision.resolve_gemm() == jnp.float32
+    )
+    if not use_pallas:
+        return "xla", None
+    from ..ops.bulkperm import pallas_perm_chunk_cap
+
+    cap = pallas_perm_chunk_cap(n)
+    if cap == 0:
+        if engine == "pallas":
+            raise ValueError(
+                f"the fused Pallas permutation kernel is infeasible at "
+                f"n={n} (the (8, n, 128) pre-shuffled residual block "
+                f"exceeds VMEM); use engine='xla' or 'auto'."
+            )
+        return "xla", None
+    return "pallas", cap
+
+
 _STATIC_PREP = (
     "prior", "reml", "method", "solve_method", "optim_interval", "precision"
 )
@@ -178,17 +250,34 @@ def _bulkperm_prep_traits_lowrank(
     return h2_list, sigma2_list, sm1, Qstack, wrn
 
 
-@partial(
-    jax.jit, static_argnames=("n", "precision")
-)
-def _bulkperm_chunk_lowrank(X, U, sm1_blk, Qblk, wrn_blk, idx_blk, *, n, precision):
+@partial(jax.jit, static_argnames=("precision",))
+def _bulkperm_lr_marker_prep(X, U, *, precision):
+    from ..ops.bulkperm import lowrank_perm_marker_parts
+
+    return lowrank_perm_marker_parts(X, U, precision=precision)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _bulkperm_lr_trait_block(X, U, UtX, UtX2, xsq, sm1_blk, Qblk, *, precision):
+    from ..ops.bulkperm import lowrank_perm_trait_marker_parts
+
+    return lowrank_perm_trait_marker_parts(
+        X, U, UtX, UtX2, xsq, sm1_blk, Qblk, precision=precision
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "precision"))
+def _bulkperm_chunk_lowrank(
+    X, U, UtX, sm1_blk, Qblk, qXs, xns, wrn_blk, idx_blk, *, n, precision
+):
     """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk, rank-k
     whitening (XLA only — the fused Pallas kernel assumes the diagonal
     whitening of the rotated basis)."""
     from ..ops.bulkperm import max_r2_perms_lowrank_xla
 
     maxr2 = max_r2_perms_lowrank_xla(
-        X, U, sm1_blk, Qblk, wrn_blk, idx_blk, precision=precision
+        X, U, UtX, sm1_blk, Qblk, qXs, xns, wrn_blk, idx_blk,
+        precision=precision,
     )
     return maxr2_to_lod(maxr2, n, precision=precision)
 
@@ -199,7 +288,12 @@ def _bulkscan_perms_lowrank(
     precision, trait_chunk, perm_chunk, original,
 ):
     """Rank-k engine body for :func:`bulkscan_perms` (same chunk loop and
-    result semantics; whitening in standard coordinates)."""
+    result semantics; whitening in standard coordinates). Marker-side
+    projections are computed once; per-trait-block whitened-marker norms
+    once per trait chunk; only the numerator GEMMs run per (trait, perm)
+    chunk."""
+    from ..ops.bulkperm import lowrank_perm_chunk_cap
+
     n, m = Y.shape
     dtype = precision.resolve_solve()
     U = jnp.asarray(lr.U, dtype=dtype)
@@ -212,19 +306,29 @@ def _bulkscan_perms_lowrank(
     )
 
     X = jnp.asarray(G, dtype=dtype)
-    idx = permutation_indices(n, nperms, rndseed, original=original)
-    K_total = int(idx.shape[0])
+    p = X.shape[1]
     if trait_chunk is None:
         trait_chunk = 16
+    perm_chunk = min(
+        perm_chunk, lowrank_perm_chunk_cap(n, p, trait_chunk=trait_chunk)
+    )
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+
+    UtX, UtX2, xsq = _bulkperm_lr_marker_prep(X, U, precision=precision)
 
     trait_rows = []
     for ms in range(0, m, trait_chunk):
         me = min(ms + trait_chunk, m)
+        sm1_b, Q_b = sm1[ms:me], Qstack[ms:me]
+        qXs, xns = _bulkperm_lr_trait_block(
+            X, U, UtX, UtX2, xsq, sm1_b, Q_b, precision=precision
+        )
         perm_cols = []
         for ks in range(0, K_total, perm_chunk):
             ke = min(ks + perm_chunk, K_total)
             perm_cols.append(_bulkperm_chunk_lowrank(
-                X, U, sm1[ms:me], Qstack[ms:me], wrn[:, ms:me], idx[ks:ke],
+                X, U, UtX, sm1_b, Q_b, qXs, xns, wrn[:, ms:me], idx[ks:ke],
                 n=n, precision=precision,
             ))
         trait_rows.append(
@@ -235,13 +339,13 @@ def _bulkscan_perms_lowrank(
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)
     )
-    return _attach_adj_pvals(BulkPermResult(
+    return BulkPermResult(
         maxlods=maxlods,
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,
         original=original,
-    ))
+    )
 
 
 @partial(jax.jit, static_argnames=_STATIC_PREP)
@@ -311,6 +415,7 @@ def bulkscan_perms(
     original: bool = True,
     tile_p: int = 512,
     interpret: bool = False,
+    _adj_pvals: bool = True,
 ) -> BulkPermResult:
     """Permutation-null genome-wide max LODs for every trait at once.
 
@@ -339,10 +444,6 @@ def bulkscan_perms(
     genome-wide p-value per trait, ``(1 + #{null max >= observed}) /
     (nperms + 1)``.
     """
-    if method not in ("null-grid", "null-exact"):
-        raise ValueError("method must be one of 'null-grid', 'null-exact'")
-    if engine not in ("auto", "xla", "pallas"):
-        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
     from ..ops.lowrank import LowRankKinship
 
     lowrank = isinstance(K, LowRankKinship)
@@ -353,46 +454,21 @@ def bulkscan_perms(
             "whitening); use engine='xla' or 'auto'."
         )
 
-    Y = jnp.asarray(Y)
-    Y = Y[:, None] if Y.ndim == 1 else Y
+    Y, G, K, covar, h2_grid, prior = _perm_common_inputs(
+        Y, G, K, covar, method=method, engine=engine, h2_grid=h2_grid,
+        weights=weights, add_intercept=add_intercept,
+        prior_variance=prior_variance, prior_sample_size=prior_sample_size,
+    )
     n, m = Y.shape
-
-    if h2_grid is None:
-        h2_grid = jnp.arange(0.0, 0.91, 0.1)
-    h2_grid = jnp.asarray(h2_grid)
-
-    if covar is None:
-        covar = jnp.ones((n, 1), dtype=Y.dtype)
-        add_intercept = False
-    else:
-        covar = jnp.asarray(covar)
-        covar = covar[:, None] if covar.ndim == 1 else covar
-
-    if weights is not None:
-        from ..ops.rotation import KinshipDecomposition
-
-        if isinstance(K, (KinshipDecomposition, LowRankKinship)):
-            raise ValueError(
-                "weights rescale the kinship matrix (K -> WKW); pass the raw "
-                "K, not a cached decomposition or rank-k factorization."
-            )
-        Y, G, covar, K, add_intercept = _apply_weights(
-            Y, G, covar, K, weights, add_intercept
-        )
-    if add_intercept:
-        covar = jnp.concatenate(
-            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
-        )
-
-    prior = (float(prior_variance), float(prior_sample_size))
     if lowrank:
-        return _bulkscan_perms_lowrank(
+        res = _bulkscan_perms_lowrank(
             Y, G, K, covar,
             nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
             prior=prior, reml=reml, optim_interval=optim_interval,
             precision=precision, trait_chunk=trait_chunk,
             perm_chunk=perm_chunk, original=original,
         )
+        return _attach_adj_pvals(res) if _adj_pvals else res
     G = jnp.asarray(G)
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
@@ -404,18 +480,13 @@ def bulkscan_perms(
         optim_interval=optim_interval, precision=precision,
     )
 
-    use_pallas = engine == "pallas" or (
-        engine == "auto"
-        and jax.default_backend() == "tpu"
-        and precision.resolve_gemm() == jnp.float32
+    eng, cap = _resolve_perm_engine(
+        engine, n, on_tpu=jax.default_backend() == "tpu", precision=precision
     )
-    eng = "pallas" if use_pallas else "xla"
+    if cap is not None:
+        perm_chunk = min(perm_chunk, cap)
     if trait_chunk is None:
         trait_chunk = 1024 if eng == "pallas" else 16
-    if eng == "pallas":
-        from ..ops.bulkperm import pallas_perm_chunk_cap
-
-        perm_chunk = min(perm_chunk, pallas_perm_chunk_cap(n))
 
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])
@@ -451,10 +522,11 @@ def bulkscan_perms(
         else jnp.concatenate(trait_rows, axis=0)
     )
 
-    return _attach_adj_pvals(BulkPermResult(
+    res = BulkPermResult(
         maxlods=maxlods,
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,
         original=original,
-    ))
+    )
+    return _attach_adj_pvals(res) if _adj_pvals else res

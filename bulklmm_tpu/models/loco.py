@@ -186,6 +186,7 @@ def scan_loco(
     covar=None,
     *,
     lowrank_k: int = 0,
+    share_shuffles: bool = False,
     precision: PrecisionConfig = DEFAULT_PRECISION,
     **kwargs,
 ) -> ScanResult:
@@ -198,18 +199,21 @@ def scan_loco(
     hold the across-chromosome means for a quick summary.
 
     Permutation semantics: each chromosome permutes its own rotated null
-    residuals (the reference's scheme, per-chromosome eigenbasis) with a
-    DISTINCT seed derived from ``rndseed`` (chromosome i uses
-    ``rndseed + i`` — identical shuffle indices across chromosomes would
-    make the stitched per-chromosome maxima conditionally dependent given
-    y and bias genome-wide thresholds low), so column j of the stitched
-    ``L_perms`` combines INDEPENDENT per-chromosome null replicates.
-    Genome-wide thresholds from :func:`~bulklmm_tpu.get_thresholds`
-    therefore treat per-chromosome maxima as independent — a Šidák-like
-    approximation that is exact when chromosomes are independent under the
-    null and slightly conservative (higher thresholds) under
-    cross-chromosome dependence. Per-chromosome thresholds
-    (``get_thresholds(res.L_perms[chrom == c])``) are exact.
+    residuals (the reference's scheme, per-chromosome eigenbasis). By
+    default chromosome i uses seed ``rndseed + i``, so column j of the
+    stitched ``L_perms`` combines INDEPENDENT per-chromosome null
+    replicates; genome-wide thresholds from
+    :func:`~bulklmm_tpu.get_thresholds` then treat per-chromosome maxima
+    as independent — a Šidák-like approximation that is exact when
+    chromosomes are independent under the null and conservative (higher
+    thresholds, FWER still controlled) under cross-chromosome positive
+    dependence. ``share_shuffles=True`` reuses the SAME shuffle indices on
+    every chromosome instead — the closest analog of shuffling the
+    phenotype once and scanning the whole genome (per-chromosome maxima
+    keep their positive dependence, giving smaller genome-wide maxima and
+    tighter thresholds), at the cost of replicate-level dependence given
+    y. Per-chromosome thresholds
+    (``get_thresholds(res.L_perms[chrom == c])``) are exact either way.
     """
     from .scan import scan
 
@@ -230,7 +234,8 @@ def scan_loco(
         G, chromosome, lowrank_k=lowrank_k, precision=precision
     )):
         res = scan(y, G[:, mask], K, covar, precision=precision,
-                   rndseed=base_seed + i, **kwargs)
+                   rndseed=base_seed if share_shuffles else base_seed + i,
+                   **kwargs)
         idx = np.flatnonzero(mask)
         lod[idx] = np.asarray(res.lod)
         h2_by_chrom[c] = float(res.h2_null)
@@ -267,6 +272,7 @@ def bulkscan_perms_loco(
     precision: PrecisionConfig = DEFAULT_PRECISION,
     rndseed: int = 0,
     lowrank_k: int = 0,
+    share_shuffles: bool = False,
     **kwargs,
 ):
     """All-trait LOCO permutation maxima: per chromosome, markers scan
@@ -275,10 +281,14 @@ def bulkscan_perms_loco(
     permutation) is the elementwise max of the per-chromosome maxima
     (LOD is monotone in r^2, so maxima stitch exactly).
 
-    Permutation semantics match :func:`scan_loco`: chromosome i uses
-    ``rndseed + i`` (identical shuffle indices across chromosomes would
-    make the stitched maxima conditionally dependent given Y and bias
-    genome-wide thresholds low). Remaining keywords go to
+    Permutation semantics match :func:`scan_loco`: by default chromosome i
+    uses seed ``rndseed + i``, making each stitched replicate a max of
+    INDEPENDENT per-chromosome draws — exact under cross-chromosome
+    independence, conservative (higher thresholds, FWER still controlled)
+    under positive dependence. ``share_shuffles=True`` reuses the same
+    shuffle indices on every chromosome — the closest analog of one
+    genome-wide phenotype shuffle (tighter thresholds, replicate-level
+    dependence given Y). Remaining keywords go to
     :func:`bulklmm_tpu.bulkscan_perms` (nperms, method, h2_grid, engine,
     ...). ``h2_null_by_chrom`` / ``sigma2_by_chrom`` map ``chrom -> (m,)``;
     the result's ``h2_null_list`` / ``sigma2_e_list`` are the
@@ -300,8 +310,10 @@ def bulkscan_perms_loco(
         G, chromosome, lowrank_k=lowrank_k, precision=precision
     )):
         res = bulkscan_perms(
-            Y, G[:, mask], K, covar,
-            precision=precision, rndseed=base_seed + i, **kwargs,
+            Y, G[:, mask], K, covar, precision=precision,
+            rndseed=base_seed if share_shuffles else base_seed + i,
+            _adj_pvals=False,  # recomputed once on the stitched maxima
+            **kwargs,
         )
         h2_by_chrom[c] = res.h2_null_list
         s2_by_chrom[c] = res.sigma2_e_list

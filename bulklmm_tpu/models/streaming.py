@@ -481,37 +481,21 @@ def bulkscan_perms_streamed(
     from ..ops.lowrank import LowRankKinship
     from .bulkperm import (
         BulkPermResult, _attach_adj_pvals, _bulkperm_chunk,
-        _bulkperm_prep_traits,
+        _bulkperm_prep_traits, _perm_common_inputs, _resolve_perm_engine,
     )
 
-    if method not in ("null-grid", "null-exact"):
-        raise ValueError("method must be one of 'null-grid', 'null-exact'")
-    if engine not in ("auto", "xla", "pallas"):
-        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
     if isinstance(K, LowRankKinship):
         raise ValueError(
             "bulkscan_perms_streamed requires a full-rank kinship (see "
             "bulkscan_perms)"
         )
-
-    n, p = G.shape[0], G.shape[1]
-    Y = jnp.asarray(Y)
-    Y = Y[:, None] if Y.ndim == 1 else Y
-    m = Y.shape[1]
-    if h2_grid is None:
-        h2_grid = jnp.arange(0.0, 0.91, 0.1)
-    h2_grid = jnp.asarray(h2_grid)
-    if covar is None:
-        covar = jnp.ones((n, 1), dtype=Y.dtype)
-        add_intercept = False
-    else:
-        covar = jnp.asarray(covar)
-        covar = covar[:, None] if covar.ndim == 1 else covar
-    if add_intercept:
-        covar = jnp.concatenate(
-            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
-        )
-    prior = (float(prior_variance), float(prior_sample_size))
+    Y, _, K, covar, h2_grid, prior = _perm_common_inputs(
+        Y, G, K, covar, method=method, engine=engine, h2_grid=h2_grid,
+        weights=None, add_intercept=add_intercept,
+        prior_variance=prior_variance, prior_sample_size=prior_sample_size,
+    )
+    n, m = Y.shape
+    p = G.shape[1]
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
 
@@ -522,18 +506,13 @@ def bulkscan_perms_streamed(
         optim_interval=optim_interval, precision=precision,
     )
 
-    use_pallas = engine == "pallas" or (
-        engine == "auto"
-        and jax.default_backend() == "tpu"
-        and precision.resolve_gemm() == jnp.float32
+    eng, cap = _resolve_perm_engine(
+        engine, n, on_tpu=jax.default_backend() == "tpu", precision=precision
     )
-    eng = "pallas" if use_pallas else "xla"
+    if cap is not None:
+        perm_chunk = min(perm_chunk, cap)
     if trait_chunk is None:
         trait_chunk = 1024 if eng == "pallas" else 16
-    if eng == "pallas":
-        from ..ops.bulkperm import pallas_perm_chunk_cap
-
-        perm_chunk = min(perm_chunk, pallas_perm_chunk_cap(n))
 
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])

@@ -156,13 +156,31 @@ def max_r2_perms_xla(
 
 
 def pallas_perm_chunk_cap(n: int, budget_bytes: int = 40 * 1024 * 1024) -> int:
-    """Largest permutation-chunk width whose (8, n, Kc) pre-shuffled
-    residual block stays within ``budget_bytes`` of VMEM (it is the
-    dominant, double-buffered input of the fused kernel — at BXD n the cap
-    is far above any real nperms; at biobank n it bounds the chunk so the
-    kernel compiles within the scoped VMEM limit)."""
+    """Largest permutation-chunk width (a multiple of 128, the kernel's
+    lane quantum) whose (8, n, Kc) pre-shuffled residual block stays within
+    ``budget_bytes`` of VMEM — it is the dominant, double-buffered input of
+    the fused kernel. At BXD n the cap is far above any real nperms; at
+    biobank n it bounds the chunk so the kernel compiles within the scoped
+    VMEM limit. Returns **0 when even Kc = 128 does not fit** (n beyond
+    ~10k): the kernel is then infeasible and callers must use the XLA
+    engine (engine="auto" falls back automatically)."""
     cap = budget_bytes // (8 * max(n, 1) * 4)
-    return max(128, (cap // 128) * 128)
+    return (cap // 128) * 128
+
+
+def lowrank_perm_chunk_cap(
+    n: int, p: int, trait_chunk: int = 16,
+    budget_bytes: int = 2 * 1024 * 1024 * 1024,
+) -> int:
+    """Permutation-chunk width bound for the rank-k XLA engine: the
+    (Kc, n, mb) pre-shuffled residual gather and the vmapped (mb, Kc, p)
+    numerator both scale linearly in Kc — bound each at ~budget/2 so the
+    'beyond the eigh wall' cohort sizes this engine exists for (n ~ 1e5)
+    do not OOM under the full-rank-tuned default of 2048."""
+    half = budget_bytes // 2
+    per_kc = 4 * trait_chunk  # f32 x mb
+    cap = min(half // (per_kc * max(n, 1)), half // (per_kc * max(p, 1)))
+    return max(64, int(cap))
 
 
 def perm_trait_parts_lowrank(
@@ -230,56 +248,91 @@ def perm_trait_parts_lowrank(
     return sm1, Qstack, wrn
 
 
+def lowrank_perm_marker_parts(
+    X, U, *, precision: PrecisionConfig = DEFAULT_PRECISION
+):
+    """Trait- and permutation-independent marker-side projections for the
+    rank-k permutation engine, computed ONCE per scan: ``U^T X`` (k, p),
+    its elementwise square, and the raw marker column norms."""
+    sdt = precision.resolve_kernel()
+    pgp = precision.gemm_precision
+    Xk = X.astype(sdt)
+    Uk = U.astype(sdt)
+    UtX = jnp.matmul(Uk.T, Xk, precision=pgp)  # (k, p)
+    return UtX, UtX * UtX, jnp.sum(Xk * Xk, axis=0)
+
+
+def lowrank_perm_trait_marker_parts(
+    X, U, UtX, UtX2, xsq, sm1, Qstack, *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """Permutation-independent per-trait(-block) whitened-marker
+    quantities: covariate-basis projections ``qX`` (mb, c, p) and residual
+    norms ``xn`` (mb, p) of the whitened, covariate-residualized markers —
+    computed once per trait chunk and reused by every permutation chunk."""
+    from .smallchol import residual_sq
+
+    sdt = precision.resolve_kernel()
+    pgp = precision.gemm_precision
+    Xk = X.astype(sdt)
+    Uk = U.astype(sdt)
+
+    def one(sm1_j, q_j):
+        # sm1_j (k,), q_j (c, n)
+        dm1_j = sm1_j * sm1_j + 2.0 * sm1_j  # w - 1
+        qU = jnp.matmul(q_j, Uk, precision=pgp)  # (c, k)
+        qX = (
+            jnp.matmul(q_j, Xk, precision=pgp)
+            + jnp.matmul(qU * sm1_j[None, :], UtX, precision=pgp)
+        )  # (c, p)
+        # ||(I - QQ^T) A_j x||^2 with the same cancellation floor as the
+        # rank-k scan kernel (residual_sq; D1 pattern of _nd_parts_lowrank)
+        d1 = xsq + jnp.matmul(dm1_j, UtX2, precision=pgp)  # ||A_j x||^2
+        xn = residual_sq(d1, [qX[a] for a in range(qX.shape[0])])
+        return qX, xn
+
+    return jax.vmap(one)(sm1, Qstack)
+
+
 def max_r2_perms_lowrank_xla(
     X,
     U,
+    UtX,
     sm1,
     Qstack,
+    qXs,
+    xns,
     wrn,
     perm_idx,
     *,
     precision: PrecisionConfig = DEFAULT_PRECISION,
 ):
-    """(m, K) max-over-markers squared correlation under rank-k whitening.
+    """(mb, Kc) max-over-markers squared correlation under rank-k
+    whitening, one (trait chunk, perm chunk) step.
 
-    ``X`` (n, p) UNROTATED markers; ``U`` (n, k); ``sm1`` (m, k) per-trait
-    ``sqrt(w) - 1``; ``Qstack`` (m, c, n); ``wrn`` (n, m); ``perm_idx``
-    (K, n).
+    ``X`` (n, p) UNROTATED markers; ``U`` (n, k); ``UtX`` (k, p) from
+    :func:`lowrank_perm_marker_parts`; ``sm1`` (mb, k) per-trait
+    ``sqrt(w) - 1``; ``Qstack`` (mb, c, n); ``qXs``/``xns`` from
+    :func:`lowrank_perm_trait_marker_parts`; ``wrn`` (n, m); ``perm_idx``
+    (Kc, n).
 
     Never materializes a per-trait whitened marker panel: every whitened
     inner product expands to the raw product plus a rank-k correction
     through the shared ``U^T X`` projection (the same Woodbury split as the
     rank-k scan kernels, ops/lowrank.py::_nd_parts_lowrank), so the
-    per-trait work is GEMM-shaped in (K, n), (K, k) and (c, p).
+    per-trait work is GEMM-shaped in (Kc, n), (Kc, k) and (Kc, p).
     """
-    from .smallchol import residual_sq
-
     sdt = precision.resolve_kernel()
     gdt = precision.resolve_gemm()
     pgp = precision.gemm_precision
     tiny = jnp.finfo(sdt).tiny
     Xk = X.astype(sdt)
     Uk = U.astype(sdt)
-    UtX = jnp.matmul(Uk.T, Xk, precision=pgp)  # (k, p), shared
-    UtX2 = UtX * UtX  # (k, p)
-    xsq = jnp.sum(Xk * Xk, axis=0)  # (p,)
-    Sperm = wrn[perm_idx]  # (K, n, m)
+    Sperm = wrn[perm_idx]  # (Kc, n, mb)
 
-    def one(sm1_j, q_j, sp_j):
-        # sm1_j (k,), q_j (c, n), sp_j (K, n)
-        dm1_j = sm1_j * sm1_j + 2.0 * sm1_j  # w - 1
-        # covariate-basis projections of the whitened markers, (c, p)
-        qU = jnp.matmul(q_j, Uk, precision=pgp)  # (c, k)
-        qX = (
-            jnp.matmul(q_j, Xk, precision=pgp)
-            + jnp.matmul(qU * sm1_j[None, :], UtX, precision=pgp)
-        )
-        # ||(I - QQ^T) A_j x||^2 with the same cancellation floor as the
-        # rank-k scan kernel (residual_sq; D1 pattern of _nd_parts_lowrank)
-        d1 = xsq + jnp.matmul(dm1_j, UtX2, precision=pgp)  # ||A_j x||^2
-        xn = residual_sq(d1, [qX[a] for a in range(qX.shape[0])])
+    def one(sm1_j, q_j, qX, xn, sp_j):
         # <(I - QQ^T) A_j x, s> = <x, s> + rank-k correction - <qX, Q s>
-        spU = jnp.matmul(sp_j, Uk, precision=pgp)  # (K, k)
+        spU = jnp.matmul(sp_j, Uk, precision=pgp)  # (Kc, k)
         num = (
             jnp.matmul(
                 sp_j.astype(gdt), Xk.astype(gdt), precision=pgp
@@ -291,11 +344,13 @@ def max_r2_perms_lowrank_xla(
             - jnp.matmul(
                 jnp.matmul(sp_j, q_j.T, precision=pgp), qX, precision=pgp
             )
-        )  # (K, p)
+        )  # (Kc, p)
         r2 = (num * num) / jnp.maximum(xn, tiny)[None, :]
-        return jnp.max(r2, axis=1)  # (K,)
+        return jnp.max(r2, axis=1)  # (Kc,)
 
-    return jax.vmap(one, in_axes=(0, 0, 2))(sm1, Qstack, Sperm)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 2))(
+        sm1, Qstack, qXs, xns, Sperm
+    )
 
 
 def maxr2_to_lod(maxr2, n: int, *, precision: PrecisionConfig = DEFAULT_PRECISION):

@@ -431,18 +431,14 @@ def bulkscan_perms_sharded(
     ``shard_map`` on TPU meshes; CPU/virtual meshes use the XLA engine.
     """
     from ..models.bulkperm import (
-        BulkPermResult, _bulkperm_prep,
+        BulkPermResult, _bulkperm_prep, _perm_common_inputs,
+        _resolve_perm_engine,
     )
-    from ..models.scan import _apply_weights
     from ..ops.bulkperm import permutation_indices
     from ..ops.rotation import resolve_kinship
 
     if mesh is None:
         mesh = make_mesh()
-    if method not in ("null-grid", "null-exact"):
-        raise ValueError("method must be one of 'null-grid', 'null-exact'")
-    if engine not in ("auto", "xla", "pallas"):
-        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
     from ..ops.lowrank import LowRankKinship
 
     if isinstance(K, LowRankKinship):
@@ -451,29 +447,12 @@ def bulkscan_perms_sharded(
             "Woodbury permutation engine is single-device (bulkscan_perms)."
         )
 
-    Y = jnp.asarray(Y)
-    Y = Y[:, None] if Y.ndim == 1 else Y
-    G = jnp.asarray(G)
+    Y, G, K, covar, h2_grid, prior = _perm_common_inputs(
+        Y, jnp.asarray(G), K, covar, method=method, engine=engine,
+        h2_grid=h2_grid, weights=weights, add_intercept=add_intercept,
+        prior_variance=prior_variance, prior_sample_size=prior_sample_size,
+    )
     n, m = Y.shape
-    if h2_grid is None:
-        h2_grid = jnp.arange(0.0, 0.91, 0.1)
-    h2_grid = jnp.asarray(h2_grid)
-    if covar is None:
-        covar = jnp.ones((n, 1), dtype=Y.dtype)
-        add_intercept = False
-    else:
-        covar = jnp.asarray(covar)
-        covar = covar[:, None] if covar.ndim == 1 else covar
-    if weights is not None:
-        Y, G, covar, K, add_intercept = _apply_weights(
-            Y, G, covar, K, weights, add_intercept
-        )
-    if add_intercept:
-        covar = jnp.concatenate(
-            [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
-        )
-
-    prior = (float(prior_variance), float(prior_sample_size))
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
 
@@ -486,13 +465,10 @@ def bulkscan_perms_sharded(
 
     # engine choice keys off the MESH's devices, not the session default
     # backend (a CPU dry-run mesh can coexist with a TPU default backend)
-    mesh_platform = mesh.devices.flat[0].platform
-    use_pallas = engine == "pallas" or (
-        engine == "auto"
-        and mesh_platform == "tpu"
-        and precision.resolve_gemm() == jnp.float32
+    eng, _ = _resolve_perm_engine(
+        engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
+        precision=precision,
     )
-    eng = "pallas" if use_pallas else "xla"
     tshards = mesh.shape[TRAITS_AXIS]
     mshards = mesh.shape[MARKERS_AXIS]
     # per-device trait blocks: multiples of 8 for the Pallas output tile

@@ -394,3 +394,35 @@ def test_bulkscan_perms_loco_lowrank(perm_data):
         np.asarray(res.maxlods[:, 0]), np.asarray(dense.maxlods[:, 0]),
         atol=0.25,
     )
+
+
+def test_perm_engine_caps_and_fallback():
+    """Chunk-cap policy: the Pallas cap is a multiple of 128 that is 0
+    (infeasible) past n ~ 10k, auto falls back to XLA there, explicit
+    pallas raises; the rank-k cap scales down with n and p but never
+    below 64."""
+    from bulklmm_tpu.models.bulkperm import _resolve_perm_engine
+    from bulklmm_tpu.ops.bulkperm import (
+        lowrank_perm_chunk_cap, pallas_perm_chunk_cap,
+    )
+    from bulklmm_tpu.utils.config import FAST32
+
+    cap_bxd = pallas_perm_chunk_cap(79)
+    assert cap_bxd >= 1024 and cap_bxd % 128 == 0
+    assert pallas_perm_chunk_cap(2000) >= 128
+    assert pallas_perm_chunk_cap(20_000) == 0
+
+    assert _resolve_perm_engine("auto", 79, on_tpu=True, precision=FAST32) \
+        == ("pallas", cap_bxd)
+    assert _resolve_perm_engine("auto", 20_000, on_tpu=True,
+                                precision=FAST32) == ("xla", None)
+    assert _resolve_perm_engine("xla", 79, on_tpu=True,
+                                precision=FAST32) == ("xla", None)
+    with pytest.raises(ValueError, match="infeasible"):
+        _resolve_perm_engine("pallas", 20_000, on_tpu=True, precision=FAST32)
+
+    assert lowrank_perm_chunk_cap(100_000, 30_208) >= 64
+    # at n = 1e5 the cap keeps the (Kc, n, 16) gather ~<= 1 GB
+    assert lowrank_perm_chunk_cap(100_000, 30_208) * 100_000 * 16 * 4 \
+        <= 1.1 * 2**30
+    assert lowrank_perm_chunk_cap(500, 500) >= 2048
