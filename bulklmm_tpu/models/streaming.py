@@ -475,7 +475,10 @@ def bulkscan_perms_streamed(
     device accumulator is the ONLY marker-extensive state, and each block
     goes through the identical fused kernel (Pallas on TPU) or XLA path.
     ``G`` is any sliceable host (n, p) array — plain numpy or
-    ``np.memmap``.
+    ``np.memmap``. A :class:`~bulklmm_tpu.ops.lowrank.LowRankKinship`
+    ``K`` runs the rank-k Woodbury whitening engine per block (no n x n
+    kinship, no host eigh, markers streamed from host — the large-n AND
+    large-p configuration; XLA engine only).
     """
     from ..ops.bulkperm import permutation_indices
     from ..ops.lowrank import LowRankKinship
@@ -484,10 +487,11 @@ def bulkscan_perms_streamed(
         _bulkperm_prep_traits, _perm_common_inputs, _resolve_perm_engine,
     )
 
-    if isinstance(K, LowRankKinship):
+    if isinstance(K, LowRankKinship) and engine == "pallas":
         raise ValueError(
-            "bulkscan_perms_streamed requires a full-rank kinship (see "
-            "bulkscan_perms)"
+            "engine='pallas' is not available for LowRankKinship inputs "
+            "(the fused kernel assumes the rotated basis's diagonal "
+            "whitening); use engine='xla' or 'auto'."
         )
     Y, _, K, covar, h2_grid, prior = _perm_common_inputs(
         Y, G, K, covar, method=method, engine=engine, h2_grid=h2_grid,
@@ -498,6 +502,15 @@ def bulkscan_perms_streamed(
     p = G.shape[1]
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
+
+    if isinstance(K, LowRankKinship):
+        return _perms_streamed_lowrank(
+            Y, G, K, covar, h2_grid, prior,
+            nperms=nperms, rndseed=rndseed, method=method, block=block,
+            reml=reml, optim_interval=optim_interval, precision=precision,
+            trait_chunk=trait_chunk, perm_chunk=perm_chunk,
+            original=original,
+        )
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     h2_list, sigma2_list, sqrtw, Qstack, wrn = _bulkperm_prep_traits(
@@ -542,18 +555,88 @@ def bulkscan_perms_streamed(
                 key = (ms, ks)
                 acc[key] = blk if key not in acc else jnp.maximum(acc[key], blk)
 
+    return _attach_adj_pvals(BulkPermResult(
+        maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    ))
+
+
+def _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk):
+    """Stitch the per-(trait chunk, perm chunk) running-max accumulators
+    into the (m, K_total) maxima matrix (device concatenations only)."""
     trait_rows = []
     for ms in range(0, m, trait_chunk):
         cols = [acc[(ms, ks)] for ks in range(0, K_total, perm_chunk)]
         trait_rows.append(
             cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
         )
-    maxlods = (
+    return (
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)
     )
+
+
+def _perms_streamed_lowrank(
+    Y, G, lr, covar, h2_grid, prior, *,
+    nperms, rndseed, method, block, reml, optim_interval, precision,
+    trait_chunk, perm_chunk, original,
+):
+    """Rank-k body of :func:`bulkscan_perms_streamed`: Woodbury whitening
+    in standard coordinates per HOST marker block (models/bulkperm.py
+    chunk core); zero-padded block columns have zero norms and zero
+    numerators, so they contribute r^2 = 0 and never win the max."""
+    from ..ops.bulkperm import lowrank_perm_chunk_cap, permutation_indices
+    from .bulkperm import (
+        BulkPermResult, _attach_adj_pvals, _bulkperm_chunk_lowrank,
+        _bulkperm_lr_marker_prep, _bulkperm_lr_trait_block,
+        _bulkperm_prep_traits_lowrank,
+    )
+
+    n, m = Y.shape
+    p = G.shape[1]
+    dtype = precision.resolve_solve()
+    U = jnp.asarray(lr.U, dtype=dtype)
+    lam = jnp.asarray(lr.lam, dtype=dtype)
+
+    h2_list, sigma2_list, sm1, Qstack, wrn = _bulkperm_prep_traits_lowrank(
+        Y.astype(dtype), covar.astype(dtype), U, lam, h2_grid.astype(dtype),
+        n=n, prior=prior, reml=reml, method=method,
+        optim_interval=optim_interval, precision=precision,
+    )
+    if trait_chunk is None:
+        trait_chunk = 16
+    perm_chunk = min(
+        perm_chunk, lowrank_perm_chunk_cap(n, block, trait_chunk=trait_chunk)
+    )
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+
+    acc = {}
+    for lo, hi in _blocks(p, block):
+        Xb = _pad_block(G, lo, hi, block, dtype)
+        UtX, UtX2, xsq = _bulkperm_lr_marker_prep(Xb, U, precision=precision)
+        for ms in range(0, m, trait_chunk):
+            me = min(ms + trait_chunk, m)
+            sm1_b, Q_b = sm1[ms:me], Qstack[ms:me]
+            qXs, xns = _bulkperm_lr_trait_block(
+                Xb, U, UtX, UtX2, xsq, sm1_b, Q_b, precision=precision
+            )
+            for ks in range(0, K_total, perm_chunk):
+                ke = min(ks + perm_chunk, K_total)
+                blk = _bulkperm_chunk_lowrank(
+                    Xb, U, UtX, sm1_b, Q_b, qXs, xns, wrn[:, ms:me],
+                    idx[ks:ke], n=n, precision=precision,
+                )
+                key = (ms, ks)
+                acc[key] = (
+                    blk if key not in acc else jnp.maximum(acc[key], blk)
+                )
+
     return _attach_adj_pvals(BulkPermResult(
-        maxlods=maxlods,
+        maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,

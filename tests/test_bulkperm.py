@@ -426,3 +426,26 @@ def test_perm_engine_caps_and_fallback():
     assert lowrank_perm_chunk_cap(100_000, 30_208) * 100_000 * 16 * 4 \
         <= 1.1 * 2**30
     assert lowrank_perm_chunk_cap(500, 500) >= 2048
+
+
+def test_bulkscan_perms_streamed_lowrank_matches_in_memory(lowrank_data):
+    """Marker-streamed rank-k perms == in-memory rank-k perms: same chunk
+    core, maxima folded over host marker blocks via elementwise max."""
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    G, Y, K, k = lowrank_data
+    lr = kinship_lowrank_exact(K, k)
+    ref = bl.bulkscan_perms(Y, G, lr, nperms=16, rndseed=3)
+    # 48 markers in 3 blocks of 20 (last zero-padded)
+    res = bl.bulkscan_perms_streamed(
+        Y, G, lr, nperms=16, rndseed=3, marker_block=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.maxlods), np.asarray(ref.maxlods), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.h2_null_list), np.asarray(ref.h2_null_list),
+        atol=1e-12,
+    )
+    with pytest.raises(ValueError, match="pallas"):
+        bl.bulkscan_perms_streamed(Y, G, lr, nperms=4, engine="pallas")
