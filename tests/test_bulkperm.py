@@ -449,3 +449,33 @@ def test_bulkscan_perms_streamed_lowrank_matches_in_memory(lowrank_data):
     )
     with pytest.raises(ValueError, match="pallas"):
         bl.bulkscan_perms_streamed(Y, G, lr, nperms=4, engine="pallas")
+
+
+def test_bulkscan_perms_loco_share_shuffles(perm_data):
+    """share_shuffles=True uses the SAME shuffle indices on every
+    chromosome (manual composition check); default uses rndseed + i."""
+    G, Y, K = perm_data
+    p = G.shape[1]
+    chrom = np.array(["1"] * (p // 2) + ["2"] * (p - p // 2))
+    shared = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=12, rndseed=5, share_shuffles=True
+    )
+    indep = bl.bulkscan_perms_loco(Y, G, chrom, nperms=12, rndseed=5)
+    # observed column identical; permuted columns differ
+    np.testing.assert_allclose(
+        np.asarray(shared.maxlods[:, 0]), np.asarray(indep.maxlods[:, 0]),
+        atol=1e-12,
+    )
+    assert np.any(
+        np.asarray(shared.maxlods[:, 1:]) != np.asarray(indep.maxlods[:, 1:])
+    )
+    # manual composition: both chromosomes at the SAME seed
+    expected = None
+    for c in ["1", "2"]:
+        mask = chrom == c
+        Kc = np.asarray(bl.calc_kinship(G[:, ~mask]))
+        e = np.asarray(bl.bulkscan_perms(
+            Y, G[:, mask], Kc, nperms=12, rndseed=5
+        ).maxlods)
+        expected = e if expected is None else np.maximum(expected, e)
+    np.testing.assert_allclose(np.asarray(shared.maxlods), expected, atol=1e-12)
