@@ -10,9 +10,11 @@ permutations) become named mesh axes over ICI/DCN, sharded with
 
 from .distributed import (
     bulkscan_distributed,
+    bulkscan_perms_distributed,
     init_distributed,
     local_trait_slice,
     make_global_mesh,
+    merge_perm_shards,
     merge_shards,
 )
 from .sharding import (
@@ -26,6 +28,8 @@ from .sharding import (
 
 __all__ = [
     "bulkscan_distributed",
+    "bulkscan_perms_distributed",
+    "merge_perm_shards",
     "init_distributed",
     "local_trait_slice",
     "make_global_mesh",

@@ -362,3 +362,90 @@ def merge_shards(save_dir) -> np.ndarray:
     for d in loaded:
         L[:, int(d["trait_lo"]):int(d["trait_hi"])] = d["lod"]
     return L
+
+
+def bulkscan_perms_distributed(
+    Y_local,
+    G,
+    K,
+    covar=None,
+    *,
+    m_total: Optional[int] = None,
+    mesh: Optional[Mesh] = None,
+    save_dir: Optional[str] = None,
+    **kwargs,
+):
+    """Pod-scale bulk permutation thresholds: each process permutation-
+    tests ONLY its local trait block.
+
+    Traits are embarrassingly parallel in the permutation engine (the
+    marker panel, kinship, and shuffle indices are trait-independent), and
+    the shuffle indices depend only on ``(n, nperms, rndseed)`` — so every
+    process draws IDENTICAL permutations and the merged per-process rows
+    equal the single-process :func:`bulklmm_tpu.bulkscan_perms` exactly,
+    with zero cross-process communication. ``Y_local`` must be exactly
+    ``Y_global[:, local_trait_slice(m_total, mesh)]``; remaining keywords
+    go to :func:`bulklmm_tpu.bulkscan_perms` (nperms, rndseed, method,
+    engine, LowRankKinship ``K``, ...).
+
+    With ``save_dir``, this process writes
+    ``<save_dir>/perm_shard_<pid>.npz`` (fields: trait_lo, trait_hi,
+    maxlods, h2, sigma2, log10_adj_pvals) — merge offline with
+    :func:`merge_perm_shards`. Returns ``(result, trait_lo, trait_hi)``
+    where ``result`` is this process's local :class:`BulkPermResult`.
+    """
+    from ..models.bulkperm import bulkscan_perms
+
+    if mesh is None:
+        mesh = make_global_mesh()
+    if m_total is None:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "m_total (global trait count) is required multi-process"
+            )
+        m_total = np.shape(Y_local)[1]
+    _, _, _, lo, hi = _shard_geometry(m_total, mesh)
+    Y_local = np.asarray(Y_local, dtype=np.float64)
+    Y_local = Y_local[:, None] if Y_local.ndim == 1 else Y_local
+    if Y_local.shape[1] != hi - lo:
+        raise ValueError(
+            f"process {jax.process_index()} expected {hi - lo} local trait "
+            f"columns (= local_trait_slice({m_total})), got {Y_local.shape[1]}"
+        )
+
+    res = bulkscan_perms(Y_local, G, K, covar, **kwargs)
+
+    if save_dir is not None:
+        from pathlib import Path
+
+        out = Path(save_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            out / f"perm_shard_{jax.process_index():05d}.npz",
+            trait_lo=lo, trait_hi=hi,
+            maxlods=np.asarray(res.maxlods),
+            h2=np.asarray(res.h2_null_list),
+            sigma2=np.asarray(res.sigma2_e_list),
+            log10_adj_pvals=(
+                np.asarray(res.log10_adj_pvals)
+                if res.log10_adj_pvals is not None else np.zeros(0)
+            ),
+        )
+    return res, lo, hi
+
+
+def merge_perm_shards(save_dir) -> np.ndarray:
+    """Assemble the global (m, 1 + nperms) permutation maxima matrix from
+    per-process ``perm_shard_*.npz`` files (offline/driver utility)."""
+    from pathlib import Path
+
+    shards = sorted(Path(save_dir).glob("perm_shard_*.npz"))
+    if not shards:
+        raise FileNotFoundError(f"no perm_shard_*.npz under {save_dir}")
+    loaded = [np.load(s) for s in shards]
+    m = max(int(d["trait_hi"]) for d in loaded)
+    K_cols = loaded[0]["maxlods"].shape[1]
+    out = np.zeros((m, K_cols))
+    for d in loaded:
+        out[int(d["trait_lo"]):int(d["trait_hi"])] = d["maxlods"]
+    return out

@@ -52,6 +52,20 @@ def main():
     assert len(mesh.devices.ravel()) == jax.device_count()
 
     sl = local_trait_slice(Y.shape[1], mesh)
+    if method == "perms":
+        # pod permutation thresholds: each process tests only its trait
+        # block; shuffle indices are identical across processes
+        from bulklmm_tpu.parallel import bulkscan_perms_distributed
+
+        res, lo, hi = bulkscan_perms_distributed(
+            Y[:, sl], G, K,
+            m_total=Y.shape[1], mesh=mesh, save_dir=outdir,
+            nperms=24, rndseed=7,
+        )
+        assert lo == sl.start and hi == (sl.stop or Y.shape[1])
+        assert res.maxlods.shape == (hi - lo, 25)
+        print(f"worker {pid}: wrote perm traits [{lo}, {hi})")
+        return
     res = bulkscan_distributed(
         Y[:, sl], G, K,
         m_total=Y.shape[1], mesh=mesh, method=method,

@@ -175,3 +175,38 @@ def test_distributed_weights_guard_and_warning():
         assert not any("not positive" in str(r.message) for r in rec)
         bulkscan_distributed(Y, G, K, weights=w, m_total=m)
         assert any("not positive" in str(r.message) for r in rec)
+
+
+def test_multiprocess_perms_matches_single_process(tmp_path):
+    """Pod permutation thresholds: merged per-process maxima shards equal
+    the single-process bulkscan_perms exactly (identical shuffle indices
+    on every process; zero cross-process communication)."""
+    Y, G, K = _synth(m=10)
+    data = tmp_path / "data.npz"
+    np.savez(data, Y=Y, G=G, K=K)
+    outdir = tmp_path / "shards"
+    coord = f"127.0.0.1:{_free_port()}"
+    env = _worker_env(2)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), coord, "2", str(i),
+             str(data), str(outdir), "perms"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import bulklmm_tpu as bl
+    from bulklmm_tpu.parallel import merge_perm_shards
+
+    merged = merge_perm_shards(outdir)
+    ref = bl.bulkscan_perms(Y, G, K, nperms=24, rndseed=7)
+    np.testing.assert_allclose(merged, np.asarray(ref.maxlods), atol=1e-9)
