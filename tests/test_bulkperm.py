@@ -479,3 +479,20 @@ def test_bulkscan_perms_loco_share_shuffles(perm_data):
         ).maxlods)
         expected = e if expected is None else np.maximum(expected, e)
     np.testing.assert_allclose(np.asarray(shared.maxlods), expected, atol=1e-12)
+
+
+def test_bulkscan_perms_streamed_from_memmap(perm_data, tmp_path):
+    """The streamed perm engine reads marker blocks from an np.memmap
+    (the p-beyond-RAM input path) identically to an in-memory panel."""
+    G, Y, K = perm_data
+    mm = np.memmap(tmp_path / "geno.dat", dtype=np.float64, mode="w+",
+                   shape=G.shape)
+    mm[:] = G
+    mm.flush()
+    ref = bl.bulkscan_perms(Y, G, K, nperms=12, rndseed=3)
+    res = bl.bulkscan_perms_streamed(
+        Y, mm, K, nperms=12, rndseed=3, marker_block=40
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.maxlods), np.asarray(ref.maxlods), atol=1e-12
+    )
