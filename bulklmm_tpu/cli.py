@@ -55,11 +55,25 @@ def _resolve_precision(args):
 
 
 def _kinship(args):
-    _resolve_precision(args)
+    precision = _resolve_precision(args)
     from . import calc_kinship
     from . import io as bio
 
-    K = np.asarray(calc_kinship(_load_geno(args)))
+    G = _load_geno(args)
+    if getattr(args, "lowrank_k", 0):
+        # rank-k factors: the n x n kinship is never materialized
+        if not args.output.endswith(".npz"):
+            raise SystemExit("--lowrank-k output must be .npz (U, lam fields)")
+        from . import kinship_lowrank_from_geno
+
+        lr = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
+        np.savez_compressed(
+            args.output, U=np.asarray(lr.U), lam=np.asarray(lr.lam)
+        )
+        print(f"kinship rank-{lr.rank} factors ({lr.n} x {lr.rank}) "
+              f"-> {args.output}")
+        return
+    K = np.asarray(calc_kinship(G))
     if args.output.endswith(".npz"):
         np.savez_compressed(args.output, kinship=K)
     else:
@@ -100,7 +114,16 @@ def _scan(args):
         precision=precision,
     )
     if args.loco:
-        res = scan_loco(y, G, _loco_chrom(args, G.shape[1]), **kwargs)
+        res = scan_loco(
+            y, G, _loco_chrom(args, G.shape[1]),
+            lowrank_k=getattr(args, "lowrank_k", 0), **kwargs,
+        )
+    elif getattr(args, "lowrank_k", 0):
+        # rank-k engine: no n x n kinship, no host eigh (ops/lowrank.py)
+        from . import kinship_lowrank_from_geno
+
+        K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
+        res = scan(y, G, K, **kwargs)
     else:
         res = scan(y, G, np.asarray(calc_kinship(G)), **kwargs)
     out = {"lod": np.asarray(res.lod)}
@@ -219,6 +242,11 @@ def main(argv=None):
             "--precision", choices=["fast32", "balanced", "mixed", "exact64"],
             default="balanced",
         )
+        p.add_argument(
+            "--lowrank-k", type=int, default=0,
+            help="use the rank-k kinship engine (no n x n kinship / host "
+            "eigh); 0 = full-rank (default)",
+        )
         if pheno:
             p.add_argument(
                 "--loco", action="store_true",
@@ -263,11 +291,6 @@ def main(argv=None):
     b.add_argument(
         "--effects", action="store_true",
         help="also output (p, m) GLS effect sizes + Wald SEs (null methods)",
-    )
-    b.add_argument(
-        "--lowrank-k", type=int, default=0,
-        help="use the rank-k kinship engine (no n x n kinship / host eigh); "
-        "0 = full-rank (default)",
     )
     b.set_defaults(fn=_bulkscan)
 

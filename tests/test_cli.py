@@ -222,3 +222,25 @@ def test_cli_bulkscan_with_perm_thresholds(csv_data):
     z4 = np.load(csv_data / "bulk_perm_loco_lr.npz")
     assert z4["perm_maxlods"].shape == (6, 9)
     assert np.isfinite(z4["perm_maxlods"]).all()
+
+
+def test_cli_scan_and_kinship_lowrank(csv_data):
+    # rank-k kinship factors (no n x n matrix): U/lam npz
+    r = _run(["kinship", "--geno", "geno.csv", "--exclude-complements",
+              "--lowrank-k", "8", "-o", "K_lr.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    z = np.load(csv_data / "K_lr.npz")
+    assert z["U"].shape == (30, 8) and z["lam"].shape == (8,)
+    # CSV output for factors is rejected with a clear message
+    r2 = _run(["kinship", "--geno", "geno.csv", "--exclude-complements",
+               "--lowrank-k", "8", "-o", "K_lr.csv"], csv_data)
+    assert r2.returncode != 0 and ".npz" in (r2.stderr + r2.stdout)
+    # single-trait scan on the rank-k engine, with permutations
+    r3 = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--trait", "1", "--lowrank-k", "8",
+               "--nperms", "24", "-o", "scan_lr.npz"], csv_data)
+    assert r3.returncode == 0, r3.stderr[-500:]
+    meta = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert "thresholds" in meta and np.isfinite(meta["h2_null"])
+    out = np.load(csv_data / "scan_lr.npz")
+    assert out["lod"].shape == (40,) and np.isfinite(out["lod"]).all()
