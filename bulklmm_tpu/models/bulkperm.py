@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..ops.bulkperm import (
     max_r2_perms_xla,
     maxr2_to_lod,
+    perm_trait_marker_parts,
     perm_trait_parts,
     perm_trait_parts_lowrank,
     permutation_indices,
@@ -132,15 +133,36 @@ def _perm_common_inputs(
     return Y, G, K, covar, h2_grid, prior
 
 
-def _resolve_perm_engine(engine, n, *, on_tpu, precision):
+def _resolve_perm_engine(
+    engine, n, *, on_tpu, precision, tile_p=512, interpret=False
+):
     """Engine + perm-chunk cap policy shared by the three entry points.
 
     Returns ``(eng, cap)``: ``cap`` is the Pallas perm-chunk bound (None
     for the XLA engine). "auto" picks the fused kernel on TPU at f32 GEMM
     dtype, falling back to XLA when n is too large for even a 128-wide
-    pre-shuffled residual block to fit VMEM; explicit "pallas" at such n
-    raises instead.
+    pre-shuffled residual block to fit VMEM; explicit "pallas" raises a
+    clear error instead — at such n, off-TPU without ``interpret=True``
+    (the call would otherwise die in Mosaic lowering), or under a non-f32
+    GEMM dtype (the kernel casts to f32, which would silently downgrade an
+    f64 precision config).
     """
+    if engine == "pallas" and not interpret:
+        # interpret=True is explicit test/debug mode: it may drive the f32
+        # kernel under any config on any backend
+        if precision.resolve_gemm() != jnp.float32:
+            raise ValueError(
+                "engine='pallas' runs the fused kernel in f32; the current "
+                "precision config resolves GEMMs to "
+                f"{jnp.dtype(precision.resolve_gemm()).name}, which it "
+                "would silently downgrade. Use engine='xla' (honors the "
+                "config) or a precision whose GEMM dtype is float32."
+            )
+        if not on_tpu:
+            raise ValueError(
+                "engine='pallas' requires a TPU backend; on other backends "
+                "pass interpret=True (test/debug mode) or use engine='xla'."
+            )
     use_pallas = engine == "pallas" or (
         engine == "auto" and on_tpu
         and precision.resolve_gemm() == jnp.float32
@@ -149,7 +171,7 @@ def _resolve_perm_engine(engine, n, *, on_tpu, precision):
         return "xla", None
     from ..ops.bulkperm import pallas_perm_chunk_cap
 
-    cap = pallas_perm_chunk_cap(n)
+    cap = pallas_perm_chunk_cap(n, tile_p)
     if cap == 0:
         if engine == "pallas":
             raise ValueError(
@@ -367,9 +389,11 @@ def _chunk_impl(
     X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, *,
     engine, n, precision, tile_p, interpret,
 ):
-    """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk. Pure —
-    jitted directly (single device) or as a ``shard_map`` body
-    (parallel/sharding.py::bulkscan_perms_sharded, per-device shards)."""
+    """(mb, Kc) genome-wide max LODs for one (trait, perm) chunk, trait
+    marker-parts computed inline. Pure — jitted directly (single device,
+    single perm chunk) or as a ``shard_map`` body
+    (parallel/sharding.py::bulkscan_perms_sharded, per-device shards —
+    one chunk per call, so inline parts waste nothing there)."""
     if engine == "pallas":
         from ..pallas.bulkperm_fused import fused_perm_maxlods
 
@@ -378,8 +402,11 @@ def _chunk_impl(
             X0m, sqrtw_blk, Qblk, Sperm,
             n=n, tile_p=tile_p, interpret=interpret,
         )
+    pXs, xns = perm_trait_marker_parts(
+        X0m, sqrtw_blk, Qblk, precision=precision
+    )
     maxr2 = max_r2_perms_xla(
-        X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, precision=precision
+        X0m, sqrtw_blk, Qblk, pXs, xns, wrn_blk, idx_blk, precision=precision
     )
     return maxr2_to_lod(maxr2, n, precision=precision)
 
@@ -388,6 +415,26 @@ _bulkperm_chunk = partial(
     jax.jit,
     static_argnames=("engine", "n", "precision", "tile_p", "interpret"),
 )(_chunk_impl)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _bulkperm_xla_trait_block(X0m, sqrtw_blk, Qblk, *, precision):
+    """Hoisted permutation-independent trait marker-parts for the XLA
+    engine (one call per trait block, reused by every perm chunk)."""
+    return perm_trait_marker_parts(
+        X0m, sqrtw_blk, Qblk, precision=precision
+    )
+
+
+@partial(jax.jit, static_argnames=("n", "precision"))
+def _bulkperm_chunk_xla(
+    X0m, sqrtw_blk, Qblk, pXs, xns, wrn_blk, idx_blk, *, n, precision
+):
+    """(mb, Kc) genome-wide max LODs, XLA engine with hoisted trait parts."""
+    maxr2 = max_r2_perms_xla(
+        X0m, sqrtw_blk, Qblk, pXs, xns, wrn_blk, idx_blk, precision=precision
+    )
+    return maxr2_to_lod(maxr2, n, precision=precision)
 
 
 def bulkscan_perms(
@@ -481,7 +528,8 @@ def bulkscan_perms(
     )
 
     eng, cap = _resolve_perm_engine(
-        engine, n, on_tpu=jax.default_backend() == "tpu", precision=precision
+        engine, n, on_tpu=jax.default_backend() == "tpu",
+        precision=precision, tile_p=tile_p, interpret=interpret,
     )
     if cap is not None:
         perm_chunk = min(perm_chunk, cap)
@@ -504,14 +552,25 @@ def bulkscan_perms(
             sw_b = jnp.pad(sw_b, ((0, pad), (0, 0)))
             Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
             wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+        if eng == "xla":
+            # perm-independent trait parts hoisted out of the chunk loop
+            pXs, xns = _bulkperm_xla_trait_block(
+                X0m, sw_b, Q_b, precision=precision
+            )
         perm_cols = []
         for ks in range(0, K_total, perm_chunk):
             ke = min(ks + perm_chunk, K_total)
-            blk = _bulkperm_chunk(
-                X0m, sw_b, Q_b, wrn_b, idx[ks:ke],
-                engine=eng, n=n, precision=precision,
-                tile_p=tile_p, interpret=interpret,
-            )
+            if eng == "xla":
+                blk = _bulkperm_chunk_xla(
+                    X0m, sw_b, Q_b, pXs, xns, wrn_b, idx[ks:ke],
+                    n=n, precision=precision,
+                )
+            else:
+                blk = _bulkperm_chunk(
+                    X0m, sw_b, Q_b, wrn_b, idx[ks:ke],
+                    engine=eng, n=n, precision=precision,
+                    tile_p=tile_p, interpret=interpret,
+                )
             perm_cols.append(blk[:mb])
         trait_rows.append(
             perm_cols[0] if len(perm_cols) == 1

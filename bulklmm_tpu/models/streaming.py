@@ -520,7 +520,8 @@ def bulkscan_perms_streamed(
     )
 
     eng, cap = _resolve_perm_engine(
-        engine, n, on_tpu=jax.default_backend() == "tpu", precision=precision
+        engine, n, on_tpu=jax.default_backend() == "tpu",
+        precision=precision, tile_p=tile_p, interpret=interpret,
     )
     if cap is not None:
         perm_chunk = min(perm_chunk, cap)
@@ -533,6 +534,8 @@ def bulkscan_perms_streamed(
     # per-(trait chunk, perm chunk) device accumulators; marker blocks fold
     # in via elementwise max (monotone in r^2), zero-padded block columns
     # contribute r^2 = 0 and never win
+    from .bulkperm import _bulkperm_chunk_xla, _bulkperm_xla_trait_block
+
     acc = {}
     for lo, hi in _blocks(p, block):
         X0b = _rotate_block(Ut, _pad_block(G, lo, hi, block, dtype))
@@ -545,13 +548,23 @@ def bulkscan_perms_streamed(
                 sw_b = jnp.pad(sw_b, ((0, pad), (0, 0)))
                 Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
                 wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+            if eng == "xla":
+                pXs, xns = _bulkperm_xla_trait_block(
+                    X0b, sw_b, Q_b, precision=precision
+                )
             for ks in range(0, K_total, perm_chunk):
                 ke = min(ks + perm_chunk, K_total)
-                blk = _bulkperm_chunk(
-                    X0b, sw_b, Q_b, wrn_b, idx[ks:ke],
-                    engine=eng, n=n, precision=precision,
-                    tile_p=tile_p, interpret=interpret,
-                )[:mb]
+                if eng == "xla":
+                    blk = _bulkperm_chunk_xla(
+                        X0b, sw_b, Q_b, pXs, xns, wrn_b, idx[ks:ke],
+                        n=n, precision=precision,
+                    )[:mb]
+                else:
+                    blk = _bulkperm_chunk(
+                        X0b, sw_b, Q_b, wrn_b, idx[ks:ke],
+                        engine=eng, n=n, precision=precision,
+                        tile_p=tile_p, interpret=interpret,
+                    )[:mb]
                 key = (ms, ks)
                 acc[key] = blk if key not in acc else jnp.maximum(acc[key], blk)
 

@@ -54,9 +54,11 @@ def permutation_indices(n: int, nperms: int, rndseed: int, *, original: bool = T
     ``transform_permute`` column k exactly: ``jax.random.permutation(key, x)
     == x[jax.random.permutation(key, len(x))]`` (same threefry sort keys).
     """
-    if nperms < 0:
+    if nperms < 0 or (nperms == 0 and not original):
         raise ValueError(
-            "The required number of permutations must be a positive integer."
+            "The required number of permutations must be a positive integer "
+            "(nperms=0 is allowed only with original=True, which keeps just "
+            "the observed column)."
         )
     keys = jax.random.split(jax.random.PRNGKey(rndseed), nperms)
     idx = jax.vmap(lambda k: jax.random.permutation(k, n))(keys).astype(jnp.int32)
@@ -115,56 +117,106 @@ def perm_trait_parts(
     return S, Q, wrn
 
 
+def perm_trait_marker_parts(
+    X0m,
+    sqrtw,
+    Qstack,
+    *,
+    precision: PrecisionConfig = DEFAULT_PRECISION,
+):
+    """Permutation-independent per-trait whitened-marker quantities for the
+    full-rank XLA engine: covariate-basis projections ``pX`` (mb, c, p)
+    and residual norms ``xn`` (mb, p) — computed once per trait block and
+    reused by every permutation chunk.
+
+    Never materializes a per-trait (n, p) weighted panel: row scaling
+    commutes into the small operand (``Q_j (X ⊙ sw_j) = (Q_j ⊙ sw_j) X``,
+    ``||X ⊙ sw_j||² = (sw_j²)ᵀ X²``), so both are GEMMs against the shared
+    marker panel.
+    """
+    from .smallchol import residual_sq
+
+    sdt = precision.resolve_kernel()
+    pgp = precision.gemm_precision
+    X = X0m.astype(sdt)  # (n, p)
+    X2 = X * X
+
+    def one(sw_j, q_j):
+        # sw_j (n,), q_j (c, n)
+        pX = jnp.matmul(q_j * sw_j[None, :], X, precision=pgp)  # (c, p)
+        d1 = jnp.matmul(sw_j * sw_j, X2, precision=pgp)  # (p,)
+        # same cancellation floor as every other engine (residual_sq)
+        xn = residual_sq(d1, [pX[a] for a in range(pX.shape[0])])
+        return pX, xn
+
+    return jax.vmap(one)(sqrtw, Qstack)
+
+
 def max_r2_perms_xla(
     X0m,
     sqrtw,
     Qstack,
+    pXs,
+    xns,
     wrn,
     perm_idx,
     *,
     precision: PrecisionConfig = DEFAULT_PRECISION,
 ):
-    """(m, K) max-over-markers squared correlation, XLA formulation.
+    """(mb, Kc) max-over-markers squared correlation, XLA formulation —
+    one (trait chunk, perm chunk) step.
 
-    ``X0m`` (n, p) rotated markers; ``sqrtw`` (m, n); ``Qstack`` (m, c, n);
-    ``wrn`` (n, m) unit-normalized whitened residuals; ``perm_idx`` (K, n).
+    ``X0m`` (n, p) rotated markers; ``sqrtw`` (mb, n); ``Qstack``
+    (mb, c, n); ``pXs``/``xns`` from :func:`perm_trait_marker_parts`;
+    ``wrn`` (n, m) unit-normalized whitened residuals; ``perm_idx``
+    (Kc, n).
 
-    Materializes a per-trait (n, p) weighted marker block under ``vmap`` —
-    intended for modest trait chunks (the models layer chunks traits); the
-    Pallas engine (pallas/bulkperm_fused.py) is the large-scale path.
+    The numerator uses the self-adjoint split ``<(I-QQ^T)(X ⊙ sw_j), s> =
+    (sw_j ⊙ s)^T X − (s^T Q_j^T) pX_j`` — two GEMMs per chunk, no per-trait
+    (n, p) panel; the Pallas engine (pallas/bulkperm_fused.py) is the TPU
+    fused path.
     """
     sdt = precision.resolve_kernel()
     gdt = precision.resolve_gemm()
     pgp = precision.gemm_precision
     tiny = jnp.finfo(sdt).tiny
     X = X0m.astype(sdt)
-    Sperm = wrn[perm_idx]  # (K, n, m)
+    Sperm = wrn[perm_idx]  # (Kc, n, m)
 
-    def one(sw_j, q_j, sp_j):
-        # sw_j (n,), q_j (c, n), sp_j (K, n)
-        Xw = X * sw_j[:, None]  # (n, p)
-        pX = jnp.matmul(q_j, Xw, precision=pgp)  # (c, p)
-        Xr = Xw - jnp.matmul(q_j.T, pX, precision=pgp)
-        xn = jnp.sum(Xr * Xr, axis=0)  # (p,)
-        num = jnp.matmul(
-            sp_j.astype(gdt), Xr.astype(gdt), precision=pgp
-        ).astype(sdt)  # (K, p)
+    def one(sw_j, q_j, pX, xn, sp_j):
+        # sw_j (n,), q_j (c, n), pX (c, p), xn (p,), sp_j (Kc, n)
+        num = (
+            jnp.matmul(
+                (sp_j * sw_j[None, :]).astype(gdt), X.astype(gdt),
+                precision=pgp,
+            ).astype(sdt)
+            - jnp.matmul(
+                jnp.matmul(sp_j, q_j.T, precision=pgp), pX, precision=pgp
+            )
+        )  # (Kc, p)
         r2 = (num * num) / jnp.maximum(xn, tiny)[None, :]
-        return jnp.max(r2, axis=1)  # (K,)
+        return jnp.max(r2, axis=1)  # (Kc,)
 
-    return jax.vmap(one, in_axes=(0, 0, 2))(sqrtw, Qstack, Sperm)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 2))(
+        sqrtw, Qstack, pXs, xns, Sperm
+    )
 
 
-def pallas_perm_chunk_cap(n: int, budget_bytes: int = 40 * 1024 * 1024) -> int:
+def pallas_perm_chunk_cap(
+    n: int, tile_p: int = 512, budget_bytes: int = 40 * 1024 * 1024
+) -> int:
     """Largest permutation-chunk width (a multiple of 128, the kernel's
     lane quantum) whose (8, n, Kc) pre-shuffled residual block stays within
     ``budget_bytes`` of VMEM — it is the dominant, double-buffered input of
-    the fused kernel. At BXD n the cap is far above any real nperms; at
-    biobank n it bounds the chunk so the kernel compiles within the scoped
-    VMEM limit. Returns **0 when even Kc = 128 does not fit** (n beyond
-    ~10k): the kernel is then infeasible and callers must use the XLA
-    engine (engine="auto" falls back automatically)."""
-    cap = budget_bytes // (8 * max(n, 1) * 4)
+    the fused kernel. A ``tile_p`` above the default shrinks the budget by
+    the extra double-buffered (tile_p, n) marker-tile bytes (the budget was
+    calibrated at tile_p=512). At BXD n the cap is far above any real
+    nperms; at biobank n it bounds the chunk so the kernel compiles within
+    the scoped VMEM limit. Returns **0 when even Kc = 128 does not fit**
+    (n beyond ~10k): the kernel is then infeasible and callers must use the
+    XLA engine (engine="auto" falls back automatically)."""
+    budget = budget_bytes - 2 * max(0, tile_p - 512) * max(n, 1) * 4
+    cap = max(0, budget) // (8 * max(n, 1) * 4)
     return (cap // 128) * 128
 
 

@@ -467,7 +467,7 @@ def bulkscan_perms_sharded(
     # backend (a CPU dry-run mesh can coexist with a TPU default backend)
     eng, _ = _resolve_perm_engine(
         engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
-        precision=precision,
+        precision=precision, tile_p=tile_p, interpret=interpret,
     )
     tshards = mesh.shape[TRAITS_AXIS]
     mshards = mesh.shape[MARKERS_AXIS]

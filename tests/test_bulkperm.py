@@ -496,3 +496,22 @@ def test_bulkscan_perms_streamed_from_memmap(perm_data, tmp_path):
     np.testing.assert_allclose(
         np.asarray(res.maxlods), np.asarray(ref.maxlods), atol=1e-12
     )
+
+
+def test_bulkscan_perms_nperms_zero_and_engine_guards(perm_data):
+    G, Y, K = perm_data
+    # nperms=0 with original=True: observed column only
+    res = bl.bulkscan_perms(Y, G, K, nperms=0)
+    assert res.maxlods.shape == (Y.shape[1], 1)
+    assert res.log10_adj_pvals is None
+    # nperms=0 without the observed column is meaningless -> clear error
+    with pytest.raises(ValueError, match="positive integer"):
+        bl.bulkscan_perms(Y, G, K, nperms=0, original=False)
+    # explicit pallas off-TPU without interpret -> clear error (not Mosaic)
+    from bulklmm_tpu.utils.config import FAST32
+
+    with pytest.raises(ValueError, match="TPU backend|interpret"):
+        bl.bulkscan_perms(Y, G, K, nperms=4, engine="pallas", precision=FAST32)
+    # explicit pallas under an f64 GEMM config -> silent-downgrade guard
+    with pytest.raises(ValueError, match="f32|float32"):
+        bl.bulkscan_perms(Y, G, K, nperms=4, engine="pallas")
