@@ -148,6 +148,30 @@ def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision)
     return L, h2_panel
 
 
+def _guard_pallas_altgrid(engine, precision) -> None:
+    """Explicit ``engine='pallas'`` guards for the fused alt-grid kernel
+    (f32-only, TPU-only through the scan wrappers — the kernel's interpret
+    mode is reachable only by calling ``pallas.altgrid_fused`` directly):
+    mirror the permutation engines' silent-downgrade protection
+    (models/bulkperm.py::_resolve_perm_engine)."""
+    if engine != "pallas":
+        return
+    if precision.resolve_gemm() != jnp.float32:
+        raise ValueError(
+            "engine='pallas' runs the fused alt-grid kernel in f32; the "
+            "current precision config resolves GEMMs to "
+            f"{jnp.dtype(precision.resolve_gemm()).name}, which it would "
+            "silently downgrade. Use engine='xla' (honors the config) or a "
+            "precision whose GEMM dtype is float32."
+        )
+    if jax.default_backend() != "tpu":
+        raise ValueError(
+            "engine='pallas' requires a TPU backend; use engine='xla' "
+            "(or call pallas.altgrid_fused.fused_alt_grid with "
+            "interpret=True for test/debug)."
+        )
+
+
 def _check_output_effects(output_effects: bool, method: str) -> None:
     """Shared guard (bulkscan / bulkscan_streamed / bulkscan_sharded):
     (p, m) effects need one h2 per trait, i.e. a null method."""
@@ -443,6 +467,7 @@ def bulkscan(
         if output_effects:
             result.beta_mat, result.beta_se_mat = out[2], out[3]
     elif method == "alt-grid":
+        _guard_pallas_altgrid(engine, precision)
         use_pallas = engine == "pallas" or (
             engine == "auto"
             and jax.default_backend() == "tpu"

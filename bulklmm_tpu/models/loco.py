@@ -116,12 +116,14 @@ def _iter_loco(G, chromosome, *, lowrank_k, precision):
 
 def _scatter(buf, idx, val, p):
     """Accumulate a per-chromosome result field into a (p, ...) host array
-    (allocated on first non-None value)."""
+    (allocated on first non-None value; dtype follows the engine's result
+    dtype — upcasting permutation-scale panels to f64 would double the
+    host footprint for no accuracy gain)."""
     if val is None:
         return buf
     v = np.asarray(val)
     if buf is None:
-        buf = np.empty((p,) + v.shape[1:], dtype=np.float64)
+        buf = np.empty((p,) + v.shape[1:], dtype=v.dtype)
     buf[idx] = v
     return buf
 

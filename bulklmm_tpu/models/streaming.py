@@ -43,10 +43,11 @@ from .results import BulkScanResult
 _STATIC = ("prior", "reml", "precision")
 
 
-@partial(jax.jit, static_argnames=_STATIC + ("method", "optim_interval"))
+@partial(jax.jit, static_argnames=_STATIC + ("method", "optim_interval",
+                                              "solve_method"))
 @with_highest_matmul
 def _fit_h2_rotated(Y, C, Ut, lam, h2_grid, *, prior, reml, method,
-                    optim_interval, precision):
+                    optim_interval, precision, solve_method="qr"):
     """Rotate the trait block and fit the per-trait null h2 (once)."""
     Y0 = jnp.matmul(Ut, Y)
     C0 = jnp.matmul(Ut, C)
@@ -54,7 +55,8 @@ def _fit_h2_rotated(Y, C, Ut, lam, h2_grid, *, prior, reml, method,
         fits = jax.vmap(
             lambda yj: fit_lmm(
                 yj, C0, lam, prior,
-                reml=reml, method="qr", optim_interval=optim_interval,
+                reml=reml, method=solve_method,
+                optim_interval=optim_interval,
             ),
             in_axes=1,
         )(Y0)
@@ -130,6 +132,7 @@ def bulkscan_streamed(
     prior_variance: float = 1.0,
     prior_sample_size: float = 0.0,
     reml: bool = False,
+    solve_method: str = "qr",
     optim_interval: int = 1,
     decomp_scheme: str = "eigen",
     output_pvals: bool = False,
@@ -239,6 +242,9 @@ def bulkscan_streamed(
     grid_d = h2_grid.astype(dtype)
 
     if method == "alt-grid":
+        from .bulkscan import _guard_pallas_altgrid
+
+        _guard_pallas_altgrid(engine, precision)
         Y0 = jnp.matmul(Ut, Yd)
         C0 = jnp.matmul(Ut, Cd)
         h2_panel = np.empty((p, m), dtype=np.float32)
@@ -271,6 +277,7 @@ def bulkscan_streamed(
             Yd, Cd, Ut, lam, grid_d,
             prior=prior, reml=reml, method=method,
             optim_interval=optim_interval, precision=precision,
+            solve_method=solve_method,
         )
 
         def write_null(lo, hi, res):
@@ -332,7 +339,11 @@ def _lr_trait_fit(Y, C, U, lam, h2_grid, *, n, prior, reml, method,
     lr = LowRankKinship(U=U, lam=lam)
     base = {**_shared_parts(C, lr, **kw), **_trait_side_parts(Y, C, lr, **kw)}
     lam_k = lam.astype(kdt)
-    if method == "null-exact":
+    if method == "alt-grid":
+        # the alt path scans the whole grid per marker — a per-trait null
+        # fit would be dead compute (its h2_panel carries the argmax)
+        h2_list = jnp.zeros((Y.shape[1],), dtype=kdt)
+    elif method == "null-exact":
         h2_list = fit_h2_lowrank(
             base, lam_k, prior, n=n, reml=reml, optim_interval=optim_interval
         )
