@@ -148,6 +148,36 @@ def _alt_grid_impl(Y0, X0m, C0, lam, h2_grid, *, prior, reml, method, precision)
     return L, h2_panel
 
 
+def _scan_common_inputs(Y, covar, h2_grid, add_intercept, *, method, engine):
+    """Shared validation + trait/covariate prep for the scan entry points
+    (in-memory :func:`bulkscan` and marker-streamed ``bulkscan_streamed``)
+    — they must never diverge on argument semantics."""
+    if method not in ("null-grid", "null-exact", "alt-grid"):
+        raise ValueError(
+            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+        )
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
+    if engine == "pallas" and method != "alt-grid":
+        raise ValueError(
+            "engine='pallas' is only available for method='alt-grid' "
+            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
+        )
+    Y = jnp.asarray(Y)
+    Y = Y[:, None] if Y.ndim == 1 else Y
+    n = Y.shape[0]
+    if h2_grid is None:
+        h2_grid = jnp.arange(0.0, 0.91, 0.1)
+    h2_grid = jnp.asarray(h2_grid)
+    if covar is None:
+        covar = jnp.ones((n, 1), dtype=Y.dtype)
+        add_intercept = False
+    else:
+        covar = jnp.asarray(covar)
+        covar = covar[:, None] if covar.ndim == 1 else covar
+    return Y, covar, h2_grid, add_intercept
+
+
 def _guard_pallas_altgrid(engine, precision) -> None:
     """Explicit ``engine='pallas'`` guards for the fused alt-grid kernel
     (f32-only, TPU-only through the scan wrappers — the kernel's interpret
@@ -362,34 +392,12 @@ def bulkscan(
     GEMMA-style GLS effect sizes and Wald SEs at each trait's fitted null
     h2 (``result.beta_mat`` / ``result.beta_se_mat``).
     """
-    if method not in ("null-grid", "null-exact", "alt-grid"):
-        raise ValueError(
-            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
-        )
-    if engine not in ("auto", "xla", "pallas"):
-        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
-    if engine == "pallas" and method != "alt-grid":
-        raise ValueError(
-            "engine='pallas' is only available for method='alt-grid' "
-            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
-        )
     _check_output_effects(output_effects, method)
-
-    Y = jnp.asarray(Y)
-    Y = Y[:, None] if Y.ndim == 1 else Y
+    Y, covar, h2_grid, add_intercept = _scan_common_inputs(
+        Y, covar, h2_grid, add_intercept, method=method, engine=engine
+    )
     G = jnp.asarray(G)
     n = Y.shape[0]
-
-    if h2_grid is None:
-        h2_grid = jnp.arange(0.0, 0.91, 0.1)
-    h2_grid = jnp.asarray(h2_grid)
-
-    if covar is None:
-        covar = jnp.ones((n, 1), dtype=Y.dtype)
-        add_intercept = False
-    else:
-        covar = jnp.asarray(covar)
-        covar = covar[:, None] if covar.ndim == 1 else covar
 
     from ..ops.lowrank import LowRankKinship
 

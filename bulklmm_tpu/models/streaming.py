@@ -163,33 +163,16 @@ def bulkscan_streamed(
     ``marker_block`` instead). Returns a :class:`BulkScanResult` whose
     ``L`` is the host output array.
     """
+    from .bulkscan import _scan_common_inputs
+
     n, p = G.shape[0], G.shape[1]
-    Y = jnp.asarray(Y)
-    Y = Y[:, None] if Y.ndim == 1 else Y
+    Y, covar, h2_grid, add_intercept = _scan_common_inputs(
+        Y, covar, h2_grid, add_intercept, method=method, engine=engine
+    )
     m = Y.shape[1]
-    if h2_grid is None:
-        h2_grid = jnp.arange(0.0, 0.91, 0.1)
-    h2_grid = jnp.asarray(h2_grid)
-    if covar is None:
-        covar = jnp.ones((n, 1), dtype=Y.dtype)
-        add_intercept = False
-    else:
-        covar = jnp.asarray(covar)
-        covar = covar[:, None] if covar.ndim == 1 else covar
     if add_intercept:
         covar = jnp.concatenate([jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1)
     prior = (float(prior_variance), float(prior_sample_size))
-    if method not in ("null-grid", "null-exact", "alt-grid"):
-        raise ValueError(
-            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
-        )
-    if engine not in ("auto", "xla", "pallas"):
-        raise ValueError("engine must be one of 'auto', 'xla', 'pallas'")
-    if engine == "pallas" and method != "alt-grid":
-        raise ValueError(
-            "engine='pallas' is only available for method='alt-grid' "
-            "(the null engines are XLA-only; docs/PERF.md 'Pallas status')"
-        )
     _check_output_effects(output_effects, method)
 
     dtype = precision.resolve_solve()
