@@ -140,22 +140,6 @@ def _effects_from_nd(N, D, nrm2, n, c):
     return beta, se
 
 
-def effects_per_trait(
-    Y0, X0m, C0, lam, h2_per_trait, *,
-    precision: PrecisionConfig = DEFAULT_PRECISION,
-):
-    """(p, m) GLS marker effects + Wald SEs with per-trait h2 weights.
-
-    Same Frisch-Waugh quantities as the correlation kernel. TPU addition —
-    the reference outputs LODs only.
-    """
-    n, c = C0.shape
-    N, D, nrm2 = _nd_parts_per_trait(
-        Y0, X0m, C0, lam, h2_per_trait, precision=precision
-    )
-    return _effects_from_nd(N, D, nrm2, n, c)
-
-
 def lods_and_effects_per_trait(
     Y0, X0m, C0, lam, h2_per_trait, *,
     precision: PrecisionConfig = DEFAULT_PRECISION,

@@ -233,6 +233,43 @@ def kinship_lowrank_exact(K, k: int, *, dtype=None) -> LowRankKinship:
 # ---------------------------------------------------------------------------
 
 
+def _wquad(base, corr):
+    """Clamp a Woodbury-form quadratic total ``base + corr`` at zero.
+
+    Every such total (``yWy = yty + sum(dm1 Q^2)``, marker norms
+    ``dXX + sum(dm1 P^2)``, Gram diagonals) is a w-weighted squared norm —
+    nonnegative in exact arithmetic — but the DIFFERENCE form can round
+    negative in f32 for vectors (nearly) in span(U) as h2 -> 1 (dm1 -> -1).
+    A negative total defeats ``residual_sq``'s relative floor: sigma2
+    floors at dtype-tiny, the log-likelihood explodes to ~+1e35, and the
+    h2 optimization locks onto the garbage probe (or the Cholesky of a
+    negative diagonal goes NaN). The clamp restores the full-rank engine's
+    structural nonnegativity (its totals are sums of w * x^2 >= 0)."""
+    return jnp.maximum(base + corr, 0.0)
+
+
+def _null_ell_sigma2_one(CtC, R, lam, CtY_j, Q_j, yty_j, h2, prior, *, n,
+                         reml):
+    """Null (ell, sigma2) of ONE trait at one h2 from the k-dim
+    projections — the shared scalar core of :func:`null_sigma2_lowrank`
+    and :func:`fit_h2_lowrank` (batched analog: :func:`null_ell_lowrank`)."""
+    c = CtC.shape[0]
+    dm1 = _correction_weights(h2, lam)  # (k,)
+    Qd = dm1 * Q_j
+    yWy = _wquad(yty_j, jnp.sum(Q_j * Qd))
+    t = CtY_j + jnp.matmul(R.T, Qd)  # (c,)
+    G = {}
+    for a in range(c):
+        for b in range(a, c):
+            G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+        G[(a, a)] = _wquad(G[(a, a)], 0.0)
+    Lc = unrolled_cholesky(G, c)
+    zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
+    rss0 = residual_sq(yWy, zeta)
+    logw_sum = jnp.sum(jnp.log1p(dm1))
+    return _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
+
+
 def _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml):
     """Same (RE)ML formulas as ops/wls.py::wls_ell, with sum(log w) supplied
     directly (= -log|delta K + I|, the complement directions contribute 0)."""
@@ -261,12 +298,13 @@ def null_ell_lowrank(parts, lam, h2, prior, *, n, reml=False):
     c = CtC.shape[0]
     dm1 = _correction_weights(h2, lam)  # (k,)
     Qd = dm1[:, None] * Q  # (k, m)
-    yWy = yty + jnp.sum(Q * Qd, axis=0)
+    yWy = _wquad(yty, jnp.sum(Q * Qd, axis=0))
     t = CtY + jnp.matmul(R.T, Qd)  # (c, m)
     G = {}
     for a in range(c):
         for b in range(a, c):
             G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+        G[(a, a)] = jnp.maximum(G[(a, a)], 0.0)
     Lc = unrolled_cholesky(G, c)
     zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
     rss0 = residual_sq(yWy, zeta)
@@ -287,23 +325,11 @@ def null_sigma2_lowrank(parts, lam, h2_list, prior, *, n, reml=False):
     per-trait analog of :func:`null_ell_lowrank`, vmapped over the
     (trait, h2) pairs)."""
     CtC, R = parts["CtC"], parts["R"]
-    c = CtC.shape[0]
 
     def one(CtY_j, Q_j, yty_j, h2_j):
-        dm1 = _correction_weights(h2_j, lam)  # (k,)
-        Qd = dm1 * Q_j
-        yWy = yty_j + jnp.sum(Q_j * Qd)
-        t = CtY_j + jnp.matmul(R.T, Qd)  # (c,)
-        G = {}
-        for a in range(c):
-            for b in range(a, c):
-                G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
-        Lc = unrolled_cholesky(G, c)
-        zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
-        rss0 = residual_sq(yWy, zeta)
-        logw_sum = jnp.sum(jnp.log1p(dm1))
-        _, sigma2 = _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
-        return sigma2
+        return _null_ell_sigma2_one(
+            CtC, R, lam, CtY_j, Q_j, yty_j, h2_j, prior, n=n, reml=reml
+        )[1]
 
     return jax.vmap(one, in_axes=(1, 1, 0, 0))(
         parts["CtY"], parts["Q"], parts["yty"], h2_list
@@ -322,24 +348,12 @@ def fit_h2_lowrank(parts, lam, prior, *, n, reml=False, optim_interval=1):
     from .brent import gridbrent
 
     CtC, R = parts["CtC"], parts["R"]
-    c = CtC.shape[0]
 
     def fit_one(CtY_j, Q_j, yty_j):
         def neg_ell(h2):
-            dm1 = _correction_weights(h2, lam)  # (k,)
-            Qd = dm1 * Q_j
-            yWy = yty_j + jnp.sum(Q_j * Qd)
-            t = CtY_j + jnp.matmul(R.T, Qd)  # (c,)
-            G = {}
-            for a in range(c):
-                for b in range(a, c):
-                    G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
-            Lc = unrolled_cholesky(G, c)
-            zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
-            rss0 = residual_sq(yWy, zeta)
-            logw_sum = jnp.sum(jnp.log1p(dm1))
-            ell, _ = _ell_from_parts(rss0, logw_sum, Lc, n, c, prior, reml)
-            return -ell
+            return -_null_ell_sigma2_one(
+                CtC, R, lam, CtY_j, Q_j, yty_j, h2, prior, n=n, reml=reml
+            )[0]
 
         _, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval)
         return h2
@@ -422,13 +436,20 @@ def _nd_parts_lowrank(
     Dm1 = _correction_weights(h2_per_trait, lam).T  # (k, m)
     Qd = Dm1 * Q  # (k, m)
 
-    # trait-side scalars
-    yWy = parts["yty"] + jnp.sum(Q * Qd, axis=0)  # (m,)
+    # trait-side scalars (Woodbury totals clamped nonnegative, see _wquad)
+    yWy = _wquad(parts["yty"], jnp.sum(Q * Qd, axis=0))  # (m,)
     t = parts["CtY"] + jnp.matmul(R.T, Qd, precision=pgp)  # (c, m)
     pairs = pair_indices(c)
     RR = jnp.stack([R[:, a] * R[:, b] for a, b in pairs], axis=1)  # (k, npair)
     Gv = jnp.matmul(RR.T, Dm1, precision=pgp)  # (npair, m)
-    Gd = {ab: parts["CtC"][ab[0], ab[1]] + Gv[i] for i, ab in enumerate(pairs)}
+    Gd = {
+        ab: (
+            _wquad(parts["CtC"][ab[0], ab[1]], Gv[i])
+            if ab[0] == ab[1]
+            else parts["CtC"][ab[0], ab[1]] + Gv[i]
+        )
+        for i, ab in enumerate(pairs)
+    }
     Lc = unrolled_cholesky(Gd, c)
     zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
     nrm2 = residual_sq(yWy, zeta)
@@ -440,7 +461,9 @@ def _nd_parts_lowrank(
         + jnp.matmul(P.T, Dm1 * R[:, a][:, None], precision=pgp)
         for a in range(c)
     ]  # c x (p, m)
-    D1 = parts["dXX"][:, None] + jnp.matmul((P * P).T, Dm1, precision=pgp)  # (p, m)
+    D1 = _wquad(
+        parts["dXX"][:, None], jnp.matmul((P * P).T, Dm1, precision=pgp)
+    )  # (p, m)
 
     Z = fwd_subst(Lc, Uc, c)
     N = B
@@ -467,16 +490,57 @@ def lods_per_trait_lowrank(
     return r2lod(r, n, fast_log=_fast_log(precision))
 
 
-def effects_per_trait_lowrank(
-    parts, lam, h2_per_trait, n, *, precision: PrecisionConfig = DEFAULT_PRECISION
+def lods_shared_lowrank(
+    parts, lam, h2, n, *, precision: PrecisionConfig = DEFAULT_PRECISION
 ):
-    """(p, m) GLS marker effects + Wald SEs on the rank-k kinship — the
-    Woodbury counterpart of ops/liteqtl.py::effects_per_trait."""
-    from .liteqtl import _effects_from_nd
+    """(p, m) LOD matrix at ONE shared h2, rank-k weights.
 
+    The shared-h2 specialization of :func:`lods_per_trait_lowrank` for the
+    alt-grid loop (the full-rank analog: ops/liteqtl.py's shared-weight
+    kernel used by models/bulkscan.py::_alt_grid_impl): with one h2 the
+    marker-side covariate projections ``Uc``, marker norms ``D1``, and the
+    covariate Gram are trait-independent — (p,) vectors and scalars
+    instead of (p, m) panels — cutting (c + 1) of the (p, k)(k, m)
+    correction GEMMs per grid step down to matvecs.
+    """
+    from .liteqtl import _fast_log
+
+    pgp = precision.gemm_precision
+    P, Q, R = parts["P"], parts["Q"], parts["R"]
     c = parts["CtC"].shape[0]
-    N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
-    return _effects_from_nd(N, D, nrm2, n, c)
+
+    dm1 = _correction_weights(h2, lam)  # (k,)
+    Qd = dm1[:, None] * Q  # (k, m)
+
+    # trait-side scalars
+    yWy = _wquad(parts["yty"], jnp.sum(Q * Qd, axis=0))  # (m,)
+    t = parts["CtY"] + jnp.matmul(R.T, Qd, precision=pgp)  # (c, m)
+    G = {}
+    for a in range(c):
+        for b in range(a, c):
+            G[(a, b)] = parts["CtC"][a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+        G[(a, a)] = jnp.maximum(G[(a, a)], 0.0)
+    Lc = unrolled_cholesky(G, c)
+    zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
+    nrm2 = residual_sq(yWy, zeta)
+
+    # marker-side terms: (p,) vectors — h2-shared, trait-independent
+    B = parts["XtY"] + jnp.matmul(P.T, Qd, precision=pgp)  # (p, m)
+    Uc = [
+        parts["XtC"][:, a] + jnp.matmul(P.T, dm1 * R[:, a], precision=pgp)
+        for a in range(c)
+    ]  # c x (p,)
+    D1 = _wquad(
+        parts["dXX"], jnp.matmul((P * P).T, dm1, precision=pgp)
+    )  # (p,)
+
+    Z = fwd_subst(Lc, Uc, c)
+    N = B
+    for a in range(c):
+        N = N - Z[a][:, None] * zeta[a][None, :]
+    D = residual_sq(D1, Z)
+    r = N / jnp.sqrt(D[:, None] * nrm2[None, :])
+    return r2lod(r, n, fast_log=_fast_log(precision))
 
 
 def lods_and_effects_lowrank(
@@ -512,8 +576,7 @@ def _alt_grid_lowrank(parts, lam, h2_grid, prior, *, n, precision, reml=False):
     def step(carry, inputs):
         k, h2 = inputs
         logL1_max, kmax, logL0_max = carry
-        h2v = jnp.full((m,), h2, dtype=dt)
-        lod_k = lods_per_trait_lowrank(parts, lam, h2v, n, precision=precision)
+        lod_k = lods_shared_lowrank(parts, lam, h2, n, precision=precision)
         ell0 = null_ell_lowrank(parts, lam, h2, prior, n=n, reml=reml)
         logL1 = lod_k * _LN10 + ell0[None, :]
         upd = logL1 > logL1_max
@@ -549,29 +612,14 @@ def scan_alt_h2_ells_lowrank(parts, lam, prior, *, n, reml=False,
 
     CtC, R, Q = parts["CtC"], parts["R"], parts["Q"]
     CtY, yty = parts["CtY"], parts["yty"]
-    c = CtC.shape[0]
     Q1, CtY1, yty1 = Q[:, 0], CtY[:, 0], yty[0]
 
     def fit_marker(XtC_j, P_j, dXX_j, XtY_j):
         def neg_ell(h2):
-            dm1 = _correction_weights(h2, lam)  # (k,)
-            Qd = dm1 * Q1
-            yWy = yty1 + jnp.sum(Q1 * Qd)
-            G = {}
-            for a in range(c):
-                for b in range(a, c):
-                    G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
-            for a in range(c):
-                G[(a, c)] = XtC_j[a] + jnp.sum(P_j * dm1 * R[:, a])
-            G[(c, c)] = dXX_j + jnp.sum(P_j * P_j * dm1)
-            t = [CtY1[a] + jnp.sum(R[:, a] * Qd) for a in range(c)]
-            t.append(XtY_j + jnp.sum(P_j * Qd))
-            Lc = unrolled_cholesky(G, c + 1)
-            zeta = fwd_subst(Lc, t, c + 1)
-            rss = residual_sq(yWy, zeta)
-            logw_sum = jnp.sum(jnp.log1p(dm1))
-            ell, _ = _ell_from_parts(rss, logw_sum, Lc, n, c + 1, prior, reml)
-            return -ell
+            return -_aug_ell_lowrank(
+                CtC, R, lam, Q1, CtY1, yty1, XtC_j, P_j, dXX_j, XtY_j, h2,
+                prior, n=n, reml=reml,
+            )
 
         fmin, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval)
         return -fmin, h2
@@ -579,6 +627,34 @@ def scan_alt_h2_ells_lowrank(parts, lam, prior, *, n, reml=False,
     return jax.vmap(fit_marker, in_axes=(0, 1, 0, 0))(
         parts["XtC"], parts["P"], parts["dXX"], parts["XtY"][:, 0]
     )
+
+
+def _aug_ell_lowrank(CtC, R, lam, Q1, CtY1, yty1, XtC_j, P_j, dXX_j, XtY_j,
+                     h2, prior, *, n, reml):
+    """Alt-model log-likelihood of ONE (trait, marker) at one h2: the
+    marker column joins the design through the shared k-dim projections —
+    the (c+1)-dim augmented-Gram core shared by
+    :func:`scan_alt_h2_ells_lowrank` and the rank-k profile-likelihood."""
+    c = CtC.shape[0]
+    dm1 = _correction_weights(h2, lam)  # (k,)
+    Qd = dm1 * Q1
+    yWy = _wquad(yty1, jnp.sum(Q1 * Qd))
+    G = {}
+    for a in range(c):
+        for b in range(a, c):
+            G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
+        G[(a, a)] = jnp.maximum(G[(a, a)], 0.0)
+    for a in range(c):
+        G[(a, c)] = XtC_j[a] + jnp.sum(P_j * dm1 * R[:, a])
+    G[(c, c)] = _wquad(dXX_j, jnp.sum(P_j * P_j * dm1))
+    t = [CtY1[a] + jnp.sum(R[:, a] * Qd) for a in range(c)]
+    t.append(XtY_j + jnp.sum(P_j * Qd))
+    Lc = unrolled_cholesky(G, c + 1)
+    zeta = fwd_subst(Lc, t, c + 1)
+    rss = residual_sq(yWy, zeta)
+    logw_sum = jnp.sum(jnp.log1p(dm1))
+    ell, _ = _ell_from_parts(rss, logw_sum, Lc, n, c + 1, prior, reml)
+    return ell
 
 
 def whiten_lowrank(A, U, lam, h2, *, gemm_precision=jax.lax.Precision.HIGHEST):
@@ -771,36 +847,24 @@ def _profile_ll_lowrank_core(
     the rank-k counterpart of analysis/profile_ll.py."""
     lr = LowRankKinship(U=U, lam=lam)
     kdt = precision.resolve_kernel()
-    parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
+    # profile ONE marker: slice its column before the marker-side
+    # projections — computing (k, p)/(p, c) GEMMs over the whole panel to
+    # index out one row would cost a full scan's projections
+    Xm_j = jax.lax.dynamic_slice_in_dim(Xm, marker_id, 1, axis=1)
+    parts = _base_parts(y, Xm_j, C, lr, **_parts_kwargs(precision))
     lam_k = lam.astype(kdt)
-    c = parts["CtC"].shape[0]
     CtC, R = parts["CtC"], parts["R"]
     Q1, CtY1, yty1 = parts["Q"][:, 0], parts["CtY"][:, 0], parts["yty"][0]
-    XtC_j = parts["XtC"][marker_id]
-    P_j = parts["P"][:, marker_id]
-    dXX_j = parts["dXX"][marker_id]
-    XtY_j = parts["XtY"][marker_id, 0]
+    XtC_j = parts["XtC"][0]
+    P_j = parts["P"][:, 0]
+    dXX_j = parts["dXX"][0]
+    XtY_j = parts["XtY"][0, 0]
 
     def ell_alt(h2):
-        dm1 = _correction_weights(h2, lam_k)
-        Qd = dm1 * Q1
-        yWy = yty1 + jnp.sum(Q1 * Qd)
-        G = {}
-        for a in range(c):
-            for b in range(a, c):
-                G[(a, b)] = CtC[a, b] + jnp.sum(R[:, a] * R[:, b] * dm1)
-        for a in range(c):
-            G[(a, c)] = XtC_j[a] + jnp.sum(P_j * dm1 * R[:, a])
-        G[(c, c)] = dXX_j + jnp.sum(P_j * P_j * dm1)
-        t = [CtY1[a] + jnp.sum(R[:, a] * Qd) for a in range(c)]
-        t.append(XtY_j + jnp.sum(P_j * Qd))
-        Lc = unrolled_cholesky(G, c + 1)
-        zeta = fwd_subst(Lc, t, c + 1)
-        rss = residual_sq(yWy, zeta)
-        ell, _ = _ell_from_parts(
-            rss, jnp.sum(jnp.log1p(dm1)), Lc, n, c + 1, prior, reml
+        return _aug_ell_lowrank(
+            CtC, R, lam_k, Q1, CtY1, yty1, XtC_j, P_j, dXX_j, XtY_j, h2,
+            prior, n=n, reml=reml,
         )
-        return ell
 
     hk = h2_grid.astype(kdt)
     ll_null = grid_null_ell_lowrank(parts, lam_k, hk, prior, n=n, reml=reml)[:, 0]

@@ -276,3 +276,55 @@ def test_scan_lowrank_profile_ll_matches_fullrank():
                          marker_id=7)
     assert float(jnp.max(jnp.abs(prof_a[0] - prof_b[0]))) < 1e-10
     assert float(jnp.max(jnp.abs(prof_a[1] - prof_b[1]))) < 1e-10
+
+
+def test_lowrank_woodbury_quadforms_nonnegative_f32():
+    """Regression: Woodbury-form totals (yty + sum(dm1 Q^2), marker norms,
+    Gram diagonals) can round NEGATIVE in f32 for traits/markers (nearly)
+    in span(U) as h2 -> 1 (dm1 -> -1); unclamped, sigma2 floors at
+    dtype-tiny and the log-likelihood explodes to ~1e35, hijacking the h2
+    fit (or NaN-ing the LODs). ops/lowrank.py::_wquad clamps every such
+    total at zero."""
+    import jax.numpy as jnp
+
+    from bulklmm_tpu.ops.lowrank import (
+        LowRankKinship, _parts_kwargs, _shared_parts, _trait_side_parts,
+        fit_h2_lowrank, grid_null_ell_lowrank,
+    )
+    from bulklmm_tpu.utils.config import FAST32
+
+    rng = np.random.default_rng(0)
+    n, k, m = 2048, 8, 24
+    U = np.linalg.qr(rng.normal(size=(n, k)))[0]
+    lam = np.linspace(3.0, 0.5, k)
+    # traits EXACTLY in span(U), large scale -> yty - ||Q||^2 cancels to
+    # f32 rounding noise, negative for ~half the columns without the clamp
+    Y = (U @ rng.normal(size=(k, m))) * 1e3
+    C = np.ones((n, 1))
+
+    lr = LowRankKinship(
+        U=jnp.asarray(U, jnp.float32), lam=jnp.asarray(lam, jnp.float32)
+    )
+    kw = _parts_kwargs(FAST32)
+    parts = {
+        **_shared_parts(jnp.asarray(C, jnp.float32), lr, **kw),
+        **_trait_side_parts(
+            jnp.asarray(Y, jnp.float32), jnp.asarray(C, jnp.float32), lr,
+            **kw,
+        ),
+    }
+    lam_k = lr.lam
+    # near-1 h2 probes: the danger zone
+    # h2 -> 1 probes: without the clamp this configuration reaches
+    # ell ~ 1e31 at h2 >= 1 - 1e-6 (verified pre-fix)
+    grid = jnp.asarray(
+        [0.9, 0.999, 0.99999, 0.999999, 0.9999999], jnp.float32
+    )
+    ells = np.asarray(grid_null_ell_lowrank(
+        parts, lam_k, grid, (1.0, 0.0), n=n
+    ))
+    assert np.isfinite(ells).all()
+    # no exploding +1e35 likelihoods from a tiny-floored sigma2
+    assert np.max(ells) < 1e9, np.max(ells)
+    h2s = np.asarray(fit_h2_lowrank(parts, lam_k, (1.0, 0.0), n=n))
+    assert np.isfinite(h2s).all() and (h2s >= 0).all() and (h2s <= 1).all()
