@@ -178,7 +178,15 @@ def _scan_common_inputs(Y, covar, h2_grid, add_intercept, *, method, engine):
     return Y, covar, h2_grid, add_intercept
 
 
-def _guard_pallas_altgrid(engine, precision) -> None:
+def _altgrid_feasible(n: int) -> bool:
+    """Whether the fused alt-grid Pallas kernel fits VMEM at this n (lazy
+    import keeps pallas out of the module import path)."""
+    from ..pallas.altgrid_fused import fused_alt_grid_feasible
+
+    return fused_alt_grid_feasible(n)
+
+
+def _guard_pallas_altgrid(engine, precision, n) -> None:
     """Explicit ``engine='pallas'`` guards for the fused alt-grid kernel
     (f32-only, TPU-only through the scan wrappers — the kernel's interpret
     mode is reachable only by calling ``pallas.altgrid_fused`` directly):
@@ -199,6 +207,14 @@ def _guard_pallas_altgrid(engine, precision) -> None:
             "engine='pallas' requires a TPU backend; use engine='xla' "
             "(or call pallas.altgrid_fused.fused_alt_grid with "
             "interpret=True for test/debug)."
+        )
+    from ..pallas.altgrid_fused import fused_alt_grid_feasible
+
+    if not fused_alt_grid_feasible(n):
+        raise ValueError(
+            f"the fused alt-grid kernel is infeasible at n={n} (its "
+            "(tile_p, n)/(n, tile_m) VMEM blocks exceed the scoped limit); "
+            "use engine='xla' or 'auto'."
         )
 
 
@@ -475,12 +491,13 @@ def bulkscan(
         if output_effects:
             result.beta_mat, result.beta_se_mat = out[2], out[3]
     elif method == "alt-grid":
-        _guard_pallas_altgrid(engine, precision)
+        _guard_pallas_altgrid(engine, precision, n)
         use_pallas = engine == "pallas" or (
             engine == "auto"
             and jax.default_backend() == "tpu"
             and precision.resolve_gemm() == jnp.float32
             and h2_grid.shape[0] <= 127
+            and _altgrid_feasible(n)
         )
         pipeline = _alt_grid_pallas_pipeline if use_pallas else _alt_grid_pipeline
         L, h2_panel = pipeline(

@@ -225,9 +225,9 @@ def bulkscan_streamed(
     grid_d = h2_grid.astype(dtype)
 
     if method == "alt-grid":
-        from .bulkscan import _guard_pallas_altgrid
+        from .bulkscan import _altgrid_feasible, _guard_pallas_altgrid
 
-        _guard_pallas_altgrid(engine, precision)
+        _guard_pallas_altgrid(engine, precision, n)
         Y0 = jnp.matmul(Ut, Yd)
         C0 = jnp.matmul(Ut, Cd)
         h2_panel = np.empty((p, m), dtype=np.float32)
@@ -236,6 +236,7 @@ def bulkscan_streamed(
             and jax.default_backend() == "tpu"
             and precision.resolve_gemm() == jnp.float32
             and h2_grid.shape[0] <= 127
+            and _altgrid_feasible(n)
         )
 
         def write_alt(lo, hi, res):

@@ -111,6 +111,23 @@ def _pad_to(x, rows, cols):
     return out.at[: x.shape[0], : x.shape[1]].set(x)
 
 
+def fused_alt_grid_feasible(
+    n: int, tile_p: int = 512, tile_m: int = 1024,
+    budget_bytes: int = 80 * 1024 * 1024,
+) -> bool:
+    """Whether the fused alt-grid kernel fits VMEM at this sample count.
+
+    The kernel's VMEM-resident blocks scale linearly in n — the
+    (tile_p, n) marker tile and the (n, tile_m) trait tile, both
+    double-buffered — so past n ~ 6-8k at the default tiles they exceed
+    the 100 MB scoped limit. Callers must then use the XLA ``lax.scan``
+    formulation ("auto" engine selection checks this; explicit
+    engine='pallas' raises a clear error instead of a Mosaic compile
+    failure)."""
+    n_pad = n + (-n) % 8
+    return 2 * 4 * n_pad * (tile_p + tile_m) <= budget_bytes
+
+
 def fused_alt_grid(
     Y0,
     X0m,

@@ -42,7 +42,7 @@ from ..models.bulkscan import (
 )
 from ..models.results import BulkScanResult, ScanResult
 from ..models.scan import _scan_perms_core
-from ..ops.rotation import transform_rotation
+from ..ops.rotation import resolve_kinship, transform_rotation
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig
 
 TRAITS_AXIS = "traits"
@@ -105,6 +105,16 @@ def shard_rotated(y0, X0, lam, n_covars: int, mesh: Mesh):
     return y0s, X0ms, C0s, lams, m, p
 
 
+@lru_cache(maxsize=None)
+def _rotate_markers_sharded(mesh: Mesh, pgp):
+    """Mesh-sharded marker rotation: Ut replicated, marker columns sharded
+    — each device rotates only the (n, p/mshards) block it will scan."""
+    return jax.jit(
+        lambda U, X: jnp.matmul(U, X, precision=pgp),
+        out_shardings=NamedSharding(mesh, P(None, MARKERS_AXIS)),
+    )
+
+
 def bulkscan_sharded(
     Y,
     G,
@@ -140,20 +150,13 @@ def bulkscan_sharded(
         mesh = make_mesh()
     _check_output_effects(output_effects, method)
 
-    Y = jnp.asarray(Y)
-    Y = Y[:, None] if Y.ndim == 1 else Y
+    from ..models.bulkscan import _scan_common_inputs
+
+    Y, covar, h2_grid, add_intercept = _scan_common_inputs(
+        Y, covar, h2_grid, add_intercept, method=method, engine="auto"
+    )
     G = jnp.asarray(G)
     n = Y.shape[0]
-    if h2_grid is None:
-        h2_grid = jnp.arange(0.0, 0.91, 0.1)
-    h2_grid = jnp.asarray(h2_grid)
-
-    if covar is None:
-        covar = jnp.ones((n, 1), dtype=Y.dtype)
-        add_intercept = False
-    else:
-        covar = jnp.asarray(covar)
-        covar = covar[:, None] if covar.ndim == 1 else covar
 
     from ..ops.lowrank import LowRankKinship
 
@@ -170,7 +173,6 @@ def bulkscan_sharded(
             Y, G, covar, K, weights, add_intercept
         )
 
-    n_covars = covar.shape[1] + (1 if add_intercept else 0)
     prior = (float(prior_variance), float(prior_sample_size))
 
     if isinstance(K, LowRankKinship):
@@ -221,11 +223,31 @@ def bulkscan_sharded(
             result.chisq_df = chisq_df
         return result
 
+    # rotate the SMALL operands (traits, covariates) on the default device,
+    # but the (n, p) marker panel under the mesh: G is device_put sharded
+    # over the markers axis with Ut replicated, so each device rotates only
+    # its own marker columns — the full rotated panel never materializes on
+    # one device (the marker model-parallel axis exists for panels that
+    # don't fit one HBM). Column-independent matmul -> numerics identical
+    # to the unsharded rotation.
+    from ..ops.rotation import KinshipDecomposition
+
+    Ut, lam = resolve_kinship(K, decomp_scheme, precision.resolve_solve())
     rot = transform_rotation(
-        Y, jnp.concatenate([covar, G], axis=1), K,
-        add_intercept=add_intercept, decomp_scheme=decomp_scheme, precision=precision,
+        Y, covar, KinshipDecomposition(Ut=Ut, lam=lam),
+        add_intercept=add_intercept, decomp_scheme=decomp_scheme,
+        precision=precision,
     )
-    y0s, X0ms, C0s, lams, m, p = shard_rotated(rot.y0, rot.X0, rot.lam, n_covars, mesh)
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
+    y0p, m = _pad_cols(rot.y0, tshards)
+    Gp, p = _pad_cols(G.astype(rot.y0.dtype), mshards)
+    y0s = jax.device_put(y0p, NamedSharding(mesh, P(None, TRAITS_AXIS)))
+    C0s = jax.device_put(rot.X0, NamedSharding(mesh, P(None, None)))
+    lams = jax.device_put(rot.lam, NamedSharding(mesh, P(None)))
+    Gs = jax.device_put(Gp, NamedSharding(mesh, P(None, MARKERS_AXIS)))
+    Uts = jax.device_put(Ut, NamedSharding(mesh, P(None, None)))
+    X0ms = _rotate_markers_sharded(mesh, precision.gemm_precision)(Uts, Gs)
 
     if method == "null-grid":
         out = _bulkscan_null_grid_core(
@@ -264,6 +286,33 @@ def bulkscan_sharded(
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
         result.chisq_df = chisq_df
     return result
+
+
+@lru_cache(maxsize=None)
+def _scan_perms_sharded_fn(mesh, prior, reml, method, optim_interval,
+                           nperms_run, rndseed, precision):
+    """Jitted permutation-scan core with OUTPUT shardings constrained
+    (markers x perms over the mesh): XLA back-propagates the output
+    sharding through the correlation GEMM, partitioning the
+    permuted-residual columns over the traits axis — without it the perm
+    matrix (built inside the core by transform_permute) stays replicated
+    and every device redundantly computes the full scan."""
+    from ..models.scan import _scan_perms_impl
+    from ..utils.config import with_highest_matmul as _whm
+
+    return jax.jit(
+        _whm(partial(
+            _scan_perms_impl,
+            prior=prior, reml=reml, method=method,
+            optim_interval=optim_interval, nperms=nperms_run,
+            rndseed=rndseed, precision=precision,
+        )),
+        out_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(MARKERS_AXIS, TRAITS_AXIS)),
+        ),
+    )
 
 
 def scan_perms_sharded(
@@ -349,12 +398,11 @@ def scan_perms_sharded(
     X0ms = jax.device_put(Xm, NamedSharding(mesh, P(None, MARKERS_AXIS)))
     lams = jax.device_put(rot.lam, NamedSharding(mesh, P(None)))
 
-    sigma2_e, h2_null, L = _scan_perms_core(
-        y0s, X0ms, C0s, lams, null_fit,
-        prior=(float(prior_variance), float(prior_sample_size)),
-        reml=reml, method=method, optim_interval=optim_interval,
-        nperms=nperms_run, rndseed=rndseed, precision=precision,
+    core = _scan_perms_sharded_fn(
+        mesh, (float(prior_variance), float(prior_sample_size)),
+        reml, method, optim_interval, nperms_run, rndseed, precision,
     )
+    sigma2_e, h2_null, L = core(y0s, X0ms, C0s, lams, null_fit)
     L = L[:p, : nperms + 1]
     return ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:])
 
@@ -416,6 +464,7 @@ def bulkscan_perms_sharded(
     precision: PrecisionConfig = DEFAULT_PRECISION,
     engine: str = "auto",
     trait_chunk: Optional[int] = None,
+    perm_chunk: int = 2048,
     original: bool = True,
     tile_p: int = 512,
     interpret: bool = False,
@@ -465,7 +514,7 @@ def bulkscan_perms_sharded(
 
     # engine choice keys off the MESH's devices, not the session default
     # backend (a CPU dry-run mesh can coexist with a TPU default backend)
-    eng, _ = _resolve_perm_engine(
+    eng, cap = _resolve_perm_engine(
         engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
         precision=precision, tile_p=tile_p, interpret=interpret,
     )
@@ -479,15 +528,30 @@ def bulkscan_perms_sharded(
 
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])
-    # pad perm rows so the markers axis divides them (extra rows repeat the
-    # identity permutation; their columns are sliced off)
-    k_pad = (-K_total) % (mshards * 128 if eng == "pallas" else mshards)
-    if k_pad:
-        idx = jnp.concatenate([idx, jnp.tile(idx[:1], (k_pad, 1))], axis=0)
+    # per-DEVICE perm width is bounded by the same policy as the other
+    # entry points (the fused kernel's VMEM cap / a memory-sane XLA chunk);
+    # global chunk = device width x marker shards
+    pc_dev = min(perm_chunk, cap) if cap is not None else perm_chunk
+    chunk_glob = pc_dev * mshards
+    # perm rows pad to the markers-axis quantum with identity-permutation
+    # repeats (their columns are sliced off)
+    row_quant = mshards * 128 if eng == "pallas" else mshards
 
     run = _bulkperm_sharded_fn(mesh, eng, n, precision, tile_p, interpret)
     X0m = jax.device_put(X0m, NamedSharding(mesh, P(None, None)))
-    idx = jax.device_put(idx, NamedSharding(mesh, P(MARKERS_AXIS, None)))
+
+    idx_chunks = []
+    for ks in range(0, K_total, chunk_glob):
+        blk = idx[ks:min(ks + chunk_glob, K_total)]
+        k_pad = (-blk.shape[0]) % row_quant
+        if k_pad:
+            blk = jnp.concatenate(
+                [blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0
+            )
+        idx_chunks.append((
+            jax.device_put(blk, NamedSharding(mesh, P(MARKERS_AXIS, None))),
+            min(ks + chunk_glob, K_total) - ks,
+        ))
 
     trait_rows = []
     for ms in range(0, m, trait_chunk):
@@ -504,7 +568,14 @@ def bulkscan_perms_sharded(
             Q_b, NamedSharding(mesh, P(TRAITS_AXIS, None, None))
         )
         wrn_b = jax.device_put(wrn_b, NamedSharding(mesh, P(None, TRAITS_AXIS)))
-        trait_rows.append(run(X0m, sw_b, Q_b, wrn_b, idx)[:mb, :K_total])
+        perm_cols = [
+            run(X0m, sw_b, Q_b, wrn_b, blk)[:mb, :kw]
+            for blk, kw in idx_chunks
+        ]
+        trait_rows.append(
+            perm_cols[0] if len(perm_cols) == 1
+            else jnp.concatenate(perm_cols, axis=1)
+        )
     maxlods = (
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)

@@ -515,3 +515,32 @@ def test_bulkscan_perms_nperms_zero_and_engine_guards(perm_data):
     # explicit pallas under an f64 GEMM config -> silent-downgrade guard
     with pytest.raises(ValueError, match="f32|float32"):
         bl.bulkscan_perms(Y, G, K, nperms=4, engine="pallas")
+
+
+def test_bulkscan_perms_sharded_perm_chunking_invariance(perm_data, singles):
+    """The sharded engine chunks the permutation axis like the other entry
+    points (bounded per-device width); chunked == unchunked."""
+    G, Y, K = perm_data
+    h2s, _ = singles
+    mesh = bl.parallel.make_mesh(marker_shards=2)
+    a = bl.parallel.bulkscan_perms_sharded(
+        Y, G, K, mesh=mesh, nperms=24, rndseed=7,
+        method="null-grid", h2_grid=h2s,
+    )
+    b = bl.parallel.bulkscan_perms_sharded(
+        Y, G, K, mesh=mesh, nperms=24, rndseed=7,
+        method="null-grid", h2_grid=h2s, perm_chunk=5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.maxlods), np.asarray(b.maxlods), atol=1e-12
+    )
+
+
+def test_altgrid_feasibility_bounds():
+    from bulklmm_tpu.pallas.altgrid_fused import fused_alt_grid_feasible
+
+    assert fused_alt_grid_feasible(79)
+    assert fused_alt_grid_feasible(2000)
+    assert not fused_alt_grid_feasible(12_000)
+    # shrinking tiles extends the feasible range
+    assert fused_alt_grid_feasible(12_000, tile_p=128, tile_m=256)
