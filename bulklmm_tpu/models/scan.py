@@ -18,6 +18,11 @@ passes sqrt-weights where weights are expected (src/scan.jl:434-439, an
 effective double square root). We evaluate the likelihood-ratio with the
 correctly-scaled weights; LODs differ from the reference's alt path by a
 small amount on the paths affected by the quirk.
+
+Alt-path LODs under ``reml=True`` are likelihood ratios of ML likelihoods
+at the REML-fitted h2s (REML log-likelihoods are not comparable across
+designs with different fixed effects) — matching the reference, whose
+re-evaluating ``wls`` calls always use ML (src/wls.jl:29 default).
 """
 
 from __future__ import annotations
@@ -98,6 +103,27 @@ def _scan_alt_impl(
 
         ells_q = jax.vmap(ell_alt_one, in_axes=(1, 0))(X0m, h2s)
         lod = (ells_q - ell_null_q) / _LN10
+    elif reml:
+        # REML log-likelihoods are NOT comparable across designs with
+        # different fixed effects (the +0.5(c log sigma2 - logdet X'WX)
+        # term does not cancel between [C] and [C x]); like the reference
+        # (whose re-evaluating wls calls always use ML, src/wls.jl:29),
+        # the LOD is formed from ML likelihoods at the REML-fitted h2s.
+        from ..ops.weights import make_weights
+        from ..ops.wls import wls_ell
+
+        ell_null_ml = wls_ell(
+            y0, C0, make_weights(out00.h2, lam), prior, reml=False
+        )[0][0]
+
+        def ell_alt_ml(x_col, h2_i):
+            X = jnp.concatenate([C0, x_col[:, None]], axis=1)
+            return wls_ell(
+                y0, X, make_weights(h2_i, lam), prior, reml=False
+            )[0][0]
+
+        ells_ml = jax.vmap(ell_alt_ml, in_axes=(1, 0))(X0m, h2s)
+        lod = (ells_ml - ell_null_ml) / _LN10
     else:
         lod = (ells - out00.ell) / _LN10
     return out00.sigma2, out00.h2, h2s, lod
@@ -126,8 +152,13 @@ def _scan_perms_impl(
 
     r0perm = transform_permute(w_r0, nperms=nperms, rndseed=rndseed, original=True)
 
-    norm_y = jnp.sqrt(jnp.sum(r0perm * r0perm, axis=0))
-    norm_x = jnp.sqrt(jnp.sum(X00 * X00, axis=0))
+    # tiny floors: a marker collinear with the covariates (or a trait fully
+    # explained by them) residualizes to ~0 — 0/0 would NaN a whole row of
+    # L_perms and poison the max-over-markers permutation thresholds; the
+    # floor maps it to r = 0 (matching the guarded per-trait kernel)
+    tiny = jnp.finfo(X00.dtype).tiny
+    norm_y = jnp.sqrt(jnp.maximum(jnp.sum(r0perm * r0perm, axis=0), tiny))
+    norm_x = jnp.sqrt(jnp.maximum(jnp.sum(X00 * X00, axis=0), tiny))
     r0n = r0perm / norm_y
     X00n = X00 / norm_x
 
@@ -169,18 +200,50 @@ def _effects_null_rotated(y0, X0m, C0, lam, h2, method):
 
 def _effects_alt_rotated(y0, X0m, C0, lam, h2s, method):
     """Effects with each marker's own fitted h2, from already-rotated
-    operands."""
+    operands.
+
+    Per-marker weights make this the marker-axis analog of the
+    per-trait-weight kernel: every Frisch-Waugh quantity is a w-weighted
+    Gram built by elementwise ops + tiny GEMMs and solved with the
+    unrolled Cholesky (ops/smallchol.py) — a vmapped per-marker QR here
+    would be 2p batched (n, c) Householder factorizations, the measured
+    ~30x TPU slow path the unrolled route exists to avoid.
+    """
+    from ..ops.smallchol import (
+        fwd_subst, pair_indices, residual_sq, unrolled_cholesky,
+    )
     from ..ops.weights import make_weights
 
-    def one(x, h2):
-        sw = jnp.sqrt(jnp.abs(make_weights(h2, lam)))
-        b, s = _effects_from_whitened(
-            y0 * sw[:, None], (x * sw)[:, None], C0 * sw[:, None],
-            method=method,
-        )
-        return b[0], s[0]
+    n, c = C0.shape
+    W = jnp.abs(make_weights(h2s, lam)).T  # (n, p): marker j's weights
+    y = y0[:, 0]  # (n,)
 
-    return jax.vmap(one, in_axes=(1, 0))(X0m, h2s)
+    pairs = pair_indices(c)
+    CC = jnp.stack([C0[:, a] * C0[:, b] for a, b in pairs], axis=1)  # (n, npair)
+    Gv = jnp.matmul(CC.T, W)  # (npair, p)
+    Lc = unrolled_cholesky({ab: Gv[i] for i, ab in enumerate(pairs)}, c)
+
+    Cy = C0 * y[:, None]  # (n, c)
+    t = jnp.matmul(Cy.T, W)  # (c, p): C^T W y per marker
+    zeta = fwd_subst(Lc, [t[a] for a in range(c)], c)
+    yWy = jnp.matmul(y * y, W)  # (p,)
+    ny2 = residual_sq(yWy, zeta)
+
+    XW = X0m * W  # (n, p): marker column pre-weighted
+    xWx = jnp.sum(X0m * XW, axis=0)  # (p,)
+    xWy = jnp.sum(XW * y[:, None], axis=0)  # (p,)
+    xWC = [jnp.sum(XW * C0[:, a][:, None], axis=0) for a in range(c)]
+    Z = fwd_subst(Lc, xWC, c)
+    nx2 = residual_sq(xWx, Z)
+    nx2 = jnp.maximum(nx2, jnp.finfo(y0.dtype).tiny)
+    cov = xWy
+    for a in range(c):
+        cov = cov - Z[a] * zeta[a]
+    beta = cov / nx2
+    rss = jnp.maximum(ny2 - cov * cov / nx2, 0.0)
+    dof = max(n - c - 1, 1)
+    se = jnp.sqrt(rss / dof / nx2)
+    return beta, se
 
 
 @partial(jax.jit, static_argnames=_STATIC + ("output_effects",))
@@ -249,9 +312,10 @@ def _effects_from_whitened(yt, Xt, Ct, *, method="qr"):
     return beta, se
 
 
-@partial(jax.jit, static_argnames=("method", "alt"))
+@partial(jax.jit, static_argnames=("method", "alt", "precision"))
 @with_highest_matmul
-def _effects_lowrank_pipeline(y, Xm, C, U, lam, h2_or_h2s, *, method, alt):
+def _effects_lowrank_pipeline(y, Xm, C, U, lam, h2_or_h2s, *, method, alt,
+                              precision=DEFAULT_PRECISION):
     """Marker effects on a rank-k kinship: explicit Sigma^{-1/2} whitening
     (ops/lowrank.py::whiten_lowrank, two (n, k) GEMMs per operand) feeds
     the same Frisch-Waugh effects kernel as the rotated path."""
@@ -263,14 +327,16 @@ def _effects_lowrank_pipeline(y, Xm, C, U, lam, h2_or_h2s, *, method, alt):
         Cw = whiten_lowrank(C, U, lam, h2_or_h2s)
         return _effects_from_whitened(yw, Xw, Cw, method=method)
 
-    def one(x, h2):
-        yw = whiten_lowrank(y, U, lam, h2)
-        xw = whiten_lowrank(x[:, None], U, lam, h2)
-        Cw = whiten_lowrank(C, U, lam, h2)
-        b, s = _effects_from_whitened(yw, xw, Cw, method=method)
-        return b[0], s[0]
+    # per-marker h2: the Gram/Woodbury route (no per-marker whitening
+    # GEMMs, no vmapped QRs — ops/lowrank.py::effects_alt_per_marker_lowrank)
+    from ..ops.lowrank import (
+        LowRankKinship, _base_parts, _parts_kwargs,
+        effects_alt_per_marker_lowrank,
+    )
 
-    return jax.vmap(one, in_axes=(1, 0))(Xm, h2_or_h2s)
+    lr = LowRankKinship(U=U, lam=lam)
+    parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
+    return effects_alt_per_marker_lowrank(parts, lam, h2_or_h2s, y.shape[0])
 
 
 def _host_null_fit(y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype):
@@ -402,12 +468,19 @@ def _scan_lowrank(
             raise ValueError(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
-        ells, h2_each = lrmod._scan_alt_lowrank_core(
-            yd, Xm, C, U, lam,
+        ells, h2_each, ell0_ml = lrmod._scan_alt_lowrank_core(
+            yd, Xm, C, U, lam, h2,
             n=n, prior=prior, reml=reml,
             optim_interval=optim_interval, precision=precision,
         )
-        lod = (ells - jnp.asarray(nf.ell, dtype=ells.dtype)) / _LN10
+        # REML ells are not LRT-comparable across designs: under REML both
+        # sides re-evaluate with ML at the fitted h2s (_scan_alt_impl does
+        # the same on the full-rank path); under ML the host fit's ell is
+        # the backend-deterministic null reference
+        ell_null = (
+            ell0_ml if reml else jnp.asarray(nf.ell, dtype=ells.dtype)
+        )
+        lod = (ells - ell_null) / _LN10
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2, h2_each_marker=h2_each, lod=lod
         )
@@ -422,10 +495,15 @@ def _scan_lowrank(
         result.beta, result.beta_se = _effects_lowrank_pipeline(
             yd, Xm, C, U, lam,
             h2 if assumption == "null" else result.h2_each_marker,
-            method=method, alt=assumption == "alt",
+            method=method, alt=assumption == "alt", precision=precision,
         )
 
     if profile_ll:
+        if not 1 <= int(marker_id) <= Xm.shape[1]:
+            raise ValueError(
+                f"marker_id must be a 1-based marker index in [1, "
+                f"{Xm.shape[1]}]; got {marker_id}"
+            )
         if h2_grid is None:
             h2_grid = jnp.arange(0.0, 1.0, 0.05)
         # marker_id is 1-based like the reference (analysis/profile_ll.py)
@@ -457,7 +535,7 @@ def scan(
     nperms: int = 1024,
     rndseed: int = 0,
     profile_ll: bool = False,
-    marker_id: int = 0,
+    marker_id: int = 1,
     h2_grid=None,
     decomp_scheme: str = "eigen",
     output_pvals: bool = False,
@@ -500,8 +578,27 @@ def scan(
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("scan handles one trait; use bulkscan for multiple traits.")
-    g = jnp.asarray(g)
     n = y.shape[0]
+    # clear host-side dimension check: a mismatch would otherwise surface
+    # as a cryptic dot-dimension error deep inside a jitted pipeline
+    from ..ops.lowrank import LowRankKinship as _LRK
+    from ..ops.rotation import KinshipDecomposition as _KD
+
+    K_n = (
+        K.Ut.shape[0] if isinstance(K, _KD)
+        else K.n if isinstance(K, _LRK)
+        else np.shape(K)[0]
+    )
+    if np.shape(g)[0] != n or K_n != n:
+        raise ValueError(
+            f"Dimension mismatch: y has {n} samples, g has "
+            f"{np.shape(g)[0]}, K has {K_n}."
+        )
+    # markers move to the device AFTER the weights branch: _apply_weights
+    # rescales on the host, and a premature upload would round-trip the
+    # largest array device->host->device
+    if weights is None:
+        g = jnp.asarray(g)
 
     if covar is None:
         if not add_intercept:
@@ -523,6 +620,7 @@ def scan(
                 "K, not a cached decomposition."
             )
         y, g, covar, K, add_intercept = _apply_weights(y, g, covar, K, weights, add_intercept)
+        g = jnp.asarray(g)
 
     prior = (float(prior_variance), float(prior_sample_size))
 
@@ -602,6 +700,15 @@ def scan(
         from ..analysis.profile_ll import profile_LL
         from ..ops.rotation import KinshipDecomposition
 
+        # marker_id is 1-based like the reference's markerID; 0 (the old
+        # silent default) would profile the last covariate on the
+        # full-rank path and marker 1 on the rank-k path — reject early
+        p_markers = np.shape(g)[1]
+        if not 1 <= int(marker_id) <= p_markers:
+            raise ValueError(
+                f"marker_id must be a 1-based marker index in [1, "
+                f"{p_markers}]; got {marker_id}"
+            )
         if h2_grid is None:
             # reference requires the caller to supply the grid for profileLL
             # (its default is an undef 1-array, src/scan.jl:104); a usable

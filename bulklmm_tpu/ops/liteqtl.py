@@ -188,7 +188,12 @@ def weighted_correlation_shared(
         Mw = M.astype(sdt) * s[:, None]
         proj = jnp.matmul(q.T, Mw, precision=pgp)
         Mr = Mw - jnp.matmul(q, proj, precision=pgp)
-        return Mr / jnp.sqrt(jnp.sum(Mr * Mr, axis=0))
+        # tiny floor: a column collinear with the covariates (monomorphic
+        # marker vs the intercept) residualizes to ~0; 0/0 would NaN the
+        # whole row and poison downstream max-reductions — the floor maps
+        # it to r = 0 instead
+        nrm2 = jnp.sum(Mr * Mr, axis=0)
+        return Mr / jnp.sqrt(jnp.maximum(nrm2, jnp.finfo(sdt).tiny))
 
     X00 = residualize_normalize(X0m).astype(gdt)
     Y00 = residualize_normalize(Y0).astype(gdt)

@@ -62,8 +62,18 @@ def r2lod(r, n, *, fast_log: bool = False):
     dtype (f64 in mixed mode), then take the log in f32 via
     :func:`log10_f32_accurate` — f64 transcendentals are emulated and slow on
     TPU, and the native f32 log is too inaccurate (~1e-4 abs).
+
+    ``1 - r^2`` is floored at dtype-tiny: near-collinear markers can carry
+    enough cancellation noise in the numerator that the computed |r|
+    rounds past 1 (the residual floors bound the DENOMINATOR only), and an
+    unguarded log would turn one degenerate marker into a NaN that
+    poisons every max-reduction downstream (genome-wide maxima,
+    permutation thresholds). The floor maps such markers to a huge finite
+    LOD instead — the documented degenerate behavior
+    (ops/smallchol.py::residual_sq), matching maxr2_to_lod.
     """
     one_minus_r2 = 1.0 - r * r
+    one_minus_r2 = jnp.maximum(one_minus_r2, jnp.finfo(one_minus_r2.dtype).tiny)
     if fast_log:
         return -(n / 2.0) * log10_f32_accurate(one_minus_r2.astype(jnp.float32))
     return -(n / 2.0) * jnp.log10(one_minus_r2)

@@ -230,3 +230,61 @@ def test_perms_host_fit_untruncated_without_x64(tmp_path):
                        text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK" in r.stdout
+
+
+
+def test_scan_perms_monomorphic_marker_no_nan(bxd_like):
+    """A marker collinear with the intercept (monomorphic) must yield
+    finite permutation LODs — an unguarded 0/0 in the normalization would
+    NaN a whole L_perms row and poison the max-over-markers thresholds."""
+    import bulklmm_tpu as bl
+
+    y = bxd_like["Y"][:, 0]
+    G2 = np.array(bxd_like["G"], copy=True)
+    G2[:, 5] = 0.5  # monomorphic: exactly collinear with the intercept
+    res = scan(y, G2, bxd_like["K"], permutation_test=True, nperms=32,
+               rndseed=3)
+    L = np.asarray(res.L_perms)
+    assert np.isfinite(L).all()
+    assert np.isfinite(np.asarray(res.lod)).all()
+    # the degenerate marker residualizes to rounding noise: its LOD is a
+    # small random value (noise-direction correlation), never huge or NaN
+    assert abs(float(res.lod[5])) < 2.0
+    thr = bl.get_thresholds(L, [0.10, 0.05])
+    assert np.isfinite(np.asarray(thr.thrs)).all()
+    # non-perm path too
+    res2 = scan(y, G2, bxd_like["K"])
+    assert np.isfinite(np.asarray(res2.lod)).all()
+
+
+def test_scan_profile_ll_default_and_validation(bxd_like):
+    import pytest
+
+    y = bxd_like["Y"][:, 0]
+    G, K = bxd_like["G"], bxd_like["K"]
+    # default marker_id=1 profiles the FIRST marker (1-based, like the
+    # reference); the old default 0 silently profiled the wrong column
+    res, prof = scan(y, G, K, profile_ll=True)
+    assert np.isfinite(np.asarray(prof.ll_list_null)).all()
+    assert np.isfinite(np.asarray(prof.ll_list_alt)).all()
+    with pytest.raises(ValueError, match="1-based"):
+        scan(y, G, K, profile_ll=True, marker_id=0)
+    with pytest.raises(ValueError, match="1-based"):
+        scan(y, G, K, profile_ll=True, marker_id=G.shape[1] + 1)
+
+
+def test_scan_alt_reml_lod_is_ml_lrt(bxd_like):
+    """Under REML the alt-path LOD must come from ML likelihoods at the
+    fitted h2s (REML log-likelihoods are not comparable across designs
+    with different fixed effects): reml=True and reml=False alt LODs may
+    differ only through the slightly different h2 estimates, not through
+    a non-cancelling REML term."""
+    y = bxd_like["Y"][:, 1]
+    G = bxd_like["G"][:, :25]
+    a = scan(y, G, bxd_like["K"], assumption="alt", reml=False)
+    b = scan(y, G, bxd_like["K"], assumption="alt", reml=True)
+    la, lb = np.asarray(a.lod), np.asarray(b.lod)
+    assert np.isfinite(lb).all()
+    # LRT of nested models: nonnegative up to optimizer tolerance
+    assert lb.min() > -1e-3
+    assert np.max(np.abs(la - lb)) < 0.2
