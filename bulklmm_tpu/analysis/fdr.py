@@ -19,17 +19,25 @@ def bh_adjust(pvals, *, dependent: bool = False) -> np.ndarray:
     p-values (q-values), preserving the input shape."""
     p = np.asarray(pvals, dtype=np.float64)
     flat = p.ravel()
-    n = flat.size
-    order = np.argsort(flat)
-    ranked = flat[order]
-    scale = n / np.arange(1, n + 1)
-    if dependent:
-        scale = scale * np.sum(1.0 / np.arange(1, n + 1))
-    q = ranked * scale
-    # enforce monotonicity from the largest p down
-    q = np.minimum.accumulate(q[::-1])[::-1]
-    out = np.empty_like(flat)
-    out[order] = np.clip(q, 0.0, 1.0)
+    # NaN p-values (degenerate inputs) get NaN q-values but must NOT poison
+    # the rest: argsort puts NaN last, and minimum.accumulate from the tail
+    # would otherwise turn EVERY q-value into NaN
+    valid = ~np.isnan(flat)
+    out = np.full_like(flat, np.nan)
+    v = flat[valid]
+    n = v.size
+    if n:
+        order = np.argsort(v)
+        ranked = v[order]
+        scale = n / np.arange(1, n + 1)
+        if dependent:
+            scale = scale * np.sum(1.0 / np.arange(1, n + 1))
+        q = ranked * scale
+        # enforce monotonicity from the largest p down
+        q = np.minimum.accumulate(q[::-1])[::-1]
+        qo = np.empty_like(v)
+        qo[order] = np.clip(q, 0.0, 1.0)
+        out[valid] = qo
     return out.reshape(p.shape)
 
 

@@ -63,6 +63,7 @@ def profile_LL(
     y = jnp.asarray(y)
     y = y[:, None] if y.ndim == 1 else y
     covar = jnp.asarray(covar)
+    covar = covar[:, None] if covar.ndim == 1 else covar
     num_of_covar = covar.shape[1]
     rot = transform_rotation(
         y, jnp.concatenate([covar, jnp.asarray(G)], axis=1), K, add_intercept=False

@@ -1,8 +1,10 @@
 """Command-line interface: kinship / scan / bulkscan from CSV files.
 
 The reference has no CLI (driven from the Julia REPL, reference
-README.md:99-361); this is an addition for production use. Output is CSV
-(LOD columns) or ``.npz``.
+README.md:99-361); this is an addition for production use. ``kinship`` and
+``scan`` write CSV or ``.npz``; ``bulkscan`` writes ``.npz`` (multiple
+arrays). ``--kinship`` feeds a precomputed kinship (dense or rank-k
+factors) back into scan/bulkscan.
 
   python -m bulklmm_tpu kinship --geno geno.csv -o kinship.csv
   python -m bulklmm_tpu scan --geno geno.csv --pheno pheno.csv --trait 1112 \
@@ -81,6 +83,25 @@ def _kinship(args):
     print(f"kinship {K.shape} -> {args.output}")
 
 
+def _load_kinship(args, G, precision):
+    """Kinship from --kinship (a file previously written by the kinship
+    subcommand: dense CSV/.npz, or rank-k U/lam factors from
+    ``kinship --lowrank-k``) — or computed from the genotypes."""
+    from . import calc_kinship
+
+    f = getattr(args, "kinship", None)
+    if f:
+        if f.endswith(".npz"):
+            z = np.load(f)
+            if "U" in z:  # rank-k factors
+                from .ops.lowrank import LowRankKinship
+
+                return LowRankKinship(U=z["U"], lam=z["lam"])
+            return z["kinship"]
+        return np.loadtxt(f, delimiter=",")
+    return np.asarray(calc_kinship(G))
+
+
 def _loco_chrom(args, p):
     """Chromosome labels for --loco from the marker map (--gmap)."""
     from . import read_gmap
@@ -97,7 +118,7 @@ def _loco_chrom(args, p):
 
 def _scan(args):
     precision = _resolve_precision(args)
-    from . import calc_kinship, get_thresholds, scan, scan_loco
+    from . import get_thresholds, scan, scan_loco
     from . import io as bio
 
     G = _load_geno(args)
@@ -118,14 +139,14 @@ def _scan(args):
             y, G, _loco_chrom(args, G.shape[1]),
             lowrank_k=getattr(args, "lowrank_k", 0), **kwargs,
         )
-    elif getattr(args, "lowrank_k", 0):
+    elif getattr(args, "lowrank_k", 0) and not getattr(args, "kinship", None):
         # rank-k engine: no n x n kinship, no host eigh (ops/lowrank.py)
         from . import kinship_lowrank_from_geno
 
         K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
         res = scan(y, G, K, **kwargs)
     else:
-        res = scan(y, G, np.asarray(calc_kinship(G)), **kwargs)
+        res = scan(y, G, _load_kinship(args, G, precision), **kwargs)
     out = {"lod": np.asarray(res.lod)}
     if args.effects:
         out["beta"] = np.asarray(res.beta)
@@ -155,8 +176,12 @@ def _scan(args):
 
 def _bulkscan(args):
     precision = _resolve_precision(args)
-    from . import bulkscan, bulkscan_loco, calc_kinship
+    from . import bulkscan, bulkscan_loco
 
+    if not args.output.endswith(".npz"):
+        raise SystemExit(
+            "bulkscan writes multiple arrays; -o/--output must end in .npz"
+        )
     G = _load_geno(args)
     Y = _load_pheno(args)
     kwargs = dict(
@@ -168,19 +193,29 @@ def _bulkscan(args):
         output_effects=args.effects,
     )
     K = None
+    chrom = _loco_chrom(args, G.shape[1]) if args.loco else None
     if args.loco:
         res = bulkscan_loco(
-            Y, G, _loco_chrom(args, G.shape[1]),
+            Y, G, chrom,
             lowrank_k=getattr(args, "lowrank_k", 0), **kwargs,
         )
-    elif getattr(args, "lowrank_k", 0):
-        # rank-k engine (ops/lowrank.py): no n x n kinship, no host eigh
-        from . import kinship_lowrank_from_geno
-
-        K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
-        res = bulkscan(Y, G, K, **kwargs)
     else:
-        K = np.asarray(calc_kinship(G))
+        if getattr(args, "lowrank_k", 0) and not getattr(args, "kinship", None):
+            # rank-k engine (ops/lowrank.py): no n x n kinship, no host eigh
+            from . import kinship_lowrank_from_geno
+
+            K = kinship_lowrank_from_geno(
+                G, args.lowrank_k, precision=precision
+            )
+        else:
+            K = _load_kinship(args, G, precision)
+            from .ops.lowrank import LowRankKinship
+            from .ops.rotation import decompose_kinship
+
+            if not isinstance(K, LowRankKinship):
+                # one decomposition serves the scan AND the permutation
+                # engine below — a raw K would pay the O(n^3) eigh twice
+                K = decompose_kinship(np.asarray(K))
         res = bulkscan(Y, G, K, **kwargs)
     out = {"L": np.asarray(res.L)}
     if args.effects:
@@ -210,7 +245,7 @@ def _bulkscan(args):
         )
         if args.loco:
             pr = bulkscan_perms_loco(
-                Y, G, _loco_chrom(args, G.shape[1]),
+                Y, G, chrom,
                 lowrank_k=getattr(args, "lowrank_k", 0), **perm_kwargs,
             )
         else:
@@ -253,6 +288,12 @@ def main(argv=None):
                 help="leave-one-chromosome-out kinship (needs --gmap)",
             )
             p.add_argument("--gmap", help="marker map CSV (Locus,Chr,cM,Mb)")
+            p.add_argument(
+                "--kinship",
+                help="precomputed kinship from the kinship subcommand "
+                "(CSV/.npz dense, or rank-k U/lam .npz factors) instead of "
+                "recomputing from the genotypes",
+            )
 
     k = sub.add_parser("kinship", help="kinship matrix from genotype probs")
     common(k, pheno=False)

@@ -181,7 +181,7 @@ def read_gmap(file) -> MarkerMap:
     rows = _read_csv(file)[1:]
     locus = np.asarray([r[0] for r in rows])
     chrom = np.asarray([r[1] for r in rows])
-    cm = np.asarray([float(r[2]) for r in rows])
+    cm = np.asarray([float(r[2]) if r[2] not in ("", "NA") else np.nan for r in rows])
     mb = np.asarray([float(r[3]) if r[3] not in ("", "NA") else np.nan for r in rows])
     return MarkerMap(locus=locus, chromosome=chrom, cm=cm, mb=mb)
 
@@ -204,14 +204,24 @@ def read_helium_matrix(file) -> np.ndarray:
 
     Layout (determined from the reference's kinship golden file,
     reference test/ref_data_for_tests/kinship_ref.he): a 56-byte header —
-    u64 nrow, u64 ncol, u64 element-size marker, 4-byte magic ``01 02 03 04``,
-    padding — followed by nrow*ncol little-endian float64 values.
+    u64 nrow, u64 ncol, an unidentified u64 field, 4-byte magic
+    ``01 02 03 04``, padding — followed by nrow*ncol little-endian float64
+    values (payload length is validated against the header dims).
     """
     raw = Path(file).read_bytes()
     nrow, ncol = struct.unpack_from("<QQ", raw, 0)
     magic = raw[24:28]
     if magic != b"\x01\x02\x03\x04":
         raise ValueError(f"not a Helium matrix file (magic={magic!r})")
+    # the u64 at offset 16 is NOT an element size (the reference golden
+    # carries 3940 there); element width is validated from the payload
+    # length instead
+    expected = 56 + 8 * nrow * ncol
+    if len(raw) < expected:
+        raise ValueError(
+            f"Helium payload too short for {nrow} x {ncol} float64 values "
+            f"({len(raw)} < {expected} bytes)"
+        )
     data = np.frombuffer(raw, dtype="<f8", count=nrow * ncol, offset=56)
     return data.reshape(nrow, ncol)
 

@@ -51,16 +51,25 @@ def init_distributed(
 
     No-ops when already initialized or when running single-process (so the
     same launcher script works on one host and on a pod).
+
+    ``jax.distributed.initialize`` must run BEFORE any backend initializes,
+    and ``jax.process_count()`` itself initializes them — so when explicit
+    coordinator args are given, initialize() is attempted first and an
+    already-initialized runtime is detected from its error, never by
+    touching the backends up front.
     """
-    if jax.process_count() > 1:
-        return jax.process_index()
     if coordinator_address is None and num_processes in (None, 1):
-        return 0
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # single-process (or env-configured) path: safe to query
+        return jax.process_index() if jax.process_count() > 1 else 0
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
     return jax.process_index()
 
 
@@ -184,6 +193,11 @@ def bulkscan_distributed(
     ``<save_dir>/lod_shard_<pid>.npz`` (fields: trait_lo, trait_hi, lod,
     h2) — the pod-scale output path where no host gathers the full matrix.
     """
+    if method not in ("null-grid", "null-exact", "alt-grid"):
+        # validate BEFORE the O(n^3) eigh + O(n^2 m) host rotation
+        raise ValueError(
+            "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
+        )
     if mesh is None:
         mesh = make_global_mesh()
     if m_total is None:
@@ -197,7 +211,7 @@ def bulkscan_distributed(
     if Y_local.shape[1] != hi - lo:
         raise ValueError(
             f"process {jax.process_index()} expected {hi - lo} local trait "
-            f"columns (= local_trait_slice({m_total})), got {Y_local.shape[1]}"
+            f"columns (= local_trait_slice({m_total}, mesh)), got {Y_local.shape[1]}"
         )
     n = Y_local.shape[0]
     G = np.asarray(G, dtype=np.float64)
@@ -345,6 +359,26 @@ def bulkscan_distributed(
     )
 
 
+def _check_shards_tile(loaded, m: int, save_dir) -> None:
+    """Shard ranges must tile [0, m) exactly: a dead process or a partial
+    copy would otherwise merge into silently-fabricated all-zero trait
+    columns that downstream thresholds/FDR consume without error."""
+    spans = sorted((int(d["trait_lo"]), int(d["trait_hi"])) for d in loaded)
+    cursor = 0
+    for lo, hi in spans:
+        if lo != cursor:
+            raise ValueError(
+                f"shard files under {save_dir} do not cover traits "
+                f"[{cursor}, {lo}) — a process's shard is missing or the "
+                "directory is partially copied"
+            )
+        cursor = hi
+    if cursor != m:
+        raise ValueError(
+            f"shard files under {save_dir} stop at trait {cursor} of {m}"
+        )
+
+
 def merge_shards(save_dir) -> np.ndarray:
     """Assemble the global (p, m) LOD matrix from per-process shard files.
 
@@ -357,6 +391,7 @@ def merge_shards(save_dir) -> np.ndarray:
         raise FileNotFoundError(f"no lod_shard_*.npz under {save_dir}")
     loaded = [np.load(s) for s in shards]
     m = max(int(d["trait_hi"]) for d in loaded)
+    _check_shards_tile(loaded, m, save_dir)
     p = loaded[0]["lod"].shape[0]
     L = np.zeros((p, m))
     for d in loaded:
@@ -410,7 +445,7 @@ def bulkscan_perms_distributed(
     if Y_local.shape[1] != hi - lo:
         raise ValueError(
             f"process {jax.process_index()} expected {hi - lo} local trait "
-            f"columns (= local_trait_slice({m_total})), got {Y_local.shape[1]}"
+            f"columns (= local_trait_slice({m_total}, mesh)), got {Y_local.shape[1]}"
         )
 
     res = bulkscan_perms(Y_local, G, K, covar, **kwargs)
@@ -444,6 +479,7 @@ def merge_perm_shards(save_dir) -> np.ndarray:
         raise FileNotFoundError(f"no perm_shard_*.npz under {save_dir}")
     loaded = [np.load(s) for s in shards]
     m = max(int(d["trait_hi"]) for d in loaded)
+    _check_shards_tile(loaded, m, save_dir)
     K_cols = loaded[0]["maxlods"].shape[1]
     out = np.zeros((m, K_cols))
     for d in loaded:

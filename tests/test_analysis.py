@@ -106,3 +106,17 @@ def test_lod_fdr_shapes_and_monotonicity(bxd_like):
     L = np.asarray(out.L).ravel()
     order = np.argsort(L)
     assert np.all(np.diff(qv.ravel()[order]) <= 1e-12)
+
+
+def test_bh_adjust_nan_isolation():
+    """A NaN p-value gets a NaN q-value without poisoning the rest (the
+    accumulate-from-the-tail monotonicity pass must skip NaNs)."""
+    import bulklmm_tpu as bl
+
+    p = np.array([0.001, 0.02, np.nan, 0.5, 0.04])
+    q = bl.bh_adjust(p)
+    assert np.isnan(q[2])
+    ok = np.delete(q, 2)
+    assert np.isfinite(ok).all()
+    ref = bl.bh_adjust(np.delete(p, 2))
+    np.testing.assert_allclose(ok, ref, atol=1e-12)

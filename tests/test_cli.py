@@ -244,3 +244,25 @@ def test_cli_scan_and_kinship_lowrank(csv_data):
     assert "thresholds" in meta and np.isfinite(meta["h2_null"])
     out = np.load(csv_data / "scan_lr.npz")
     assert out["lod"].shape == (40,) and np.isfinite(out["lod"]).all()
+
+
+def test_cli_kinship_reuse_and_output_guard(csv_data):
+    # bulkscan refuses a non-.npz output with a clear message
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "-o", "lods.csv"], csv_data)
+    assert r.returncode != 0 and ".npz" in (r.stderr + r.stdout)
+    # precomputed dense kinship (kinship subcommand CSV) feeds bulkscan
+    r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "fast32",
+               "--kinship", "K.csv", "-o", "reuse.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    full = np.load(csv_data / "lods.npz")  # from test_cli_bulkscan
+    reuse = np.load(csv_data / "reuse.npz")
+    assert np.allclose(reuse["L"], full["L"], atol=1e-5)
+    # rank-k factor file (kinship --lowrank-k) feeds scan
+    r3 = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--trait", "0",
+               "--kinship", "K_lr.npz", "-o", "scan_klr.npz"], csv_data)
+    assert r3.returncode == 0, r3.stderr[-500:]
+    z = np.load(csv_data / "scan_klr.npz")
+    assert np.isfinite(z["lod"]).all()
