@@ -30,6 +30,7 @@ def brent_min(
     rel_tol: float = None,
     abs_tol: float = None,
     maxiter: int = 96,
+    dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimize scalar ``f`` on [lo, hi]; returns ``(fmin, xmin)``.
 
@@ -39,8 +40,15 @@ def brent_min(
     (rel_tol = sqrt(eps(T)), abs_tol = eps(T)) — hardcoded float64 values
     would sit below one float32 ulp and the convergence test (and the
     all-lanes early exit) could never fire in f32 mode.
+
+    ``dtype``: domain dtype of the optimization variable. Pass the data's
+    dtype (e.g. ``lam.dtype``): python-float bounds otherwise resolve to
+    the DEFAULT dtype, and with x64 enabled a strongly-typed f64 probe
+    would silently promote an f32 objective to emulated f64 on TPU.
     """
-    lo = jnp.asarray(lo, dtype=jnp.result_type(lo, 0.0))
+    lo = jnp.asarray(
+        lo, dtype=dtype if dtype is not None else jnp.result_type(lo, 0.0)
+    )
     hi = jnp.asarray(hi, dtype=lo.dtype)
     eps = float(jnp.finfo(lo.dtype).eps)
     if rel_tol is None:
@@ -149,7 +157,7 @@ def gridbrent(
     reference's ``gridbrent`` (src/gridbrent.jl:9-24), but the subintervals
     run as one vmapped batch instead of a broadcast loop.
     """
-    pts = jnp.linspace(a, b, ninterval + 1)
+    pts = jnp.linspace(a, b, ninterval + 1, dtype=brent_kwargs.get("dtype"))
     av, bv = pts[:-1], pts[1:]
     fmins, xmins = jax.vmap(lambda lo, hi: brent_min(f, lo, hi, **brent_kwargs))(av, bv)
     i = jnp.argmin(fmins)

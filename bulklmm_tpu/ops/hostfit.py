@@ -52,7 +52,13 @@ def _wls(y0, X0, w, prior, reml):
     yy = y0 * sw[:, None]
     XX = X0 * sw[:, None]
     q, r = np.linalg.qr(XX)
-    coef = np.linalg.solve(r, q.T @ yy)
+    try:
+        coef = np.linalg.solve(r, q.T @ yy)
+    except np.linalg.LinAlgError:
+        # rank-deficient design (e.g. an all-zero covariate column): fall
+        # back to the minimum-norm solution rather than raising mid-Brent —
+        # the module's no-raise-in-the-objective design (see rss0 floor)
+        coef = np.linalg.lstsq(XX, yy, rcond=None)[0]
     res = yy - XX @ coef
     rss0 = float(np.sum(res * res))
     prior_df = prior_b + 2.0 if prior_b > 0.0 else prior_b
@@ -148,7 +154,13 @@ def _wls_lowrank(parts, lam, h2, prior, reml, n):
     yWy = float(yty + Q @ Qd)
     t = CtY + R.T @ Qd  # (c,)
     G = CtC + (R * dm1[:, None]).T @ R  # (c, c)
-    L = np.linalg.cholesky(G)
+    try:
+        L = np.linalg.cholesky(G)
+    except np.linalg.LinAlgError:
+        # singular covariate Gram: jitter to the smallest SPD neighbor so
+        # the Brent objective stays finite instead of raising mid-fit
+        jit = 1e-12 * max(float(np.trace(G)) / max(c, 1), 1.0)
+        L = np.linalg.cholesky(G + jit * np.eye(c))
     z = np.linalg.solve(L, t)
     rss0 = max(yWy - float(z @ z), 0.0)
     logw_sum = float(np.sum(np.log1p(dm1)))

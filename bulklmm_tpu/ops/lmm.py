@@ -54,7 +54,9 @@ def fit_lmm(
 
     lb = max(h20 - d, 0.0)
     ub = min(h20 + d, 1.0)
-    _, h2 = gridbrent(neg_ll, lb, ub, optim_interval)
+    # bounds in the DATA dtype: python-float bounds resolve to the default
+    # dtype, silently promoting an f32 pipeline to emulated f64 under x64
+    _, h2 = gridbrent(neg_ll, lb, ub, optim_interval, dtype=lam.dtype)
 
     est: WLSResult = wls(y2, X0, make_weights(h2, lam), prior, reml=reml, method=method)
     return LMMResult(b=est.b, sigma2=est.sigma2[0], h2=h2, ell=est.ell[0])

@@ -355,7 +355,7 @@ def fit_h2_lowrank(parts, lam, prior, *, n, reml=False, optim_interval=1):
                 CtC, R, lam, CtY_j, Q_j, yty_j, h2, prior, n=n, reml=reml
             )[0]
 
-        _, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval)
+        _, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval, dtype=lam.dtype)
         return h2
 
     return jax.vmap(fit_one, in_axes=(1, 1, 0))(
@@ -621,7 +621,8 @@ def scan_alt_h2_ells_lowrank(parts, lam, prior, *, n, reml=False,
                 prior, n=n, reml=reml,
             )
 
-        fmin, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval)
+        fmin, h2 = gridbrent(neg_ell, 0.0, 1.0, optim_interval,
+                             dtype=lam.dtype)
         if ml_ells:
             # REML log-likelihoods are not comparable across designs with
             # different fixed effects: for LOD formation, re-evaluate with

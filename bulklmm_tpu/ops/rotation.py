@@ -53,17 +53,26 @@ class KinshipDecomposition(NamedTuple):
 
     Ut: jnp.ndarray  # (n, n) transposed eigenvectors, device
     lam: jnp.ndarray  # (n,) eigenvalues, device
+    # untruncated float64 LAPACK outputs (host numpy), kept so the
+    # backend-deterministic host null fit never consumes f32-rounded
+    # factors upcast back to f64; None when constructed by hand
+    Ut_host: "np.ndarray | None" = None
+    lam_host: "np.ndarray | None" = None
 
 
 def decompose_kinship(
     K, decomp_scheme: str = "eigen", dtype=None
 ) -> KinshipDecomposition:
-    """Host eigendecomposition -> device-resident factors, computed once."""
+    """Host eigendecomposition -> device-resident factors, computed once
+    (the float64 host factors ride along for the host null fit)."""
     Ut_np, lam_np = kinship_eigen(K, decomp_scheme)
     if dtype is None:
         dtype = DEFAULT_PRECISION.resolve_solve()
     return KinshipDecomposition(
-        Ut=jnp.asarray(Ut_np, dtype=dtype), lam=jnp.asarray(lam_np, dtype=dtype)
+        Ut=jnp.asarray(Ut_np, dtype=dtype),
+        lam=jnp.asarray(lam_np, dtype=dtype),
+        Ut_host=Ut_np,
+        lam_host=lam_np,
     )
 
 
@@ -81,12 +90,19 @@ def resolve_kinship_with_host(K, decomp_scheme: str, dtype):
     ``(Ut, lam, Ut_host, lam_host)`` — the host pair feeds the
     backend-deterministic null fit (ops/hostfit.py)."""
     if isinstance(K, KinshipDecomposition):
-        return (
-            K.Ut.astype(dtype),
-            K.lam.astype(dtype),
-            np.asarray(K.Ut, dtype=np.float64),
-            np.asarray(K.lam, dtype=np.float64),
+        # prefer the untruncated f64 LAPACK factors; a hand-built
+        # decomposition without them falls back to upcasting the device
+        # copies (f32-rounded when x64 is off — backend-deterministic but
+        # not bit-identical to a raw-K call)
+        Ut_h = (
+            K.Ut_host if K.Ut_host is not None
+            else np.asarray(K.Ut, dtype=np.float64)
         )
+        lam_h = (
+            K.lam_host if K.lam_host is not None
+            else np.asarray(K.lam, dtype=np.float64)
+        )
+        return K.Ut.astype(dtype), K.lam.astype(dtype), Ut_h, lam_h
     Ut_h, lam_h = kinship_eigen(K, decomp_scheme)
     return jnp.asarray(Ut_h, dtype=dtype), jnp.asarray(lam_h, dtype=dtype), Ut_h, lam_h
 
@@ -176,13 +192,23 @@ def transform_reweight(
     """
     from .lmm import fit_lmm  # local import to avoid cycle
 
+    if y0.ndim == 2 and y0.shape[1] != 1:
+        # the null h2 fit below is single-trait; silently reweighting m
+        # traits at trait 0's h2 would corrupt every other trait
+        raise ValueError(
+            "transform_reweight is single-trait (the null h2 fit applies "
+            f"to one trait); got {y0.shape[1]} trait columns. Reweight one "
+            "column at a time, or use bulkscan/bulkscan_perms."
+        )
     X0_cov = X0[:, :n_covars]
     vc = fit_lmm(
         y0, X0_cov, lam, (prior_a, prior_b),
         reml=reml, method=method, optim_interval=optim_interval,
     )
     r0 = y0 - X0_cov @ vc.b
-    sqrtw = jnp.sqrt(make_weights(vc.h2, lam))
+    # abs guard mirrors the reference's sqrt.(abs.(makeweights(...))) for
+    # slightly negative kinship eigenvalues (src/bulkscan_helpers.jl:138)
+    sqrtw = jnp.sqrt(jnp.abs(make_weights(vc.h2, lam)))
     w_r0 = r0 * sqrtw[:, None]
     w_X0 = X0 * sqrtw[:, None]
     X00 = resid(w_X0[:, n_covars:], w_X0[:, :n_covars], method=method)
@@ -197,8 +223,11 @@ def transform_permute(r0, *, nperms: int = 1024, rndseed: int = 0, original: boo
     MersenneTwister — parity is distributional).
     Parity: reference transform_permute (src/transform_helpers.jl:94-102).
     """
-    if nperms < 0:
-        raise ValueError("The required number of permutations must be a positive integer.")
+    if nperms < 0 or (nperms == 0 and not original):
+        raise ValueError(
+            "The required number of permutations must be a positive integer "
+            "(nperms=0 is allowed only with original=True)."
+        )
     key = jax.random.PRNGKey(rndseed)
     col = r0[:, 0] if r0.ndim == 2 else r0
     return shuffle_vector(key, col, nperms, original=original)
