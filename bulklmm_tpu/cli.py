@@ -86,9 +86,12 @@ def _kinship(args):
 def _load_kinship(args, G, precision):
     """Kinship from --kinship (a file previously written by the kinship
     subcommand: dense CSV/.npz, or rank-k U/lam factors from
-    ``kinship --lowrank-k``) — or computed from the genotypes."""
+    ``kinship --lowrank-k``) — or computed from the genotypes. A dense
+    file combined with --lowrank-k is factored to rank k (device
+    randomized eigen) rather than silently running full-rank."""
     from . import calc_kinship
 
+    k = getattr(args, "lowrank_k", 0)
     f = getattr(args, "kinship", None)
     if f:
         if f.endswith(".npz"):
@@ -97,8 +100,14 @@ def _load_kinship(args, G, precision):
                 from .ops.lowrank import LowRankKinship
 
                 return LowRankKinship(U=z["U"], lam=z["lam"])
-            return z["kinship"]
-        return np.loadtxt(f, delimiter=",")
+            K = z["kinship"]
+        else:
+            K = np.loadtxt(f, delimiter=",")
+        if k:
+            from . import kinship_lowrank
+
+            return kinship_lowrank(K, k, precision=precision)
+        return K
     return np.asarray(calc_kinship(G))
 
 
@@ -134,6 +143,11 @@ def _scan(args):
         output_effects=args.effects,
         precision=precision,
     )
+    if args.loco and getattr(args, "kinship", None):
+        raise SystemExit(
+            "--loco builds per-chromosome leave-out kinships from the "
+            "genotypes; --kinship cannot be combined with it"
+        )
     if args.loco:
         res = scan_loco(
             y, G, _loco_chrom(args, G.shape[1]),
@@ -192,6 +206,11 @@ def _bulkscan(args):
         output_pvals=args.pvals,
         output_effects=args.effects,
     )
+    if args.loco and getattr(args, "kinship", None):
+        raise SystemExit(
+            "--loco builds per-chromosome leave-out kinships from the "
+            "genotypes; --kinship cannot be combined with it"
+        )
     K = None
     chrom = _loco_chrom(args, G.shape[1]) if args.loco else None
     if args.loco:

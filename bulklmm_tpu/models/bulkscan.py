@@ -208,9 +208,7 @@ def _guard_pallas_altgrid(engine, precision, n) -> None:
             "(or call pallas.altgrid_fused.fused_alt_grid with "
             "interpret=True for test/debug)."
         )
-    from ..pallas.altgrid_fused import fused_alt_grid_feasible
-
-    if not fused_alt_grid_feasible(n):
+    if not _altgrid_feasible(n):
         raise ValueError(
             f"the fused alt-grid kernel is infeasible at n={n} (its "
             "(tile_p, n)/(n, tile_m) VMEM blocks exceed the scoped limit); "

@@ -468,11 +468,13 @@ def _scan_lowrank(
             raise ValueError(
                 "Permutation test option currently is not supported for the alternative assumption."
             )
-        ells, h2_each, ell0_ml = lrmod._scan_alt_lowrank_core(
+        out_alt = lrmod._scan_alt_lowrank_core(
             yd, Xm, C, U, lam, h2,
             n=n, prior=prior, reml=reml,
             optim_interval=optim_interval, precision=precision,
+            effects=output_effects,
         )
+        ells, h2_each, ell0_ml = out_alt[:3]
         # REML ells are not LRT-comparable across designs: under REML both
         # sides re-evaluate with ML at the fitted h2s (_scan_alt_impl does
         # the same on the full-rank path); under ML the host fit's ell is
@@ -484,6 +486,9 @@ def _scan_lowrank(
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2, h2_each_marker=h2_each, lod=lod
         )
+        if output_effects:
+            # fused: effects from the SAME rank-k parts pass as the alt fits
+            result.beta, result.beta_se = out_alt[3], out_alt[4]
         if output_pvals:
             result.log10pvals = lod2log10p(result.lod, chisq_df)
     else:

@@ -73,9 +73,15 @@ def r2lod(r, n, *, fast_log: bool = False):
     (ops/smallchol.py::residual_sq), matching maxr2_to_lod.
     """
     one_minus_r2 = 1.0 - r * r
-    one_minus_r2 = jnp.maximum(one_minus_r2, jnp.finfo(one_minus_r2.dtype).tiny)
     if fast_log:
+        # the floor must survive the f32 cast: an f64-tiny floor would
+        # underflow to 0.0 and log10_f32_accurate(0) is NaN
+        one_minus_r2 = jnp.maximum(
+            one_minus_r2, jnp.asarray(jnp.finfo(jnp.float32).tiny,
+                                      one_minus_r2.dtype)
+        )
         return -(n / 2.0) * log10_f32_accurate(one_minus_r2.astype(jnp.float32))
+    one_minus_r2 = jnp.maximum(one_minus_r2, jnp.finfo(one_minus_r2.dtype).tiny)
     return -(n / 2.0) * jnp.log10(one_minus_r2)
 
 

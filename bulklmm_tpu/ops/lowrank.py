@@ -871,15 +871,20 @@ def _scan_null_lowrank_core(
     return (L[:, 0],)
 
 
-@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "optim_interval"))
+@partial(jax.jit, static_argnames=_STATIC_LR + ("n", "optim_interval",
+                                                 "effects"))
 @with_highest_matmul
 def _scan_alt_lowrank_core(
-    y, Xm, C, U, lam, h2_null, *, n, prior, reml, optim_interval, precision
+    y, Xm, C, U, lam, h2_null, *, n, prior, reml, optim_interval, precision,
+    effects=False,
 ):
-    """(ells, h2s, ell0): per-marker alt fits + the null log-likelihood at
-    ``h2_null``. Under REML, the LOD-forming likelihoods (alt AND null)
-    are re-evaluated with ML at the fitted h2s — REML log-likelihoods are
-    not comparable across different fixed-effect designs."""
+    """(ells, h2s, ell0[, beta, se]): per-marker alt fits (+ optional GLS
+    effects from the SAME parts pass — recomputing the O(n k p) base
+    projections for an effects-enabled alt scan would double the GEMM
+    work). Under REML, the LOD-forming likelihoods (alt AND null) are
+    re-evaluated with ML at the fitted h2s — REML log-likelihoods are not
+    comparable across different fixed-effect designs; under ML the caller
+    uses the host fit's null ell, so ell0 is only computed when needed."""
     lr = LowRankKinship(U=U, lam=lam)
     kdt = precision.resolve_kernel()
     parts = _base_parts(y, Xm, C, lr, **_parts_kwargs(precision))
@@ -888,9 +893,13 @@ def _scan_alt_lowrank_core(
         parts, lam_k, prior,
         n=n, reml=reml, optim_interval=optim_interval, ml_ells=reml,
     )
-    ell0 = null_ell_lowrank(
-        parts, lam_k, h2_null, prior, n=n, reml=False
-    )[0]
+    ell0 = (
+        null_ell_lowrank(parts, lam_k, h2_null, prior, n=n, reml=False)[0]
+        if reml else jnp.zeros((), dtype=ells.dtype)
+    )
+    if effects:
+        beta, se = effects_alt_per_marker_lowrank(parts, lam_k, h2s, n)
+        return ells, h2s, ell0, beta, se
     return ells, h2s, ell0
 
 

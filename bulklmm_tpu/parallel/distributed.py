@@ -68,7 +68,21 @@ def init_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        # jax's genuinely-already-initialized message is
+        # "distributed.initialize should only be called once." — no-op,
+        # as documented. "must be called before" means some backend was
+        # touched first in THIS process: surface it with actionable advice.
+        if "once" in msg:
+            pass
+        elif "before" in msg:
+            raise RuntimeError(
+                "jax.distributed.initialize must run before any JAX "
+                "backend initializes: call init_distributed (or "
+                "jax.distributed.initialize) before the first array/device "
+                "operation in this process."
+            ) from e
+        else:
             raise
     return jax.process_index()
 

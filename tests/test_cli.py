@@ -247,22 +247,40 @@ def test_cli_scan_and_kinship_lowrank(csv_data):
 
 
 def test_cli_kinship_reuse_and_output_guard(csv_data):
+    # self-sufficient: generate this test's own kinship artifacts (no
+    # dependence on other tests' outputs / execution order)
+    r0 = _run(["kinship", "--geno", "geno.csv", "--exclude-complements",
+               "-o", "K_reuse.csv"], csv_data)
+    assert r0.returncode == 0, r0.stderr[-500:]
+    r0b = _run(["kinship", "--geno", "geno.csv", "--exclude-complements",
+                "--lowrank-k", "8", "-o", "K_reuse_lr.npz"], csv_data)
+    assert r0b.returncode == 0, r0b.stderr[-500:]
+    rf = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "fast32",
+               "-o", "full_reuse.npz"], csv_data)
+    assert rf.returncode == 0, rf.stderr[-500:]
     # bulkscan refuses a non-.npz output with a clear message
     r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
-              "--pheno", "pheno.csv", "-o", "lods.csv"], csv_data)
+              "--pheno", "pheno.csv", "-o", "lods_bad.csv"], csv_data)
     assert r.returncode != 0 and ".npz" in (r.stderr + r.stdout)
     # precomputed dense kinship (kinship subcommand CSV) feeds bulkscan
     r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
                "--pheno", "pheno.csv", "--precision", "fast32",
-               "--kinship", "K.csv", "-o", "reuse.npz"], csv_data)
+               "--kinship", "K_reuse.csv", "-o", "reuse.npz"], csv_data)
     assert r2.returncode == 0, r2.stderr[-500:]
-    full = np.load(csv_data / "lods.npz")  # from test_cli_bulkscan
+    full = np.load(csv_data / "full_reuse.npz")
     reuse = np.load(csv_data / "reuse.npz")
     assert np.allclose(reuse["L"], full["L"], atol=1e-5)
     # rank-k factor file (kinship --lowrank-k) feeds scan
     r3 = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
                "--pheno", "pheno.csv", "--trait", "0",
-               "--kinship", "K_lr.npz", "-o", "scan_klr.npz"], csv_data)
+               "--kinship", "K_reuse_lr.npz", "-o", "scan_klr.npz"], csv_data)
     assert r3.returncode == 0, r3.stderr[-500:]
     z = np.load(csv_data / "scan_klr.npz")
     assert np.isfinite(z["lod"]).all()
+    # silent-conflict guards: --loco + --kinship is rejected
+    r4 = _run(["scan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--trait", "0", "--loco",
+               "--gmap", "gmap.csv", "--kinship", "K_reuse.csv",
+               "-o", "x.npz"], csv_data)
+    assert r4.returncode != 0 and "--kinship" in (r4.stderr + r4.stdout)
