@@ -1,0 +1,76 @@
+"""Randomized cross-engine consistency sweep.
+
+For a handful of random configurations (shapes, covariates, weights,
+REML), the fast bulk engines must reproduce the single-trait reference
+path under h2-injection (the reference's own consistency strategy,
+test/bulkscan_test.jl:86-107), and the rank-k engine at full rank must
+match the rotated engine. Catches configuration-dependent regressions the
+fixed-shape suites can miss.
+"""
+
+import numpy as np
+import pytest
+
+import bulklmm_tpu as bl
+
+
+def _config(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(24, 56))
+    p = int(rng.integers(20, 60))
+    m = int(rng.integers(2, 5))
+    c = int(rng.integers(0, 3))
+    G = rng.uniform(0, 1, (n, p))
+    K = np.asarray(bl.calc_kinship(G))
+    L = np.linalg.cholesky(K + 1e-8 * np.eye(n))
+    Y = 0.6 * (L @ rng.normal(size=(n, m))) + rng.normal(size=(n, m))
+    covar = rng.normal(size=(n, c)) if c else None
+    weights = (
+        rng.uniform(0.5, 2.0, size=n) if rng.integers(0, 2) else None
+    )
+    reml = bool(rng.integers(0, 2))
+    return G, K, Y, covar, weights, reml
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 51])
+def test_bulk_engines_match_single_trait_random_config(seed):
+    G, K, Y, covar, weights, reml = _config(seed)
+    # single-trait fits give the h2s to inject into the grid
+    h2s, lods = [], []
+    for j in range(Y.shape[1]):
+        r = bl.scan(Y[:, j], G, K, covar, weights=weights, reml=reml)
+        h2s.append(float(r.h2_null))
+        lods.append(np.asarray(r.lod))
+    grid = np.asarray(sorted(set(h2s)))
+    res = bl.bulkscan(
+        Y, G, K, covar, weights=weights, reml=reml,
+        method="null-grid", h2_grid=grid,
+    )
+    for j in range(Y.shape[1]):
+        np.testing.assert_allclose(
+            np.asarray(res.L)[:, j], lods[j], atol=1e-6,
+            err_msg=f"seed={seed} trait={j}",
+        )
+    # null-exact agrees without injection
+    res2 = bl.bulkscan(
+        Y, G, K, covar, weights=weights, reml=reml, method="null-exact"
+    )
+    for j in range(Y.shape[1]):
+        np.testing.assert_allclose(
+            np.asarray(res2.L)[:, j], lods[j], atol=5e-5,
+            err_msg=f"null-exact seed={seed} trait={j}",
+        )
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_lowrank_full_rank_matches_rotated_random_config(seed):
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    G, K, Y, covar, _, reml = _config(seed)
+    lr = kinship_lowrank_exact(K, K.shape[0])  # k = n: exact
+    a = bl.bulkscan(Y, G, K, covar, reml=reml)
+    b = bl.bulkscan(Y, G, lr, covar, reml=reml)
+    np.testing.assert_allclose(
+        np.asarray(a.L), np.asarray(b.L), atol=1e-6,
+        err_msg=f"seed={seed}",
+    )
