@@ -32,6 +32,8 @@ def csv_data(tmp_path_factory):
 def _run(args, cwd):
     env = {k: v for k, v in os.environ.items() if "AXON" not in k and "PALLAS" not in k}
     env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "bulklmm_tpu"] + args,
         capture_output=True, text=True, cwd=cwd, env=env, timeout=300,

@@ -80,7 +80,7 @@ def test_sharded_permutations_and_thresholds(bxd_like, mesh):
 def test_calc_kinship_sharded(bxd_like, mesh):
     """shard_map kinship over the markers axis == single-device kinship."""
     import numpy as np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from bulklmm_tpu.ops.kinship import calc_kinship, calc_kinship_sharded
