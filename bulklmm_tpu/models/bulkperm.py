@@ -134,18 +134,22 @@ def _perm_common_inputs(
 
 
 def _resolve_perm_engine(
-    engine, n, *, on_tpu, precision, tile_p=512, interpret=False
+    engine, n, *, on_tpu, precision, tile_p=512, interpret=False,
+    p=None, xla_trait_block=16,
 ):
     """Engine + perm-chunk cap policy shared by the three entry points.
 
-    Returns ``(eng, cap)``: ``cap`` is the Pallas perm-chunk bound (None
-    for the XLA engine). "auto" picks the fused kernel on TPU at f32 GEMM
-    dtype, falling back to XLA when n is too large for even a 128-wide
-    pre-shuffled residual block to fit VMEM; explicit "pallas" raises a
-    clear error instead — at such n, off-TPU without ``interpret=True``
-    (the call would otherwise die in Mosaic lowering), or under a non-f32
-    GEMM dtype (the kernel casts to f32, which would silently downgrade an
-    f64 precision config).
+    Returns ``(eng, cap)``: ``cap`` is the engine's perm-chunk bound —
+    the fused kernel's VMEM limit for "pallas", a memory-sane chunk width
+    for "xla" (``ops.bulkperm.xla_perm_chunk_cap``; requires ``p``, the
+    marker width a chunk sees, and ``xla_trait_block``, the XLA engine's
+    per-call trait-block size) or None when ``p`` is not supplied. "auto"
+    picks the fused kernel on TPU at f32 GEMM dtype, falling back to XLA
+    when n is too large for even a 128-wide pre-shuffled residual block to
+    fit VMEM; explicit "pallas" raises a clear error instead — at such n,
+    off-TPU without ``interpret=True`` (the call would otherwise die in
+    Mosaic lowering), or under a non-f32 GEMM dtype (the kernel casts to
+    f32, which would silently downgrade an f64 precision config).
     """
     if engine == "pallas" and not interpret:
         # interpret=True is explicit test/debug mode: it may drive the f32
@@ -163,12 +167,22 @@ def _resolve_perm_engine(
                 "engine='pallas' requires a TPU backend; on other backends "
                 "pass interpret=True (test/debug mode) or use engine='xla'."
             )
+    def xla_cap():
+        if p is None:
+            return None
+        from ..ops.bulkperm import xla_perm_chunk_cap
+
+        return xla_perm_chunk_cap(
+            n, p, trait_chunk=xla_trait_block,
+            gemm_itemsize=jnp.dtype(precision.resolve_gemm()).itemsize,
+        )
+
     use_pallas = engine == "pallas" or (
         engine == "auto" and on_tpu
         and precision.resolve_gemm() == jnp.float32
     )
     if not use_pallas:
-        return "xla", None
+        return "xla", xla_cap()
     from ..ops.bulkperm import pallas_perm_chunk_cap
 
     cap = pallas_perm_chunk_cap(n, tile_p)
@@ -179,7 +193,7 @@ def _resolve_perm_engine(
                 f"n={n} (the (8, n, 128) pre-shuffled residual block "
                 f"exceeds VMEM); use engine='xla' or 'auto'."
             )
-        return "xla", None
+        return "xla", xla_cap()
     return "pallas", cap
 
 
@@ -530,6 +544,8 @@ def bulkscan_perms(
     eng, cap = _resolve_perm_engine(
         engine, n, on_tpu=jax.default_backend() == "tpu",
         precision=precision, tile_p=tile_p, interpret=interpret,
+        p=G.shape[1],
+        xla_trait_block=16 if trait_chunk is None else trait_chunk,
     )
     if cap is not None:
         perm_chunk = min(perm_chunk, cap)

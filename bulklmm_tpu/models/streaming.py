@@ -517,6 +517,8 @@ def bulkscan_perms_streamed(
     eng, cap = _resolve_perm_engine(
         engine, n, on_tpu=jax.default_backend() == "tpu",
         precision=precision, tile_p=tile_p, interpret=interpret,
+        p=block,
+        xla_trait_block=16 if trait_chunk is None else trait_chunk,
     )
     if cap is not None:
         perm_chunk = min(perm_chunk, cap)

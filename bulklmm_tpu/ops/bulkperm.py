@@ -220,6 +220,26 @@ def pallas_perm_chunk_cap(
     return (cap // 128) * 128
 
 
+def xla_perm_chunk_cap(
+    n: int, p: int, trait_chunk: int = 16, gemm_itemsize: int = 4,
+    budget_bytes: int = 2 * 1024 * 1024 * 1024,
+) -> int:
+    """Permutation-chunk width bound for the full-rank XLA engine.
+
+    Per (trait chunk, perm chunk) step :func:`max_r2_perms_xla`
+    materializes the (mb, Kc, p) numerator and the (Kc, n, mb)
+    pre-shuffled residual gather. On TPU, XLA keeps ~3 live copies of the
+    numerator across the 6-pass HIGHEST dots (remat buffers), and a
+    float64 GEMM is emulated as stacked f32 partial-product passes that
+    inflate the live set a further ~8x (observed HLO at BXD scale: three
+    f32[8, mb, Kc, p] buffers -> 21 GB for mb=16, Kc=1001, p=7321 — an
+    OOM the Pallas engine never hits because its running max stays in
+    VMEM). Bound Kc so the worst case stays inside ``budget_bytes``."""
+    mult = 12 if gemm_itemsize <= 4 else 96
+    per_kc = mult * max(trait_chunk, 1) * (max(p, 1) + max(n, 1))
+    return max(64, int(budget_bytes // per_kc))
+
+
 def lowrank_perm_chunk_cap(
     n: int, p: int, trait_chunk: int = 16,
     budget_bytes: int = 2 * 1024 * 1024 * 1024,

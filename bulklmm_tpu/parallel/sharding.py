@@ -512,14 +512,20 @@ def bulkscan_perms_sharded(
         optim_interval=optim_interval, precision=precision,
     )
 
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
     # engine choice keys off the MESH's devices, not the session default
-    # backend (a CPU dry-run mesh can coexist with a TPU default backend)
+    # backend (a CPU dry-run mesh can coexist with a TPU default backend).
+    # The XLA memory cap sees the PER-DEVICE trait block against the
+    # replicated marker panel (each device runs one _chunk_impl tile).
     eng, cap = _resolve_perm_engine(
         engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
         precision=precision, tile_p=tile_p, interpret=interpret,
+        p=X0m.shape[1],
+        xla_trait_block=(
+            16 if trait_chunk is None else max(1, trait_chunk // tshards)
+        ),
     )
-    tshards = mesh.shape[TRAITS_AXIS]
-    mshards = mesh.shape[MARKERS_AXIS]
     # per-device trait blocks: multiples of 8 for the Pallas output tile
     quantum = tshards * (8 if eng == "pallas" else 1)
     if trait_chunk is None:

@@ -544,3 +544,42 @@ def test_altgrid_feasibility_bounds():
     assert not fused_alt_grid_feasible(12_000)
     # shrinking tiles extends the feasible range
     assert fused_alt_grid_feasible(12_000, tile_p=128, tile_m=256)
+
+
+def test_xla_perm_chunk_cap_policy():
+    """The full-rank XLA engine gets a memory-aware perm-chunk cap (the
+    f64-on-TPU formulation previously built ~21 GB of emulation
+    intermediates at mb=16, Kc=1001, p=7321 and OOMed a 16 GB chip)."""
+    import jax.numpy as jnp
+
+    from bulklmm_tpu.models.bulkperm import _resolve_perm_engine
+    from bulklmm_tpu.ops.bulkperm import xla_perm_chunk_cap
+    from bulklmm_tpu.utils.config import EXACT64, FAST32, PrecisionConfig
+
+    # f64 at BXD scale must chunk well below the 2048 default
+    cap64 = xla_perm_chunk_cap(79, 7321, trait_chunk=16, gemm_itemsize=8)
+    assert 64 <= cap64 < 1001
+    # f32 at BXD scale must NOT force extra chunks at nperms=1000
+    cap32 = xla_perm_chunk_cap(79, 7321, trait_chunk=16, gemm_itemsize=4)
+    assert cap32 >= 1001
+    # tiny test shapes are never constrained (CPU suite unaffected)
+    assert xla_perm_chunk_cap(30, 50, trait_chunk=16, gemm_itemsize=8) > 10_000
+
+    # engine resolution threads the cap through for every XLA fallback
+    eng, cap = _resolve_perm_engine(
+        "auto", 79, on_tpu=True, precision=EXACT64, p=7321,
+        xla_trait_block=16,
+    )
+    assert eng == "xla" and cap == cap64
+    eng, cap = _resolve_perm_engine(
+        "xla", 79, on_tpu=True, precision=FAST32, p=7321, xla_trait_block=16,
+    )
+    assert eng == "xla" and cap == cap32
+    # n too large for the fused kernel's VMEM block -> XLA fallback is capped
+    eng, cap = _resolve_perm_engine(
+        "auto", 20_000, on_tpu=True,
+        precision=PrecisionConfig(solve_dtype=jnp.float32,
+                                  gemm_dtype=jnp.float32),
+        p=100_000, xla_trait_block=16,
+    )
+    assert eng == "xla" and cap is not None and cap < 2048
