@@ -442,6 +442,179 @@ def _bulkperm_sharded_fn(mesh, engine, n, precision, tile_p, interpret):
     )
 
 
+@lru_cache(maxsize=None)
+def _bulkperm_lr_block_fn(mesh, precision):
+    """shard_map-wrapped rank-k per-trait-block marker parts (qX, xn):
+    traits-sharded, marker panel and (n, k) factor replicated. Computed once
+    per trait block and reused by every permutation chunk (mirrors the
+    single-device hoisting, models/bulkperm.py::_bulkperm_lr_trait_block)."""
+    from ..ops.bulkperm import lowrank_perm_trait_marker_parts
+
+    f = partial(lowrank_perm_trait_marker_parts, precision=precision)
+    return jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),               # X (n, p) replicated
+                P(None, None),               # U (n, k) replicated
+                P(None, None),               # UtX (k, p)
+                P(None, None),               # UtX^2 (k, p)
+                P(None),                     # marker norms (p,)
+                P(TRAITS_AXIS, None),        # sqrt(w)-1 (mb, k)
+                P(TRAITS_AXIS, None, None),  # covariate bases (mb, c, n)
+            ),
+            out_specs=(P(TRAITS_AXIS, None, None), P(TRAITS_AXIS, None)),
+        )
+    )
+
+
+@lru_cache(maxsize=None)
+def _bulkperm_lr_chunk_fn(mesh, n, precision):
+    """shard_map-wrapped rank-k perm chunk core: device (i, j) computes
+    trait shard i x permutation shard j via the Woodbury whitening split
+    (ops/bulkperm.py::max_r2_perms_lowrank_xla) — the genome-wide max over
+    markers is device-local against the replicated panel, so the engine is
+    collective-free like the full-rank path."""
+    from ..ops.bulkperm import max_r2_perms_lowrank_xla, maxr2_to_lod
+
+    def f(X, U, UtX, sm1_b, Q_b, qXs, xns, wrn_b, idx_blk):
+        maxr2 = max_r2_perms_lowrank_xla(
+            X, U, UtX, sm1_b, Q_b, qXs, xns, wrn_b, idx_blk,
+            precision=precision,
+        )
+        return maxr2_to_lod(maxr2, n, precision=precision)
+
+    return jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),               # X
+                P(None, None),               # U
+                P(None, None),               # UtX
+                P(TRAITS_AXIS, None),        # sm1
+                P(TRAITS_AXIS, None, None),  # Q
+                P(TRAITS_AXIS, None, None),  # qXs
+                P(TRAITS_AXIS, None),        # xns
+                P(None, TRAITS_AXIS),        # whitened residuals (n, mb)
+                P(MARKERS_AXIS, None),       # shuffle indices (perm shards)
+            ),
+            out_specs=P(TRAITS_AXIS, MARKERS_AXIS),
+        )
+    )
+
+
+def _bulkscan_perms_lowrank_sharded(
+    Y, G, lr, covar, mesh, *,
+    nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
+    precision, trait_chunk, perm_chunk, original,
+):
+    """Rank-k (Woodbury) permutation engine on the device mesh.
+
+    Same numerics as the single-device rank-k path
+    (models/bulkperm.py::_bulkscan_perms_lowrank); traits shard the traits
+    axis and permutation columns the markers axis. This is the
+    beyond-the-eigh-wall cohort's (n ~ 1e5) multi-chip path — exactly the
+    scale that needs the most devices. Reference capability being scaled:
+    src/scan.jl:485-557 (permutation testing).
+    """
+    from ..models.bulkperm import (
+        BulkPermResult, _attach_adj_pvals, _bulkperm_lr_marker_prep,
+        _bulkperm_prep_traits_lowrank,
+    )
+    from ..ops.bulkperm import lowrank_perm_chunk_cap, permutation_indices
+
+    n, m = Y.shape
+    dtype = precision.resolve_solve()
+    U = jnp.asarray(lr.U, dtype=dtype)
+    lam = jnp.asarray(lr.lam, dtype=dtype)
+
+    h2_list, sigma2_list, sm1, Qstack, wrn = _bulkperm_prep_traits_lowrank(
+        Y.astype(dtype), covar.astype(dtype), U, lam, h2_grid.astype(dtype),
+        n=n, prior=prior, reml=reml, method=method,
+        optim_interval=optim_interval, precision=precision,
+    )
+
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
+    X = jnp.asarray(G, dtype=dtype)
+    p = X.shape[1]
+    if trait_chunk is None:
+        trait_chunk = 16 * tshards
+    trait_chunk += (-trait_chunk) % tshards
+    # per-DEVICE perm width: the rank-k memory bound sees the per-device
+    # trait block (ceiling division — the block rounds UP to tshards)
+    pc_dev = min(
+        perm_chunk,
+        lowrank_perm_chunk_cap(n, p, trait_chunk=-(-trait_chunk // tshards)),
+    )
+    chunk_glob = pc_dev * mshards
+
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+
+    UtX, UtX2, xsq = _bulkperm_lr_marker_prep(X, U, precision=precision)
+    rep = NamedSharding(mesh, P(None, None))
+    X = jax.device_put(X, rep)
+    U = jax.device_put(U, rep)
+    UtX = jax.device_put(UtX, rep)
+    UtX2 = jax.device_put(UtX2, rep)
+    xsq = jax.device_put(xsq, NamedSharding(mesh, P(None)))
+
+    block = _bulkperm_lr_block_fn(mesh, precision)
+    run = _bulkperm_lr_chunk_fn(mesh, n, precision)
+
+    # perm rows pad to the markers-axis quantum with identity-permutation
+    # repeats (their columns are sliced off)
+    idx_chunks = []
+    for ks in range(0, K_total, chunk_glob):
+        blk = idx[ks:min(ks + chunk_glob, K_total)]
+        k_pad = (-blk.shape[0]) % mshards
+        if k_pad:
+            blk = jnp.concatenate([blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0)
+        idx_chunks.append((
+            jax.device_put(blk, NamedSharding(mesh, P(MARKERS_AXIS, None))),
+            min(ks + chunk_glob, K_total) - ks,
+        ))
+
+    trait_rows = []
+    for ms in range(0, m, trait_chunk):
+        me = min(ms + trait_chunk, m)
+        mb = me - ms
+        sm1_b, Q_b, wrn_b = sm1[ms:me], Qstack[ms:me], wrn[:, ms:me]
+        if mb % tshards:
+            pad = -mb % tshards
+            sm1_b = jnp.pad(sm1_b, ((0, pad), (0, 0)))
+            Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
+            wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+        sm1_b = jax.device_put(sm1_b, NamedSharding(mesh, P(TRAITS_AXIS, None)))
+        Q_b = jax.device_put(
+            Q_b, NamedSharding(mesh, P(TRAITS_AXIS, None, None))
+        )
+        wrn_b = jax.device_put(wrn_b, NamedSharding(mesh, P(None, TRAITS_AXIS)))
+        qXs, xns = block(X, U, UtX, UtX2, xsq, sm1_b, Q_b)
+        perm_cols = [
+            run(X, U, UtX, sm1_b, Q_b, qXs, xns, wrn_b, blk)[:mb, :kw]
+            for blk, kw in idx_chunks
+        ]
+        trait_rows.append(
+            perm_cols[0] if len(perm_cols) == 1
+            else jnp.concatenate(perm_cols, axis=1)
+        )
+    maxlods = (
+        trait_rows[0] if len(trait_rows) == 1
+        else jnp.concatenate(trait_rows, axis=0)
+    )
+    return _attach_adj_pvals(BulkPermResult(
+        maxlods=maxlods,
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    ))
+
+
 def bulkscan_perms_sharded(
     Y,
     G,
@@ -490,10 +663,10 @@ def bulkscan_perms_sharded(
         mesh = make_mesh()
     from ..ops.lowrank import LowRankKinship
 
-    if isinstance(K, LowRankKinship):
+    if isinstance(K, LowRankKinship) and engine == "pallas":
         raise ValueError(
-            "bulkscan_perms_sharded requires a full-rank kinship; the rank-k "
-            "Woodbury permutation engine is single-device (bulkscan_perms)."
+            "engine='pallas' is not available for LowRankKinship inputs "
+            "(the fused kernel assumes the rotated basis); use 'auto'/'xla'."
         )
 
     Y, G, K, covar, h2_grid, prior = _perm_common_inputs(
@@ -501,6 +674,16 @@ def bulkscan_perms_sharded(
         h2_grid=h2_grid, weights=weights, add_intercept=add_intercept,
         prior_variance=prior_variance, prior_sample_size=prior_sample_size,
     )
+
+    if isinstance(K, LowRankKinship):
+        return _bulkscan_perms_lowrank_sharded(
+            Y, G, K, covar, mesh,
+            nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
+            prior=prior, reml=reml, optim_interval=optim_interval,
+            precision=precision, trait_chunk=trait_chunk,
+            perm_chunk=perm_chunk, original=original,
+        )
+
     n, m = Y.shape
     dtype = precision.resolve_solve()
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)

@@ -159,3 +159,40 @@ def test_sharded_with_covariates(bxd_like, mesh):
     a = bulkscan_sharded(Y, G, K, covar, mesh=mesh)
     b = bulkscan(Y, G, K, covar)
     assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-9
+
+
+def test_lowrank_perms_sharded_matches_single_device(bxd_like, mesh):
+    """Rank-k (Woodbury) permutation engine on the mesh: the beyond-the-
+    eigh-wall cohort's multi-chip path (VERDICT r2 item 2). Must equal the
+    single-device rank-k bulkscan_perms exactly — the chunk core is the
+    same Woodbury whitening, tiled traits x perms over the mesh."""
+    from bulklmm_tpu import bulkscan_perms
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+    from bulklmm_tpu.parallel import bulkscan_perms_sharded
+
+    Y, G, K = bxd_like["Y"][:, :10], bxd_like["G"], bxd_like["K"]
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    a = bulkscan_perms_sharded(Y, G, lr, mesh=mesh, nperms=99, rndseed=5)
+    b = bulkscan_perms(Y, G, lr, nperms=99, rndseed=5)
+    assert a.maxlods.shape == b.maxlods.shape == (10, 100)
+    assert float(jnp.max(jnp.abs(a.maxlods - b.maxlods))) < 1e-9
+    assert float(jnp.max(jnp.abs(a.h2_null_list - b.h2_null_list))) < 1e-12
+    # odd trait count + sub-shard chunking exercise the padding paths
+    c = bulkscan_perms_sharded(
+        Y[:, :7], G, lr, mesh=mesh, nperms=99, rndseed=5, trait_chunk=3,
+        perm_chunk=32,
+    )
+    d = bulkscan_perms(Y[:, :7], G, lr, nperms=99, rndseed=5)
+    assert float(jnp.max(jnp.abs(c.maxlods - d.maxlods))) < 1e-9
+
+
+def test_lowrank_perms_sharded_rejects_pallas(bxd_like, mesh):
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+    from bulklmm_tpu.parallel import bulkscan_perms_sharded
+
+    lr = kinship_lowrank_exact(bxd_like["K"], 10)
+    with pytest.raises(ValueError, match="pallas"):
+        bulkscan_perms_sharded(
+            bxd_like["Y"][:, :4], bxd_like["G"], lr, mesh=mesh,
+            nperms=9, engine="pallas",
+        )
