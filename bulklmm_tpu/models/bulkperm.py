@@ -175,6 +175,8 @@ def _resolve_perm_engine(
         return xla_perm_chunk_cap(
             n, p, trait_chunk=xla_trait_block,
             gemm_itemsize=jnp.dtype(precision.resolve_gemm()).itemsize,
+            kernel_itemsize=jnp.dtype(precision.resolve_kernel()).itemsize,
+            on_tpu=on_tpu,
         )
 
     use_pallas = engine == "pallas" or (

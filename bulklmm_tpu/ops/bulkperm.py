@@ -222,6 +222,7 @@ def pallas_perm_chunk_cap(
 
 def xla_perm_chunk_cap(
     n: int, p: int, trait_chunk: int = 16, gemm_itemsize: int = 4,
+    kernel_itemsize: int = 4, on_tpu: bool = True,
     budget_bytes: int = 2 * 1024 * 1024 * 1024,
 ) -> int:
     """Permutation-chunk width bound for the full-rank XLA engine.
@@ -234,8 +235,19 @@ def xla_perm_chunk_cap(
     inflate the live set a further ~8x (observed HLO at BXD scale: three
     f32[8, mb, Kc, p] buffers -> 21 GB for mb=16, Kc=1001, p=7321 — an
     OOM the Pallas engine never hits because its running max stays in
-    VMEM). Bound Kc so the worst case stays inside ``budget_bytes``."""
-    mult = 12 if gemm_itemsize <= 4 else 96
+    VMEM). Bound Kc so the worst case stays inside ``budget_bytes``.
+
+    The numerator and r2 temps live in the KERNEL dtype (the chunk core
+    casts them up, e.g. MIXED = f32 GEMMs, f64 kernel), so the live set is
+    sized from the wider of the two itemsizes. Off-TPU (native f64, no
+    remat of emulation passes) only ~3 plain-dtype copies are live — the
+    TPU-worst-case multiplier would shrink chunks ~8x for nothing but
+    dispatch overhead at large n*p."""
+    itemsize = max(gemm_itemsize, kernel_itemsize)
+    if on_tpu:
+        mult = 12 if itemsize <= 4 else 96
+    else:
+        mult = 3 * itemsize
     per_kc = mult * max(trait_chunk, 1) * (max(p, 1) + max(n, 1))
     return max(64, int(budget_bytes // per_kc))
 

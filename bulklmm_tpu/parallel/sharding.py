@@ -81,6 +81,38 @@ def _pad_cols(A: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
     return A, k
 
 
+def _core_trait_chunks(core, Ycols, mesh: Mesh, trait_chunk: Optional[int]):
+    """Run a sharded bulkscan core over host-side GLOBAL trait chunks.
+
+    Bounds per-device peak memory exactly like the single-device engines'
+    chunking (models/bulkscan.py::_chunk_traits): (p, m)-scale
+    intermediates exist only at (p, chunk) size per step. Each chunk pads
+    up to the traits-axis shard count, is placed ``P(None, "traits")``, and
+    the padded columns are sliced off before the along-trait concatenation
+    — at most two distinct chunk widths ever compile (body + remainder).
+
+    Returns ``(tuple-of-outputs concatenated along the trait (last) axis,
+    m_orig)``; marker-axis padding is the caller's to slice.
+    """
+    tshards = mesh.shape[TRAITS_AXIS]
+    m = Ycols.shape[1]
+
+    def one(block):
+        mb = block.shape[1]
+        Yp, _ = _pad_cols(block, tshards)
+        Ys = jax.device_put(Yp, NamedSharding(mesh, P(None, TRAITS_AXIS)))
+        return tuple(x[..., :mb] for x in core(Ys))
+
+    if trait_chunk is None:
+        return one(Ycols), m
+    tc = max(int(trait_chunk), 1)
+    tc += (-tc) % tshards
+    chunks = [one(Ycols[:, s : min(s + tc, m)]) for s in range(0, m, tc)]
+    if len(chunks) == 1:
+        return chunks[0], m
+    return tuple(jnp.concatenate(ps, axis=-1) for ps in zip(*chunks)), m
+
+
 def shard_rotated(y0, X0, lam, n_covars: int, mesh: Mesh):
     """Place rotated data on the mesh: traits sharded, markers sharded,
     covariates + eigenvalues replicated. Pads trait/marker counts up to the
@@ -136,6 +168,7 @@ def bulkscan_sharded(
     solve_method: str = "qr",
     precision: PrecisionConfig = DEFAULT_PRECISION,
     output_effects: bool = False,
+    trait_chunk: Optional[int] = None,
 ) -> BulkScanResult:
     """Multi-trait scan sharded over a device mesh.
 
@@ -144,7 +177,12 @@ def bulkscan_sharded(
     :func:`make_mesh`, including a multi-host one. ``output_effects``
     attaches the sharded (p, m) GLS effects + Wald SEs (null methods; the
     effects kernel contracts over the replicated individuals axis, so it
-    stays collective-free like the LOD kernel).
+    stays collective-free like the LOD kernel). ``trait_chunk`` bounds
+    per-device peak memory exactly like the single-device engines'
+    chunking (models/bulkscan.py::_chunk_traits): the cores see GLOBAL
+    trait blocks of at most ``trait_chunk`` columns (rounded up to the
+    traits-axis shard count), so (p, m)-scale intermediates exist only at
+    (p, chunk) size per device step.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -192,30 +230,32 @@ def bulkscan_sharded(
                 [jnp.ones((n, 1), dtype=covar.dtype), covar], axis=1
             )
         dtype = precision.resolve_solve()
-        tshards = mesh.shape[TRAITS_AXIS]
         mshards = mesh.shape[MARKERS_AXIS]
-        Yp, m = _pad_cols(Y.astype(dtype), tshards)
         Gp, p = _pad_cols(G.astype(dtype), mshards)
-        Ys = jax.device_put(Yp, NamedSharding(mesh, P(None, TRAITS_AXIS)))
         Gs = jax.device_put(Gp, NamedSharding(mesh, P(None, MARKERS_AXIS)))
         Cs = jax.device_put(covar.astype(dtype), NamedSharding(mesh, P(None, None)))
         Us = jax.device_put(K.U.astype(dtype), NamedSharding(mesh, P(None, None)))
         lams = jax.device_put(K.lam.astype(dtype), NamedSharding(mesh, P(None)))
-        out = _bulkscan_lowrank_core(
-            Ys, Gs, Cs, Us, lams, jnp.asarray(h2_grid, dtype=dtype),
-            n=n, prior=prior, reml=reml, precision=precision,
-            method=method, optim_interval=optim_interval,
-            effects=output_effects and method != "alt-grid",
-        )
+        grid = jnp.asarray(h2_grid, dtype=dtype)
+
+        def lr_core(Ys):
+            return _bulkscan_lowrank_core(
+                Ys, Gs, Cs, Us, lams, grid,
+                n=n, prior=prior, reml=reml, precision=precision,
+                method=method, optim_interval=optim_interval,
+                effects=output_effects and method != "alt-grid",
+            )
+
+        out, m = _core_trait_chunks(lr_core, Y.astype(dtype), mesh, trait_chunk)
         if method == "alt-grid":
-            result = BulkScanResult(L=out[0][:p, :m], h2_panel=out[1][:p, :m])
+            result = BulkScanResult(L=out[0][:p], h2_panel=out[1][:p])
         else:
-            result = BulkScanResult(L=out[0][:p, :m], h2_null_list=out[1][:m])
+            result = BulkScanResult(L=out[0][:p], h2_null_list=out[1])
             if output_effects:
                 # fused: the effects come from the SAME parts pass as the
                 # LODs (ops/lowrank.py::lods_and_effects_lowrank)
-                result.beta_mat = out[2][:p, :m]
-                result.beta_se_mat = out[3][:p, :m]
+                result.beta_mat = out[2][:p]
+                result.beta_se_mat = out[3][:p]
         if output_pvals:
             from ..ops.lod import lod2log10p
 
@@ -238,48 +278,51 @@ def bulkscan_sharded(
         add_intercept=add_intercept, decomp_scheme=decomp_scheme,
         precision=precision,
     )
-    tshards = mesh.shape[TRAITS_AXIS]
     mshards = mesh.shape[MARKERS_AXIS]
-    y0p, m = _pad_cols(rot.y0, tshards)
     Gp, p = _pad_cols(G.astype(rot.y0.dtype), mshards)
-    y0s = jax.device_put(y0p, NamedSharding(mesh, P(None, TRAITS_AXIS)))
     C0s = jax.device_put(rot.X0, NamedSharding(mesh, P(None, None)))
     lams = jax.device_put(rot.lam, NamedSharding(mesh, P(None)))
     Gs = jax.device_put(Gp, NamedSharding(mesh, P(None, MARKERS_AXIS)))
     Uts = jax.device_put(Ut, NamedSharding(mesh, P(None, None)))
     X0ms = _rotate_markers_sharded(mesh, precision.gemm_precision)(Uts, Gs)
 
+    grid = h2_grid.astype(rot.y0.dtype)
     if method == "null-grid":
-        out = _bulkscan_null_grid_core(
-            y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
-            prior=prior, reml=reml, method=solve_method,
-            precision=precision, effects=output_effects,
-        )
-        result = BulkScanResult(L=out[0][:p, :m], h2_null_list=out[1][:m])
+        def core(y0s):
+            return _bulkscan_null_grid_core(
+                y0s, X0ms, C0s, lams, grid,
+                prior=prior, reml=reml, method=solve_method,
+                precision=precision, effects=output_effects,
+            )
     elif method == "null-exact":
-        out = _bulkscan_null_exact_core(
-            y0s, X0ms, C0s, lams,
-            prior=prior, reml=reml, method=solve_method,
-            optim_interval=optim_interval, precision=precision,
-            effects=output_effects,
-        )
-        result = BulkScanResult(L=out[0][:p, :m], h2_null_list=out[1][:m])
+        def core(y0s):
+            return _bulkscan_null_exact_core(
+                y0s, X0ms, C0s, lams,
+                prior=prior, reml=reml, method=solve_method,
+                optim_interval=optim_interval, precision=precision,
+                effects=output_effects,
+            )
     elif method == "alt-grid":
-        L, h2_panel = _bulkscan_alt_grid_core(
-            y0s, X0ms, C0s, lams, h2_grid.astype(y0s.dtype),
-            prior=prior, reml=reml, method=solve_method,
-            precision=precision,
-        )
-        result = BulkScanResult(L=L[:p, :m], h2_panel=h2_panel[:p, :m])
+        def core(y0s):
+            return _bulkscan_alt_grid_core(
+                y0s, X0ms, C0s, lams, grid,
+                prior=prior, reml=reml, method=solve_method,
+                precision=precision,
+            )
     else:
         raise ValueError(
             "method must be one of 'null-grid', 'null-exact', 'alt-grid'"
         )
+    out, m = _core_trait_chunks(core, rot.y0, mesh, trait_chunk)
+    if method == "alt-grid":
+        result = BulkScanResult(L=out[0][:p], h2_panel=out[1][:p])
+    else:
+        result = BulkScanResult(L=out[0][:p], h2_null_list=out[1])
     if output_effects and method != "alt-grid":
         # fused: the effects come from the SAME (c+2)-GEMM parts pass as the
         # LODs (ops/liteqtl.py::lods_and_effects_per_trait)
-        result.beta_mat = out[2][:p, :m]
-        result.beta_se_mat = out[3][:p, :m]
+        result.beta_mat = out[2][:p]
+        result.beta_se_mat = out[3][:p]
     if output_pvals:
         from ..ops.lod import lod2log10p
 
@@ -706,7 +749,9 @@ def bulkscan_perms_sharded(
         precision=precision, tile_p=tile_p, interpret=interpret,
         p=X0m.shape[1],
         xla_trait_block=(
-            16 if trait_chunk is None else max(1, trait_chunk // tshards)
+            # ceiling: the actual per-device block is trait_chunk rounded
+            # UP to a tshards multiple, so the memory cap must see it
+            16 if trait_chunk is None else max(1, -(-trait_chunk // tshards))
         ),
     )
     # per-device trait blocks: multiples of 8 for the Pallas output tile

@@ -179,10 +179,11 @@ def test_bulkscan_perms_validation(perm_data):
     lr = bl.LowRankKinship(
         U=np.linalg.eigh(K)[1][:, -4:], lam=np.linalg.eigh(K)[0][-4:]
     )
-    # rank-k runs through bulkscan_perms (Woodbury whitening engine), but
-    # the sharded variant stays full-rank-only
-    with pytest.raises(ValueError, match="full-rank"):
-        bl.parallel.bulkscan_perms_sharded(Y, G, lr, nperms=4)
+    # rank-k runs through the Woodbury whitening engine on both the single-
+    # device and sharded entry points; only the fused Pallas kernel (rotated
+    # basis) is incompatible with it
+    with pytest.raises(ValueError, match="pallas"):
+        bl.parallel.bulkscan_perms_sharded(Y, G, lr, nperms=4, engine="pallas")
 
 
 def test_bulkscan_perms_sharded_matches_unsharded(perm_data, singles):

@@ -196,3 +196,37 @@ def test_lowrank_perms_sharded_rejects_pallas(bxd_like, mesh):
             bxd_like["Y"][:, :4], bxd_like["G"], lr, mesh=mesh,
             nperms=9, engine="pallas",
         )
+
+
+@pytest.mark.parametrize("method", ["null-grid", "null-exact", "alt-grid"])
+def test_sharded_trait_chunk_matches_unchunked(bxd_like, mesh, method):
+    """trait_chunk through the sharded engine (VERDICT r2 item 3): global
+    trait blocks bound per-device memory; numerics must be unchanged,
+    including an uneven remainder chunk and the effects outputs."""
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    a = bulkscan_sharded(Y, G, K, mesh=mesh, method=method, trait_chunk=7)
+    b = bulkscan_sharded(Y, G, K, mesh=mesh, method=method)
+    assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-12
+    if method == "alt-grid":
+        assert float(jnp.max(jnp.abs(a.h2_panel - b.h2_panel))) < 1e-12
+    else:
+        assert float(jnp.max(jnp.abs(a.h2_null_list - b.h2_null_list))) < 1e-12
+    if method == "null-grid":
+        c = bulkscan_sharded(
+            Y, G, K, mesh=mesh, method=method, trait_chunk=8,
+            output_effects=True,
+        )
+        d = bulkscan(Y, G, K, method=method, output_effects=True)
+        assert float(jnp.max(jnp.abs(c.beta_mat - d.beta_mat))) < 1e-9
+        assert float(jnp.max(jnp.abs(c.beta_se_mat - d.beta_se_mat))) < 1e-9
+
+
+def test_sharded_lowrank_trait_chunk(bxd_like, mesh):
+    from bulklmm_tpu.ops.lowrank import kinship_lowrank_exact
+
+    Y, G, K = bxd_like["Y"], bxd_like["G"], bxd_like["K"]
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    a = bulkscan_sharded(Y, G, lr, mesh=mesh, trait_chunk=5)
+    b = bulkscan_sharded(Y, G, lr, mesh=mesh)
+    assert float(jnp.max(jnp.abs(a.L - b.L))) < 1e-12
+    assert float(jnp.max(jnp.abs(a.h2_null_list - b.h2_null_list))) < 1e-12
