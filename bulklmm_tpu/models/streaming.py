@@ -106,16 +106,20 @@ def _blocks(p, block):
         yield lo, min(lo + block, p)
 
 
-def _stream_loop(G, p, block, dtype, compute, write):
+def _stream_loop(G, p, block, dtype, compute, write, sharding=None):
     """Double-buffered block pipeline: while block i computes on device, the
     host slices + uploads block i+1 (``device_put`` is async), and only the
-    result readback blocks. Hides host->HBM transfer behind compute."""
+    result readback blocks. Hides host->HBM transfer behind compute.
+    ``sharding`` places each uploaded block on a mesh (markers sharded) so
+    the per-block kernel runs multi-device."""
     spans = list(_blocks(p, block))
-    Xb = _pad_block(G, spans[0][0], spans[0][1], block, dtype)
+    Xb = _pad_block(G, spans[0][0], spans[0][1], block, dtype, sharding)
     for i, (lo, hi) in enumerate(spans):
         res = compute(Xb)  # async dispatch
         if i + 1 < len(spans):
-            Xb = _pad_block(G, spans[i + 1][0], spans[i + 1][1], block, dtype)
+            Xb = _pad_block(
+                G, spans[i + 1][0], spans[i + 1][1], block, dtype, sharding
+            )
         write(lo, hi, res)  # np.asarray readback synchronizes block i
 
 
@@ -142,10 +146,18 @@ def bulkscan_streamed(
     out_pvals=None,
     engine: str = "auto",
     output_effects: bool = False,
+    mesh=None,
 ) -> BulkScanResult:
     """Bulk scan over a HOST-resident genotype panel, streamed in marker
     blocks — for p too large to hold (n, p) genotypes or the (p, m) LOD
     matrix on device.
+
+    ``mesh`` (optional ``jax.sharding.Mesh`` from
+    ``bulklmm_tpu.parallel.make_mesh``) composes streaming with the device
+    mesh: each uploaded marker block is placed ``P(None, "markers")`` and
+    trait columns ``P(None, "traits")``, so every per-block kernel runs
+    sharded — the p-beyond-one-HBM axis and the multi-chip axis scale
+    together. Numerics are unchanged (same kernels, placement only).
 
     ``G`` is any sliceable host (n, p) array — plain numpy or ``np.memmap``.
     ``out`` (optional) receives the (p, m) LODs; pass an ``np.memmap`` when
@@ -177,6 +189,21 @@ def bulkscan_streamed(
 
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
+    blk_shd = trait_shd = rep_shd = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel.sharding import MARKERS_AXIS, TRAITS_AXIS, _pad_cols
+
+        # static block width must divide evenly over the markers axis
+        block += (-block) % mesh.shape[MARKERS_AXIS]
+        blk_shd = NamedSharding(mesh, _P(None, MARKERS_AXIS))
+        trait_shd = NamedSharding(mesh, _P(None, TRAITS_AXIS))
+        rep_shd = NamedSharding(mesh, _P())
+        # trait columns pad to the traits-axis shard count; every host
+        # write below slices back to the caller's m
+        Y, _ = _pad_cols(jnp.asarray(Y), mesh.shape[TRAITS_AXIS])
     if out is None:
         # default host result dtype follows the kernel dtype so EXACT64
         # runs are not truncated; callers can pass f32 (or a memmap) to
@@ -216,13 +243,20 @@ def bulkscan_streamed(
             Y, G, covar, K, out,
             method=method, block=block, h2_grid=h2_grid, prior=prior,
             reml=reml, optim_interval=optim_interval, precision=precision,
-            pv=pv, chisq_df=chisq_df, dtype=dtype, n=n, eff=eff,
+            pv=pv, chisq_df=chisq_df, dtype=dtype, n=n, eff=eff, m_out=m,
+            blk_shd=blk_shd, trait_shd=trait_shd, rep_shd=rep_shd,
         )
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     Yd = Y.astype(dtype)
     Cd = covar.astype(dtype)
     grid_d = h2_grid.astype(dtype)
+    if mesh is not None:
+        Yd = jax.device_put(Yd, trait_shd)
+        Cd = jax.device_put(Cd, rep_shd)
+        Ut = jax.device_put(Ut, rep_shd)
+        lam = jax.device_put(lam, rep_shd)
+        grid_d = jax.device_put(grid_d, rep_shd)
 
     if method == "alt-grid":
         from .bulkscan import _altgrid_feasible, _guard_pallas_altgrid
@@ -231,18 +265,20 @@ def bulkscan_streamed(
         Y0 = jnp.matmul(Ut, Yd)
         C0 = jnp.matmul(Ut, Cd)
         h2_panel = np.empty((p, m), dtype=np.float32)
-        use_pallas = engine == "pallas" or (
+        # the fused Pallas block kernel is single-device; on a mesh the
+        # XLA formulation partitions via sharding propagation instead
+        use_pallas = mesh is None and (engine == "pallas" or (
             engine == "auto"
             and jax.default_backend() == "tpu"
             and precision.resolve_gemm() == jnp.float32
             and h2_grid.shape[0] <= 127
             and _altgrid_feasible(n)
-        )
+        ))
 
         def write_alt(lo, hi, res):
             Lb, h2b = res
-            out[lo:hi] = np.asarray(Lb[: hi - lo])
-            h2_panel[lo:hi] = np.asarray(h2b[: hi - lo])
+            out[lo:hi] = np.asarray(Lb[: hi - lo, :m])
+            h2_panel[lo:hi] = np.asarray(h2b[: hi - lo, :m])
             if pv is not None:
                 pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
 
@@ -254,6 +290,7 @@ def bulkscan_streamed(
                 use_pallas=use_pallas,
             ),
             write_alt,
+            sharding=blk_shd,
         )
         result = BulkScanResult(L=out, h2_panel=h2_panel)
     else:
@@ -267,11 +304,11 @@ def bulkscan_streamed(
         def write_null(lo, hi, res):
             if eff is not None:
                 Lb, bb, sb = res
-                eff[0][lo:hi] = np.asarray(bb[: hi - lo])
-                eff[1][lo:hi] = np.asarray(sb[: hi - lo])
+                eff[0][lo:hi] = np.asarray(bb[: hi - lo, :m])
+                eff[1][lo:hi] = np.asarray(sb[: hi - lo, :m])
             else:
                 Lb = res
-            out[lo:hi] = np.asarray(Lb[: hi - lo])
+            out[lo:hi] = np.asarray(Lb[: hi - lo, :m])
             if pv is not None:
                 pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
 
@@ -282,8 +319,9 @@ def bulkscan_streamed(
                 effects=eff is not None,
             ),
             write_null,
+            sharding=blk_shd,
         )
-        result = BulkScanResult(L=out, h2_null_list=h2_list)
+        result = BulkScanResult(L=out, h2_null_list=h2_list[:m])
 
     if eff is not None:
         result.beta_mat, result.beta_se_mat = eff
@@ -293,15 +331,17 @@ def bulkscan_streamed(
     return result
 
 
-def _pad_block(G, lo, hi, block, dtype):
-    """Upload one host marker block, zero-padded to the static block size."""
+def _pad_block(G, lo, hi, block, dtype, sharding=None):
+    """Upload one host marker block, zero-padded to the static block size;
+    ``sharding`` (optional NamedSharding) splits the block's marker columns
+    over a mesh so downstream kernels run multi-device."""
     Xb = np.asarray(G[:, lo:hi], dtype=np.dtype(dtype).name)
     if Xb.shape[1] < block:
         Xb = np.concatenate(
             [Xb, np.zeros((Xb.shape[0], block - Xb.shape[1]), dtype=Xb.dtype)],
             axis=1,
         )
-    return jax.device_put(Xb)
+    return jax.device_put(Xb) if sharding is None else jax.device_put(Xb, sharding)
 
 
 # ---------------------------------------------------------------------------
@@ -341,14 +381,23 @@ def _lr_trait_fit(Y, C, U, lam, h2_grid, *, n, prior, reml, method,
 
 def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
                       reml, optim_interval, precision, pv, chisq_df,
-                      dtype, n, eff=None):
-    m = Y.shape[1]
+                      dtype, n, eff=None, m_out=None,
+                      blk_shd=None, trait_shd=None, rep_shd=None):
+    m = Y.shape[1] if m_out is None else m_out
     p = G.shape[1]
     Yd = Y.astype(dtype)
     Cd = covar.astype(dtype)
     U = K.U.astype(dtype)
     lam = K.lam.astype(dtype)
     grid_d = h2_grid.astype(dtype)
+    if trait_shd is not None:
+        # mesh composition: trait columns sharded, the (n, k) factor and
+        # covariates replicated; marker blocks arrive P(None, "markers")
+        Yd = jax.device_put(Yd, trait_shd)
+        Cd = jax.device_put(Cd, rep_shd)
+        U = jax.device_put(U, rep_shd)
+        lam = jax.device_put(lam, rep_shd)
+        grid_d = jax.device_put(grid_d, rep_shd)
 
     tbase, h2_list = _lr_trait_fit(
         Yd, Cd, U, lam, grid_d,
@@ -363,14 +412,14 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
     def write(lo, hi, res):
         if alt:
             Lb, h2b = res
-            h2_panel[lo:hi] = np.asarray(h2b[: hi - lo])
+            h2_panel[lo:hi] = np.asarray(h2b[: hi - lo, :m])
         elif eff is not None:
             Lb, bb, sb = res
-            eff[0][lo:hi] = np.asarray(bb[: hi - lo])
-            eff[1][lo:hi] = np.asarray(sb[: hi - lo])
+            eff[0][lo:hi] = np.asarray(bb[: hi - lo, :m])
+            eff[1][lo:hi] = np.asarray(sb[: hi - lo, :m])
         else:
             Lb = res
-        out[lo:hi] = np.asarray(Lb[: hi - lo])
+        out[lo:hi] = np.asarray(Lb[: hi - lo, :m])
         if pv is not None:
             pv[lo:hi] = lod2log10p(out[lo:hi], chisq_df)
 
@@ -382,11 +431,12 @@ def _streamed_lowrank(Y, G, covar, K, out, *, method, block, h2_grid, prior,
             effects=eff is not None,
         ),
         write,
+        sharding=blk_shd,
     )
     if method == "alt-grid":
         result = BulkScanResult(L=out, h2_panel=h2_panel)
     else:
-        result = BulkScanResult(L=out, h2_null_list=h2_list)
+        result = BulkScanResult(L=out, h2_null_list=h2_list[:m])
         if eff is not None:
             result.beta_mat, result.beta_se_mat = eff
     if pv is not None:

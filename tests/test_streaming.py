@@ -119,3 +119,49 @@ def test_streamed_pvals_blockwise_memmap(cohort, tmp_path):
                                  marker_block=16)
     assert np.max(np.abs(st_lr.log10Pvals_mat
                          - np.asarray(ref_lr.log10Pvals_mat))) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def vmesh():
+    import jax
+
+    from bulklmm_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, marker_shards=2)
+
+
+@pytest.mark.parametrize("method", ["null-grid", "null-exact", "alt-grid"])
+def test_streamed_on_mesh_matches_inmemory(cohort, vmesh, method):
+    """Streamed x sharded composition (VERDICT r2 item 4): host marker
+    blocks placed P(None, 'markers'), traits P(None, 'traits'); per-block
+    kernels run sharded. Must equal the in-memory engine; odd trait count
+    and a block width that does not divide the markers axis exercise the
+    padding/rounding paths."""
+    G, K, Y, covar = cohort
+    res = bl.bulkscan_streamed(
+        Y[:, :7], G, K, method=method, marker_block=13, mesh=vmesh
+    )
+    ref = bl.bulkscan(Y[:, :7], G, K, method=method)
+    assert np.max(np.abs(np.asarray(res.L) - np.asarray(ref.L))) < 1e-9
+    if method == "alt-grid":
+        assert np.max(np.abs(np.asarray(res.h2_panel) - np.asarray(ref.h2_panel))) < 1e-9
+    else:
+        assert res.h2_null_list.shape == (7,)
+        assert np.max(np.abs(np.asarray(res.h2_null_list) - np.asarray(ref.h2_null_list))) < 1e-12
+
+
+def test_streamed_on_mesh_lowrank_and_effects(cohort, vmesh):
+    G, K, Y, covar = cohort
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    res = bl.bulkscan_streamed(Y[:, :6], G, lr, marker_block=16, mesh=vmesh)
+    ref = bl.bulkscan(Y[:, :6], G, lr)
+    assert np.max(np.abs(np.asarray(res.L) - np.asarray(ref.L))) < 1e-9
+    # effects stream through the same sharded per-block pass
+    re2 = bl.bulkscan_streamed(
+        Y[:, :6], G, K, marker_block=16, mesh=vmesh, output_effects=True
+    )
+    rf2 = bl.bulkscan(Y[:, :6], G, K, output_effects=True)
+    assert np.max(np.abs(np.asarray(re2.beta_mat) - np.asarray(rf2.beta_mat))) < 1e-9
+    assert np.max(np.abs(np.asarray(re2.beta_se_mat) - np.asarray(rf2.beta_se_mat))) < 1e-9
