@@ -188,6 +188,14 @@ def _scan(args):
     print(json.dumps(meta))
 
 
+def _make_cli_mesh(args):
+    """Mesh over the visible devices for --sharded (optionally splitting a
+    model-parallel markers axis with --marker-shards)."""
+    from .parallel import make_mesh
+
+    return make_mesh(marker_shards=args.marker_shards or None)
+
+
 def _bulkscan(args):
     precision = _resolve_precision(args)
     from . import bulkscan, bulkscan_loco
@@ -196,6 +204,14 @@ def _bulkscan(args):
         raise SystemExit(
             "bulkscan writes multiple arrays; -o/--output must end in .npz"
         )
+    sharded = args.sharded
+    stream = args.stream_markers
+    if args.loco and (sharded or stream):
+        raise SystemExit(
+            "--loco does not compose with --sharded/--stream-markers; run "
+            "per-chromosome scans sharded via the Python API"
+        )
+    mesh = _make_cli_mesh(args) if sharded else None
     G = _load_geno(args)
     Y = _load_pheno(args)
     kwargs = dict(
@@ -235,7 +251,22 @@ def _bulkscan(args):
                 # one decomposition serves the scan AND the permutation
                 # engine below — a raw K would pay the O(n^3) eigh twice
                 K = decompose_kinship(np.asarray(K))
-        res = bulkscan(Y, G, K, **kwargs)
+        if stream:
+            # host-resident genotype panel streamed in marker blocks;
+            # composes with --sharded (per-block kernels run on the mesh)
+            from . import bulkscan_streamed
+
+            skw = dict(kwargs)
+            skw.pop("trait_chunk")  # size marker blocks instead
+            res = bulkscan_streamed(
+                Y, G, K, marker_block=stream, mesh=mesh, **skw
+            )
+        elif mesh is not None:
+            from .parallel import bulkscan_sharded
+
+            res = bulkscan_sharded(Y, G, K, mesh=mesh, **kwargs)
+        else:
+            res = bulkscan(Y, G, K, **kwargs)
     out = {"L": np.asarray(res.L)}
     if args.effects:
         out["beta"] = np.asarray(res.beta_mat)
@@ -267,6 +298,21 @@ def _bulkscan(args):
                 Y, G, chrom,
                 lowrank_k=getattr(args, "lowrank_k", 0), **perm_kwargs,
             )
+        elif stream and mesh is not None:
+            raise SystemExit(
+                "--nperms with both --stream-markers and --sharded is not "
+                "supported yet; drop one of the two"
+            )
+        elif stream:
+            from . import bulkscan_perms_streamed
+
+            pr = bulkscan_perms_streamed(
+                Y, G, K, marker_block=stream, **perm_kwargs
+            )
+        elif mesh is not None:
+            from .parallel import bulkscan_perms_sharded
+
+            pr = bulkscan_perms_sharded(Y, G, K, mesh=mesh, **perm_kwargs)
         else:
             # K from the scan branch above: dense, or rank-k with
             # --lowrank-k (bulkscan_perms runs the Woodbury whitening path)
@@ -277,6 +323,78 @@ def _bulkscan(args):
         out["log10_adj_pvals"] = np.asarray(pr.log10_adj_pvals)
     np.savez_compressed(args.output, **out)
     print(f"bulkscan {out['L'].shape} ({args.method}) -> {args.output}")
+
+
+def _podscan(args):
+    """One process of a multi-host (pod) run: jax.distributed handshake,
+    local trait block in, per-process shard file out (no host ever gathers
+    the full matrix). Every host runs the same command with its own --pid."""
+    precision = _resolve_precision(args)
+    from pathlib import Path
+
+    from .parallel import (
+        bulkscan_distributed,
+        bulkscan_perms_distributed,
+        init_distributed,
+        local_trait_slice,
+        make_global_mesh,
+    )
+
+    if (args.coordinator is not None) != (args.nproc is not None) or (
+        args.coordinator is not None
+    ) != (args.pid is not None):
+        raise SystemExit(
+            "--coordinator/--nproc/--pid must be given together (or all "
+            "omitted for a single-process run)"
+        )
+    pid = init_distributed(args.coordinator, args.nproc, args.pid)
+    save_dir = args.save_shards or str(Path(args.output).parent)
+
+    G = _load_geno(args)
+    Y = _load_pheno(args)
+    mesh = make_global_mesh()
+    sl = local_trait_slice(Y.shape[1], mesh)
+    K = _load_kinship(args, G, precision)
+
+    if args.nperms > 0:
+        _, lo, hi = bulkscan_perms_distributed(
+            Y[:, sl], G, K, m_total=Y.shape[1], mesh=mesh,
+            save_dir=save_dir, nperms=args.nperms, rndseed=args.seed,
+            method=args.method, reml=args.reml, precision=precision,
+        )
+        shard = f"perm_shard_{pid:05d}.npz"
+    else:
+        res = bulkscan_distributed(
+            Y[:, sl], G, K, m_total=Y.shape[1], mesh=mesh,
+            method=args.method, reml=args.reml, precision=precision,
+            save_dir=save_dir,
+        )
+        lo, hi = res.trait_lo, res.trait_hi
+        shard = f"lod_shard_{pid:05d}.npz"
+    print(json.dumps({
+        "pid": pid, "traits": [int(lo), int(hi)],
+        "shard": str(Path(save_dir) / shard),
+    }))
+
+
+def _merge_shards(args):
+    from .parallel import merge_perm_shards, merge_shards
+
+    if args.perms:
+        maxlods = merge_perm_shards(args.shards_dir)
+        from . import get_thresholds_bulk
+
+        # merged maxima are (m, 1 + nperms) with the unpermuted column
+        # first (original=True default); replicates are columns 1:
+        thr = get_thresholds_bulk(maxlods[:, 1:], [0.10, 0.05, 0.01])
+        np.savez_compressed(
+            args.output, perm_maxlods=maxlods, thresholds=thr.thrs
+        )
+        print(f"merged perm maxima {maxlods.shape} -> {args.output}")
+    else:
+        L = merge_shards(args.shards_dir)
+        np.savez_compressed(args.output, L=L)
+        print(f"merged LODs {L.shape} -> {args.output}")
 
 
 def main(argv=None):
@@ -352,7 +470,67 @@ def main(argv=None):
         "--effects", action="store_true",
         help="also output (p, m) GLS effect sizes + Wald SEs (null methods)",
     )
+    b.add_argument(
+        "--sharded", action="store_true",
+        help="run on a device mesh over all visible chips "
+        "(traits data-parallel; see --marker-shards)",
+    )
+    b.add_argument(
+        "--marker-shards", type=int, default=0,
+        help="with --sharded: split off a model-parallel markers axis "
+        "(must divide the device count; 0 = traits-only mesh)",
+    )
+    b.add_argument(
+        "--stream-markers", type=int, default=0, metavar="BLOCK",
+        help="stream the genotype panel through the device in marker "
+        "blocks of this width (for p beyond one HBM); composes with "
+        "--sharded",
+    )
     b.set_defaults(fn=_bulkscan)
+
+    pd = sub.add_parser(
+        "podscan",
+        help="one process of a multi-host (pod) bulkscan: every host runs "
+        "this with the same --coordinator/--nproc and its own --pid, each "
+        "writes its own LOD shard; assemble with merge-shards",
+    )
+    common(pd)
+    pd.add_argument(
+        "--method", choices=["null-grid", "null-exact", "alt-grid"],
+        default="null-grid",
+    )
+    pd.add_argument("--reml", action="store_true")
+    pd.add_argument(
+        "--coordinator", default=None,
+        help="host:port of process 0 (maps to jax.distributed); omit for a "
+        "single-process run",
+    )
+    pd.add_argument("--nproc", type=int, default=None)
+    pd.add_argument("--pid", type=int, default=None)
+    pd.add_argument(
+        "--save-shards", default=None,
+        help="directory for per-process lod_shard_<pid>.npz files "
+        "(default: the -o directory)",
+    )
+    pd.add_argument(
+        "--nperms", type=int, default=0,
+        help=">0 runs the distributed permutation engine instead, writing "
+        "perm_shard_<pid>.npz per process",
+    )
+    pd.add_argument("--seed", type=int, default=0)
+    pd.set_defaults(fn=_podscan)
+
+    mg = sub.add_parser(
+        "merge-shards",
+        help="assemble podscan shard files into one .npz",
+    )
+    mg.add_argument("--shards-dir", required=True)
+    mg.add_argument("-o", "--output", required=True)
+    mg.add_argument(
+        "--perms", action="store_true",
+        help="merge perm_shard_*.npz (permutation maxima) instead of LODs",
+    )
+    mg.set_defaults(fn=_merge_shards)
 
     args = ap.parse_args(argv)
     args.fn(args)

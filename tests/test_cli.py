@@ -286,3 +286,103 @@ def test_cli_kinship_reuse_and_output_guard(csv_data):
                "--gmap", "gmap.csv", "--kinship", "K_reuse.csv",
                "-o", "x.npz"], csv_data)
     assert r4.returncode != 0 and "--kinship" in (r4.stderr + r4.stdout)
+
+
+def test_cli_bulkscan_sharded_and_streamed(csv_data):
+    """--sharded runs on a mesh over the subprocess's virtual devices;
+    --stream-markers streams host blocks; both must match the plain engine
+    (VERDICT r2 item 6)."""
+    base = ["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+            "--pheno", "pheno.csv", "--precision", "fast32"]
+    r0 = _run(base + ["-o", "plain.npz"], csv_data)
+    assert r0.returncode == 0, r0.stderr[-500:]
+    r1 = _run(base + ["--sharded", "--marker-shards", "2", "-o", "shard.npz"],
+              csv_data)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    r2 = _run(base + ["--stream-markers", "16", "-o", "stream.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    r3 = _run(base + ["--sharded", "--stream-markers", "16",
+                      "-o", "both.npz"], csv_data)
+    assert r3.returncode == 0, r3.stderr[-500:]
+    L0 = np.load(csv_data / "plain.npz")["L"]
+    for f in ("shard.npz", "stream.npz", "both.npz"):
+        L = np.load(csv_data / f)["L"]
+        assert L.shape == L0.shape
+        assert np.max(np.abs(L - L0)) < 1e-4, f  # fast32
+
+
+def test_cli_bulkscan_sharded_perms(csv_data):
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--precision", "fast32",
+              "--sharded", "--nperms", "24", "-o", "sp.npz"], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    z = np.load(csv_data / "sp.npz")
+    assert z["perm_maxlods"].shape == (6, 25)
+    assert z["thresholds"].shape == (3, 6)
+
+
+def test_cli_podscan_single_process_and_merge(csv_data, tmp_path):
+    """podscan without --coordinator is a one-process pod; merge-shards
+    assembles its shard file into the final .npz."""
+    shards = tmp_path / "shards"
+    r = _run(["podscan", "--geno", str(csv_data / "geno.csv"),
+              "--exclude-complements", "--pheno", str(csv_data / "pheno.csv"),
+              "--precision", "fast32", "--save-shards", str(shards),
+              "-o", str(tmp_path / "pod.npz")], csv_data)
+    assert r.returncode == 0, r.stderr[-500:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["pid"] == 0 and meta["traits"] == [0, 6]
+    rm = _run(["merge-shards", "--shards-dir", str(shards),
+               "-o", str(tmp_path / "merged.npz")], csv_data)
+    assert rm.returncode == 0, rm.stderr[-500:]
+    L = np.load(tmp_path / "merged.npz")["L"]
+    r0 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "fast32",
+               "-o", "ref.npz"], csv_data)
+    assert r0.returncode == 0
+    L0 = np.load(csv_data / "ref.npz")["L"]
+    assert np.max(np.abs(L - L0)) < 1e-4
+
+
+def test_cli_podscan_two_processes(csv_data, tmp_path):
+    """A real 2-process pod launch through the CLI: shared coordinator,
+    per-process shards, offline merge (incl. the perms path)."""
+    import socket
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("AXON_", "PALLAS_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    shards = tmp_path / "shards"
+    coord = f"127.0.0.1:{free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "bulklmm_tpu", "podscan",
+             "--geno", str(csv_data / "geno.csv"), "--exclude-complements",
+             "--pheno", str(csv_data / "pheno.csv"), "--precision", "fast32",
+             "--coordinator", coord, "--nproc", "2", "--pid", str(i),
+             "--nperms", "16", "--seed", "3",
+             "--save-shards", str(shards), "-o", str(tmp_path / "pod.npz")],
+            env=env, cwd=csv_data,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"pod process {i} failed:\n{out[-2000:]}"
+    assert len(list(shards.glob("perm_shard_*.npz"))) == 2
+    rm = _run(["merge-shards", "--perms", "--shards-dir", str(shards),
+               "-o", str(tmp_path / "perms.npz")], csv_data)
+    assert rm.returncode == 0, rm.stderr[-500:]
+    z = np.load(tmp_path / "perms.npz")
+    assert z["perm_maxlods"].shape == (6, 17)
+    assert z["thresholds"].shape == (3, 6)
