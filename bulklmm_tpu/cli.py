@@ -293,6 +293,16 @@ def _bulkscan(args):
             method=args.method if args.method != "alt-grid" else "null-grid",
             precision=precision,
         )
+        if args.resume:
+            if args.loco or stream:
+                raise SystemExit(
+                    "--resume checkpoints the in-memory permutation engines "
+                    "(plain or --sharded); it does not compose with --loco "
+                    "or --stream-markers"
+                )
+            perm_kwargs["checkpoint"] = args.resume
+            if args.trait_chunk is not None:
+                perm_kwargs["trait_chunk"] = args.trait_chunk
         if args.loco:
             pr = bulkscan_perms_loco(
                 Y, G, chrom,
@@ -469,6 +479,12 @@ def main(argv=None):
     b.add_argument(
         "--effects", action="store_true",
         help="also output (p, m) GLS effect sizes + Wald SEs (null methods)",
+    )
+    b.add_argument(
+        "--resume", metavar="DIR", default=None,
+        help="with --nperms: write per-trait-chunk checkpoints to DIR and "
+        "resume any found there (a preempted sweep continues where it "
+        "stopped; config mismatches are refused)",
     )
     b.add_argument(
         "--sharded", action="store_true",

@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.bulkperm import (
     max_r2_perms_xla,
@@ -88,6 +89,79 @@ def _attach_adj_pvals(result: BulkPermResult) -> BulkPermResult:
             (1.0 + exceed) / (result.nperms + 1.0)
         )
     return result
+
+
+class _PermCheckpoint:
+    """Per-trait-chunk checkpointing for the bulk permutation engines.
+
+    A biobank-scale sweep (m ~ 1e4-1e5 traits x 1e3 perms) loops host-side
+    trait chunks for minutes-to-hours; preemption would lose everything.
+    With a checkpoint directory, each completed (trait chunk) row of
+    genome-wide maxima is written to ``maxlods_<lo>_<hi>.npy`` and a
+    ``meta.json`` fingerprints the run configuration — re-running the same
+    call resumes, computing only the missing chunks (shuffle indices depend
+    only on (n, nperms, rndseed), so recomputed chunks are bit-identical).
+    A config mismatch against an existing meta.json raises instead of
+    silently mixing sweeps. Checkpointing syncs once per trait chunk (the
+    row readback), trading the fully-async pipeline for resumability.
+    """
+
+    def __init__(self, path, meta: dict):
+        import json
+        from pathlib import Path
+
+        self.dir = Path(path)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.meta_path = self.dir / "meta.json"
+        meta = {k: meta[k] for k in sorted(meta)}
+        if self.meta_path.is_file():
+            existing = json.loads(self.meta_path.read_text())
+            if existing != meta:
+                diff = {
+                    k for k in set(existing) | set(meta)
+                    if existing.get(k) != meta.get(k)
+                }
+                raise ValueError(
+                    f"checkpoint directory {self.dir} holds a different "
+                    f"sweep (mismatched keys: {sorted(diff)}); point at a "
+                    "fresh directory or delete it"
+                )
+        else:
+            self.meta_path.write_text(json.dumps(meta, indent=1))
+
+    def load(self, lo: int, hi: int):
+        f = self.dir / f"maxlods_{lo}_{hi}.npy"
+        return np.load(f) if f.is_file() else None
+
+    def save(self, lo: int, hi: int, row) -> None:
+        import os
+        import tempfile
+
+        arr = np.asarray(row)  # syncs this chunk's device work
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.save(fh, arr)
+            # atomic publish: a kill mid-write never leaves a torn chunk
+            os.replace(tmp, self.dir / f"maxlods_{lo}_{hi}.npy")
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+
+def _perm_checkpoint(checkpoint, *, n, m, p, nperms, rndseed, method, reml,
+                     original, trait_chunk, h2_grid, prior, rank):
+    """Build the checkpoint handle (or None) with the run fingerprint."""
+    if checkpoint is None:
+        return None
+    return _PermCheckpoint(checkpoint, dict(
+        n=int(n), m=int(m), p=int(p), nperms=int(nperms),
+        rndseed=int(rndseed), method=str(method), reml=bool(reml),
+        original=bool(original), trait_chunk=int(trait_chunk),
+        h2_grid=[float(v) for v in np.asarray(h2_grid).ravel()],
+        prior=[float(prior[0]), float(prior[1])], rank=str(rank),
+    ))
 
 
 def _perm_common_inputs(
@@ -323,7 +397,7 @@ def _bulkperm_chunk_lowrank(
 def _bulkscan_perms_lowrank(
     Y, G, lr, covar, *,
     nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
-    precision, trait_chunk, perm_chunk, original,
+    precision, trait_chunk, perm_chunk, original, checkpoint=None,
 ):
     """Rank-k engine body for :func:`bulkscan_perms` (same chunk loop and
     result semantics; whitening in standard coordinates). Marker-side
@@ -353,11 +427,22 @@ def _bulkscan_perms_lowrank(
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])
 
+    ckpt = _perm_checkpoint(
+        checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original, trait_chunk=trait_chunk,
+        h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}",
+    )
+
     UtX, UtX2, xsq = _bulkperm_lr_marker_prep(X, U, precision=precision)
 
     trait_rows = []
     for ms in range(0, m, trait_chunk):
         me = min(ms + trait_chunk, m)
+        if ckpt is not None:
+            done = ckpt.load(ms, me)
+            if done is not None:
+                trait_rows.append(jnp.asarray(done))
+                continue
         sm1_b, Q_b = sm1[ms:me], Qstack[ms:me]
         qXs, xns = _bulkperm_lr_trait_block(
             X, U, UtX, UtX2, xsq, sm1_b, Q_b, precision=precision
@@ -369,10 +454,13 @@ def _bulkscan_perms_lowrank(
                 X, U, UtX, sm1_b, Q_b, qXs, xns, wrn[:, ms:me], idx[ks:ke],
                 n=n, precision=precision,
             ))
-        trait_rows.append(
+        row = (
             perm_cols[0] if len(perm_cols) == 1
             else jnp.concatenate(perm_cols, axis=1)
         )
+        if ckpt is not None:
+            ckpt.save(ms, me, row)
+        trait_rows.append(row)
     maxlods = (
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)
@@ -478,6 +566,7 @@ def bulkscan_perms(
     original: bool = True,
     tile_p: int = 512,
     interpret: bool = False,
+    checkpoint=None,
     _adj_pvals: bool = True,
 ) -> BulkPermResult:
     """Permutation-null genome-wide max LODs for every trait at once.
@@ -529,7 +618,7 @@ def bulkscan_perms(
             nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
             prior=prior, reml=reml, optim_interval=optim_interval,
             precision=precision, trait_chunk=trait_chunk,
-            perm_chunk=perm_chunk, original=original,
+            perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
         )
         return _attach_adj_pvals(res) if _adj_pvals else res
     G = jnp.asarray(G)
@@ -557,12 +646,24 @@ def bulkscan_perms(
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])
 
+    ckpt = _perm_checkpoint(
+        checkpoint, n=n, m=m, p=G.shape[1], nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original, trait_chunk=trait_chunk,
+        h2_grid=h2_grid, prior=prior, rank="full",
+    )
+
     # results stay device-resident; every chunk dispatch is async (no host
-    # sync in the loop), so the per-chunk kernels pipeline back-to-back
+    # sync in the loop, unless checkpointing), so the per-chunk kernels
+    # pipeline back-to-back
     trait_rows = []
     for ms in range(0, m, trait_chunk):
         me = min(ms + trait_chunk, m)
         mb = me - ms
+        if ckpt is not None:
+            done = ckpt.load(ms, me)
+            if done is not None:
+                trait_rows.append(jnp.asarray(done))
+                continue
         sw_b, Q_b, wrn_b = sqrtw[ms:me], Qstack[ms:me], wrn[:, ms:me]
         if eng == "pallas" and mb % 8:
             # zero-padded traits: all-zero operands -> max r2 = 0, no NaN
@@ -590,10 +691,13 @@ def bulkscan_perms(
                     tile_p=tile_p, interpret=interpret,
                 )
             perm_cols.append(blk[:mb])
-        trait_rows.append(
+        row = (
             perm_cols[0] if len(perm_cols) == 1
             else jnp.concatenate(perm_cols, axis=1)
         )
+        if ckpt is not None:
+            ckpt.save(ms, me, row)
+        trait_rows.append(row)
     maxlods = (
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)

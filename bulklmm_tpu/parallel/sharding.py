@@ -551,7 +551,7 @@ def _bulkperm_lr_chunk_fn(mesh, n, precision):
 def _bulkscan_perms_lowrank_sharded(
     Y, G, lr, covar, mesh, *,
     nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
-    precision, trait_chunk, perm_chunk, original,
+    precision, trait_chunk, perm_chunk, original, checkpoint=None,
 ):
     """Rank-k (Woodbury) permutation engine on the device mesh.
 
@@ -564,7 +564,7 @@ def _bulkscan_perms_lowrank_sharded(
     """
     from ..models.bulkperm import (
         BulkPermResult, _attach_adj_pvals, _bulkperm_lr_marker_prep,
-        _bulkperm_prep_traits_lowrank,
+        _bulkperm_prep_traits_lowrank, _perm_checkpoint,
     )
     from ..ops.bulkperm import lowrank_perm_chunk_cap, permutation_indices
 
@@ -621,10 +621,21 @@ def _bulkscan_perms_lowrank_sharded(
             min(ks + chunk_glob, K_total) - ks,
         ))
 
+    ckpt = _perm_checkpoint(
+        checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original, trait_chunk=trait_chunk,
+        h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}",
+    )
+
     trait_rows = []
     for ms in range(0, m, trait_chunk):
         me = min(ms + trait_chunk, m)
         mb = me - ms
+        if ckpt is not None:
+            done = ckpt.load(ms, me)
+            if done is not None:
+                trait_rows.append(jnp.asarray(done))
+                continue
         sm1_b, Q_b, wrn_b = sm1[ms:me], Qstack[ms:me], wrn[:, ms:me]
         if mb % tshards:
             pad = -mb % tshards
@@ -641,10 +652,13 @@ def _bulkscan_perms_lowrank_sharded(
             run(X, U, UtX, sm1_b, Q_b, qXs, xns, wrn_b, blk)[:mb, :kw]
             for blk, kw in idx_chunks
         ]
-        trait_rows.append(
+        row = (
             perm_cols[0] if len(perm_cols) == 1
             else jnp.concatenate(perm_cols, axis=1)
         )
+        if ckpt is not None:
+            ckpt.save(ms, me, row)
+        trait_rows.append(row)
     maxlods = (
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)
@@ -684,6 +698,7 @@ def bulkscan_perms_sharded(
     original: bool = True,
     tile_p: int = 512,
     interpret: bool = False,
+    checkpoint=None,
 ):
     """All-trait permutation maxima sharded over the device mesh.
 
@@ -724,7 +739,7 @@ def bulkscan_perms_sharded(
             nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
             prior=prior, reml=reml, optim_interval=optim_interval,
             precision=precision, trait_chunk=trait_chunk,
-            perm_chunk=perm_chunk, original=original,
+            perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
         )
 
     n, m = Y.shape
@@ -787,10 +802,23 @@ def bulkscan_perms_sharded(
             min(ks + chunk_glob, K_total) - ks,
         ))
 
+    from ..models.bulkperm import _perm_checkpoint
+
+    ckpt = _perm_checkpoint(
+        checkpoint, n=n, m=m, p=X0m.shape[1], nperms=nperms,
+        rndseed=rndseed, method=method, reml=reml, original=original,
+        trait_chunk=trait_chunk, h2_grid=h2_grid, prior=prior, rank="full",
+    )
+
     trait_rows = []
     for ms in range(0, m, trait_chunk):
         me = min(ms + trait_chunk, m)
         mb = me - ms
+        if ckpt is not None:
+            done = ckpt.load(ms, me)
+            if done is not None:
+                trait_rows.append(jnp.asarray(done))
+                continue
         sw_b, Q_b, wrn_b = sqrtw[ms:me], Qstack[ms:me], wrn[:, ms:me]
         if mb % quantum:
             pad = -mb % quantum
@@ -806,10 +834,13 @@ def bulkscan_perms_sharded(
             run(X0m, sw_b, Q_b, wrn_b, blk)[:mb, :kw]
             for blk, kw in idx_chunks
         ]
-        trait_rows.append(
+        row = (
             perm_cols[0] if len(perm_cols) == 1
             else jnp.concatenate(perm_cols, axis=1)
         )
+        if ckpt is not None:
+            ckpt.save(ms, me, row)
+        trait_rows.append(row)
     maxlods = (
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)
