@@ -52,6 +52,39 @@ def timeit(fn, *, repeats=3):
     return min(times)
 
 
+def probe_peak_tflops(dtype_name, precision, size=8192, repeats=8):
+    """Empirical square-GEMM throughput ceiling for MFU accounting.
+
+    Device-kind labels through the dispatch tunnel are unreliable (the
+    advertised "TPU v5 lite" sustains ~25-30 PF here), so the MFU
+    denominator is MEASURED: large (size^3) matmuls at the engine's
+    (dtype, precision) pair, CHAINED — each rep's output feeds the next
+    rep's input (normalized to stay finite) so no layer of the stack can
+    dedup/cache repeated identical executions and fake the ceiling.
+    Returns TF/s of nominal (2*M*N*K) FLOPs — multi-pass precisions
+    (HIGHEST = bf16x6) count as ONE nominal op, same convention as the
+    per-config FLOP models.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((size, size)), dtype=dtype_name)
+    b = jnp.asarray(rng.random((size, size)), dtype=dtype_name)
+    f = jax.jit(
+        lambda a, b: jnp.matmul(a, b, precision=precision) / float(size)
+    )
+    b = f(a, b)
+    b.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        b = f(a, b)
+    b.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    return 2.0 * size**3 / dt / 1e12
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller trait count")
@@ -76,6 +109,46 @@ def main():
 
     results = {}
 
+    # Empirical peaks for the two GEMM modes the engines use: XLA paths run
+    # f32 at Precision.HIGHEST (bf16x6), the fused Pallas kernels bf16-class
+    # DEFAULT dots. Nominal-FLOP convention on both sides.
+    peaks = {
+        "f32_highest": round(probe_peak_tflops(jnp.float32, "highest"), 1),
+        "bf16_default": round(probe_peak_tflops(jnp.bfloat16, "default"), 1),
+    }
+    print(json.dumps({"metric": "peak_probe_tflops", **peaks}))
+
+    # Analytic FLOP models (docs/PERF.md "MFU accounting"): dominant GEMM
+    # terms only — rotation 2n^2(p+m+c) + the (c+2) correlation GEMMs
+    # 2npm(c+2) for the null kernels; the alt-grid and permutation kernels
+    # scale the correlation term by the grid width / permutation count.
+    c1 = 1  # intercept-only covariate column in every config below
+    grid = 10
+    nperm1 = 1001
+
+    def rot(mm):
+        return 2.0 * n * n * (p + mm + c1)
+
+    def corr(mm, cols=None):
+        return 2.0 * n * p * (cols if cols is not None else mm) * (c1 + 2)
+
+    flop_model = {
+        "scan_single_trait": (rot(1) + corr(1), "f32_highest"),
+        "scan_single_trait_reml": (rot(1) + corr(1), "f32_highest"),
+        "scan_perms_1000": (rot(1) + corr(1, nperm1), "f32_highest"),
+        "bulkscan_null_grid": (rot(m) + corr(m), "f32_highest"),
+        "bulkscan_null_exact": (rot(m) + corr(m), "f32_highest"),
+        # fused Pallas alt-grid: full grid sweep per marker, DEFAULT dots
+        "bulkscan_alt_grid": (rot(m) + grid * corr(m), "bf16_default"),
+        # per-marker Brent: ~iters grid-likelihood passes dominated by the
+        # (p-batched) WLS ells — count the final correlation pass only
+        # (a LOWER bound; the row is marked approximate)
+        "scan_alt_exact": (rot(1) + corr(1), "f32_highest"),
+        "bulkscan_perms_1000": (
+            rot(m) + 2.0 * n * p * nperm1 * m, "bf16_default",
+        ),
+    }
+
     def record(name, seconds, note=""):
         base = BASELINES.get(name)
         entry = {
@@ -84,10 +157,18 @@ def main():
             "unit": "s",
             "vs_baseline": round(base / seconds, 2) if base else None,
         }
+        fm = flop_model.get(name)
+        if fm is not None:
+            flops, peak_key = fm
+            achieved = flops / seconds / 1e12
+            entry["achieved_tflops"] = round(achieved, 1)
+            entry["mfu"] = round(achieved / peaks[peak_key], 4)
+            entry["mfu_peak"] = peak_key
         if note:
             entry["note"] = note
         results[name] = entry
         print(json.dumps(entry))
+    results["peak_probe_tflops"] = {"metric": "peak_probe_tflops", **peaks}
 
     # NB: every config ends with a device-side checksum + scalar fetch;
     # block_until_ready alone under-reports on asynchronous backends.
@@ -139,17 +220,14 @@ def main():
         r = bl.bulkscan_perms(Yd, Gd, K, nperms=1000, rndseed=0)
         return float(jnp.sum(r.maxlods))
     dt = timeit(f, repeats=1)
-    results["bulkscan_perms_1000"] = {
-        "metric": "bulkscan_perms_1000",
-        "value": round(dt, 5),
-        "unit": "s",
-        "vs_baseline": round(m * BASELINES["scan_perms_1000"] / dt, 1),
-        "note": f"m={m} traits x 1000 perms, per-trait genome-wide null "
+    BASELINES["bulkscan_perms_1000"] = m * BASELINES["scan_perms_1000"]
+    record(
+        "bulkscan_perms_1000", dt,
+        note=f"m={m} traits x 1000 perms, per-trait genome-wide null "
         f"maxima + FWER thresholds; reference equivalent = {m} sequential "
         f"single-trait perm scans ~{m * 0.079:.0f} s (README.md:229-233 "
         "0.079 s/trait)",
-    }
-    print(json.dumps(results["bulkscan_perms_1000"]))
+    )
 
     out = Path(__file__).parent / "results.json"
     out.write_text(json.dumps(results, indent=2) + "\n")

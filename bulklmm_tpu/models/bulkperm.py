@@ -134,20 +134,40 @@ class _PermCheckpoint:
         return np.load(f) if f.is_file() else None
 
     def save(self, lo: int, hi: int, row) -> None:
+        arr = np.asarray(row)  # syncs this chunk's device work
+        self._atomic_write(f"maxlods_{lo}_{hi}.npy", lambda fh: np.save(fh, arr))
+
+    def _atomic_write(self, name: str, write) -> None:
         import os
         import tempfile
 
-        arr = np.asarray(row)  # syncs this chunk's device work
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as fh:
-                np.save(fh, arr)
-            # atomic publish: a kill mid-write never leaves a torn chunk
-            os.replace(tmp, self.dir / f"maxlods_{lo}_{hi}.npy")
+                write(fh)
+            # atomic publish: a kill mid-write never leaves a torn file
+            os.replace(tmp, self.dir / name)
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
+
+    # --- cursor-style state for the marker-STREAMED engine: the (m, K)
+    # running-max accumulator + how many marker blocks folded in so far ---
+
+    def save_state(self, maxima, blocks_done: int) -> None:
+        arr = np.asarray(maxima)
+        self._atomic_write(
+            "acc_state.npz",
+            lambda fh: np.savez(fh, maxima=arr, blocks_done=blocks_done),
+        )
+
+    def load_state(self):
+        f = self.dir / "acc_state.npz"
+        if not f.is_file():
+            return None
+        z = np.load(f)
+        return z["maxima"], int(z["blocks_done"])
 
 
 def _perm_checkpoint(checkpoint, *, n, m, p, nperms, rndseed, method, reml,

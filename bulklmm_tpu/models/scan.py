@@ -43,6 +43,13 @@ from .results import ScanResult
 _LN10 = math.log(10.0)
 
 
+@partial(jax.jit, static_argnames=("c",))
+def _unpack_fit_vec(packed, c):
+    """One dispatch turning the packed ``[b (c,), sigma2, h2, ell]`` device
+    vector into its four views (rank-k scan path; see _host_null_fit)."""
+    return packed[:c][:, None], packed[c], packed[c + 1], packed[c + 2]
+
+
 def _coerce_null_fit(null_fit, c):
     """Accept a precomputed null fit in either form: an LMMResult, or the
     packed ``[b (c,), sigma2, h2, ell]`` device vector from
@@ -464,18 +471,28 @@ def _scan_lowrank(
     n = yd.shape[0]
 
     proj = lrmod._trait_projections_lowrank(yd, C, U, lam, precision=precision)
+    # one batched pytree fetch (k-scale, tiny) instead of per-leaf RPCs
+    proj_h = jax.device_get(proj)
     nf = fit_lmm_host_lowrank(
-        {k2: np.asarray(v) for k2, v in proj.items()},
+        {k2: np.asarray(v, dtype=np.float64) for k2, v in proj_h.items()},
         np.asarray(lam, dtype=np.float64), n, prior,
         reml=reml, optim_interval=optim_interval,
     )
-    h2 = jnp.asarray(nf.h2, dtype=dtype)
-    sigma2_e = jnp.asarray(nf.sigma2, dtype=dtype)
+    # ONE packed upload + one unpacking dispatch (tiny per-scalar uploads
+    # each cost ~6 ms of dispatch-issue latency over the tunnel; see
+    # _host_null_fit on the full-rank path)
+    b_h = np.asarray(nf.b, dtype=np.float64)
+    packed = jnp.asarray(
+        np.concatenate([b_h.ravel(), [float(nf.sigma2), float(nf.h2),
+                                      float(nf.ell)]]),
+        dtype=dtype,
+    )
+    b_dev, sigma2_e, h2, ell_dev = _unpack_fit_vec(packed, int(b_h.size))
 
     if assumption == "null":
         if permutation_test:
             L = lrmod._scan_perms_lowrank_core(
-                yd, Xm, C, U, lam, jnp.asarray(nf.b, dtype=dtype), h2,
+                yd, Xm, C, U, lam, b_dev, h2,
                 nperms=nperms, rndseed=rndseed, method=method,
                 precision=precision, n=n,
             )
@@ -513,9 +530,7 @@ def _scan_lowrank(
         # sides re-evaluate with ML at the fitted h2s (_scan_alt_impl does
         # the same on the full-rank path); under ML the host fit's ell is
         # the backend-deterministic null reference
-        ell_null = (
-            ell0_ml if reml else jnp.asarray(nf.ell, dtype=ells.dtype)
-        )
+        ell_null = ell0_ml if reml else ell_dev.astype(ells.dtype)
         lod = (ells - ell_null) / _LN10
         result = ScanResult(
             sigma2_e=sigma2_e, h2_null=h2, h2_each_marker=h2_each, lod=lod

@@ -509,6 +509,7 @@ def bulkscan_perms_streamed(
     original: bool = True,
     tile_p: int = 512,
     interpret: bool = False,
+    checkpoint=None,
 ):
     """All-trait permutation maxima over a HOST-resident marker panel,
     streamed in marker blocks — for p too large to hold (n, p) genotypes on
@@ -524,6 +525,12 @@ def bulkscan_perms_streamed(
     ``K`` runs the rank-k Woodbury whitening engine per block (no n x n
     kinship, no host eigh, markers streamed from host — the large-n AND
     large-p configuration; XLA engine only).
+
+    ``checkpoint`` (directory) makes the sweep preemption-safe: the (m,
+    1+nperms) running-max accumulator + a marker-block cursor persist
+    atomically after every block; re-running the same call resumes from
+    the last completed block (models/bulkperm.py::_PermCheckpoint — a
+    config mismatch is refused).
     """
     from ..ops.bulkperm import permutation_indices
     from ..ops.lowrank import LowRankKinship
@@ -554,7 +561,7 @@ def bulkscan_perms_streamed(
             nperms=nperms, rndseed=rndseed, method=method, block=block,
             reml=reml, optim_interval=optim_interval, precision=precision,
             trait_chunk=trait_chunk, perm_chunk=perm_chunk,
-            original=original,
+            original=original, checkpoint=checkpoint,
         )
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
@@ -584,7 +591,16 @@ def bulkscan_perms_streamed(
     from .bulkperm import _bulkperm_chunk_xla, _bulkperm_xla_trait_block
 
     acc = {}
-    for lo, hi in _blocks(p, block):
+    spans = list(_blocks(p, block))
+    ck, blocks_done = _stream_perm_ckpt(
+        checkpoint, acc, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original, trait_chunk=trait_chunk,
+        h2_grid=h2_grid, prior=prior, perm_chunk=perm_chunk, block=block,
+        K_total=K_total, rank="full-streamed",
+    )
+    for bi, (lo, hi) in enumerate(spans):
+        if bi < blocks_done:
+            continue
         X0b = _rotate_block(Ut, _pad_block(G, lo, hi, block, dtype))
         for ms in range(0, m, trait_chunk):
             me = min(ms + trait_chunk, m)
@@ -614,6 +630,11 @@ def bulkscan_perms_streamed(
                     )[:mb]
                 key = (ms, ks)
                 acc[key] = blk if key not in acc else jnp.maximum(acc[key], blk)
+        if ck is not None:
+            ck.save_state(
+                _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
+                bi + 1,
+            )
 
     return _attach_adj_pvals(BulkPermResult(
         maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
@@ -639,10 +660,40 @@ def _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk):
     )
 
 
+def _stream_perm_ckpt(checkpoint, acc, *, n, m, p, nperms, rndseed, method,
+                      reml, original, trait_chunk, h2_grid, prior,
+                      perm_chunk, block, K_total, rank):
+    """Checkpoint handle + resume seed for the streamed perm engines:
+    loads the persisted (m, K) running-max state into the per-(trait,
+    perm)-chunk accumulator dict and returns (handle, blocks_done)."""
+    if checkpoint is None:
+        return None, 0
+    from .bulkperm import _perm_checkpoint
+
+    ck = _perm_checkpoint(
+        checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original,
+        trait_chunk=trait_chunk, h2_grid=h2_grid, prior=prior,
+        # the streamed engine's resume state additionally depends on the
+        # block/perm-chunk tiling — fold it into the fingerprint
+        rank=f"{rank}-b{block}-pc{perm_chunk}",
+    )
+    st = ck.load_state()
+    if st is None:
+        return ck, 0
+    maxima, blocks_done = st
+    for ms in range(0, m, trait_chunk):
+        me = min(ms + trait_chunk, m)
+        for ks in range(0, K_total, perm_chunk):
+            ke = min(ks + perm_chunk, K_total)
+            acc[(ms, ks)] = jnp.asarray(maxima[ms:me, ks:ke])
+    return ck, blocks_done
+
+
 def _perms_streamed_lowrank(
     Y, G, lr, covar, h2_grid, prior, *,
     nperms, rndseed, method, block, reml, optim_interval, precision,
-    trait_chunk, perm_chunk, original,
+    trait_chunk, perm_chunk, original, checkpoint=None,
 ):
     """Rank-k body of :func:`bulkscan_perms_streamed`: Woodbury whitening
     in standard coordinates per HOST marker block (models/bulkperm.py
@@ -675,7 +726,16 @@ def _perms_streamed_lowrank(
     K_total = int(idx.shape[0])
 
     acc = {}
-    for lo, hi in _blocks(p, block):
+    spans = list(_blocks(p, block))
+    ck, blocks_done = _stream_perm_ckpt(
+        checkpoint, acc, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original, trait_chunk=trait_chunk,
+        h2_grid=h2_grid, prior=prior, perm_chunk=perm_chunk, block=block,
+        K_total=K_total, rank=f"lowrank{lr.rank}-streamed",
+    )
+    for bi, (lo, hi) in enumerate(spans):
+        if bi < blocks_done:
+            continue
         Xb = _pad_block(G, lo, hi, block, dtype)
         UtX, UtX2, xsq = _bulkperm_lr_marker_prep(Xb, U, precision=precision)
         for ms in range(0, m, trait_chunk):
@@ -694,6 +754,11 @@ def _perms_streamed_lowrank(
                 acc[key] = (
                     blk if key not in acc else jnp.maximum(acc[key], blk)
                 )
+        if ck is not None:
+            ck.save_state(
+                _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
+                bi + 1,
+            )
 
     return _attach_adj_pvals(BulkPermResult(
         maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),

@@ -165,3 +165,50 @@ def test_streamed_on_mesh_lowrank_and_effects(cohort, vmesh):
     rf2 = bl.bulkscan(Y[:, :6], G, K, output_effects=True)
     assert np.max(np.abs(np.asarray(re2.beta_mat) - np.asarray(rf2.beta_mat))) < 1e-9
     assert np.max(np.abs(np.asarray(re2.beta_se_mat) - np.asarray(rf2.beta_se_mat))) < 1e-9
+
+
+def test_streamed_perms_checkpoint_resume(cohort, tmp_path):
+    """Streamed permutation sweeps persist the running-max accumulator +
+    marker-block cursor; a rerun resumes from the last completed block and
+    matches an uninterrupted run exactly (full-rank and rank-k)."""
+    G, K, Y = cohort[0], cohort[1], cohort[2]
+    ref = bl.bulkscan_perms_streamed(
+        Y[:, :5], G, K, nperms=19, rndseed=6, marker_block=16
+    )
+    ck = tmp_path / "fr"
+    a = bl.bulkscan_perms_streamed(
+        Y[:, :5], G, K, nperms=19, rndseed=6, marker_block=16,
+        checkpoint=str(ck),
+    )
+    assert np.max(np.abs(np.asarray(a.maxlods) - np.asarray(ref.maxlods))) < 1e-12
+    st = np.load(ck / "acc_state.npz")
+    # simulate preemption after 2 of 4 blocks: rewind the cursor and the
+    # accumulator to a partial state (only blocks 0-1 folded in)
+    import json
+
+    partial = bl.bulkscan_perms_streamed(
+        Y[:, :5], G[:, :32], K, nperms=19, rndseed=6, marker_block=16
+    )
+    np.savez(ck / "acc_state.npz",
+             maxima=np.asarray(partial.maxlods), blocks_done=2)
+    b = bl.bulkscan_perms_streamed(
+        Y[:, :5], G, K, nperms=19, rndseed=6, marker_block=16,
+        checkpoint=str(ck),
+    )
+    assert np.max(np.abs(np.asarray(b.maxlods) - np.asarray(ref.maxlods))) < 1e-12
+    # rank-k path shares the mechanism
+    lr = kinship_lowrank_exact(K, 15, dtype=jnp.float64)
+    ref_lr = bl.bulkscan_perms_streamed(
+        Y[:, :5], G, lr, nperms=19, rndseed=6, marker_block=16
+    )
+    ck2 = tmp_path / "lr"
+    c = bl.bulkscan_perms_streamed(
+        Y[:, :5], G, lr, nperms=19, rndseed=6, marker_block=16,
+        checkpoint=str(ck2),
+    )
+    d = bl.bulkscan_perms_streamed(
+        Y[:, :5], G, lr, nperms=19, rndseed=6, marker_block=16,
+        checkpoint=str(ck2),
+    )
+    for r in (c, d):
+        assert np.max(np.abs(np.asarray(r.maxlods) - np.asarray(ref_lr.maxlods))) < 1e-12
