@@ -206,10 +206,10 @@ def _bulkscan(args):
         )
     sharded = args.sharded
     stream = args.stream_markers
-    if args.loco and (sharded or stream):
+    if args.loco and stream:
         raise SystemExit(
-            "--loco does not compose with --sharded/--stream-markers; run "
-            "per-chromosome scans sharded via the Python API"
+            "--loco does not compose with --stream-markers; use --sharded "
+            "or stream via the Python API"
         )
     mesh = _make_cli_mesh(args) if sharded else None
     G = _load_geno(args)
@@ -231,7 +231,7 @@ def _bulkscan(args):
     chrom = _loco_chrom(args, G.shape[1]) if args.loco else None
     if args.loco:
         res = bulkscan_loco(
-            Y, G, chrom,
+            Y, G, chrom, mesh=mesh,
             lowrank_k=getattr(args, "lowrank_k", 0), **kwargs,
         )
     else:
@@ -305,7 +305,7 @@ def _bulkscan(args):
                 perm_kwargs["trait_chunk"] = args.trait_chunk
         if args.loco:
             pr = bulkscan_perms_loco(
-                Y, G, chrom,
+                Y, G, chrom, mesh=mesh,
                 lowrank_k=getattr(args, "lowrank_k", 0), **perm_kwargs,
             )
         elif stream and mesh is not None:

@@ -136,6 +136,7 @@ def bulkscan_loco(
     *,
     lowrank_k: int = 0,
     precision: PrecisionConfig = DEFAULT_PRECISION,
+    mesh=None,
     **kwargs,
 ) -> BulkScanResult:
     """Multi-trait LOCO scan: each chromosome's markers against the kinship
@@ -143,8 +144,11 @@ def bulkscan_loco(
 
     ``chromosome``: (p,) labels (e.g. ``read_gmap(...).chromosome``).
     ``lowrank_k`` > 0 uses the rank-k engine per chromosome (no n x n
-    kinship, no host eigh). Remaining keywords go to :func:`bulkscan`
-    (method, reml, output_pvals, output_effects, trait_chunk, ...).
+    kinship, no host eigh). ``mesh`` (a ``jax.sharding.Mesh``) runs each
+    chromosome's scan on the device mesh (:func:`bulklmm_tpu.parallel.
+    bulkscan_sharded` — numerics unchanged). Remaining keywords go to
+    :func:`bulkscan` (method, reml, output_pvals, output_effects,
+    trait_chunk, ...).
     Per-trait null h2 is chromosome-specific; ``h2_null_by_chrom`` maps
     ``chrom -> (m,)`` (or ``(p_c, m)`` panels for alt-grid).
     """
@@ -161,7 +165,17 @@ def bulkscan_loco(
     for c, mask, K in _iter_loco(
         G, chromosome, lowrank_k=lowrank_k, precision=precision
     ):
-        res = bulkscan(Y2, G[:, mask], K, covar, precision=precision, **kwargs)
+        if mesh is not None:
+            from ..parallel.sharding import bulkscan_sharded
+
+            res = bulkscan_sharded(
+                Y2, G[:, mask], K, covar, mesh=mesh,
+                precision=precision, **kwargs,
+            )
+        else:
+            res = bulkscan(
+                Y2, G[:, mask], K, covar, precision=precision, **kwargs
+            )
         idx = np.flatnonzero(mask)
         L[idx] = np.asarray(res.L)
         h2_by_chrom[c] = (
@@ -275,6 +289,7 @@ def bulkscan_perms_loco(
     rndseed: int = 0,
     lowrank_k: int = 0,
     share_shuffles: bool = False,
+    mesh=None,
     **kwargs,
 ):
     """All-trait LOCO permutation maxima: per chromosome, markers scan
@@ -311,12 +326,23 @@ def bulkscan_perms_loco(
     for i, (c, mask, K) in enumerate(_iter_loco(
         G, chromosome, lowrank_k=lowrank_k, precision=precision
     )):
-        res = bulkscan_perms(
-            Y, G[:, mask], K, covar, precision=precision,
-            rndseed=base_seed if share_shuffles else base_seed + i,
-            _adj_pvals=False,  # recomputed once on the stitched maxima
-            **kwargs,
-        )
+        if mesh is not None:
+            from ..parallel.sharding import bulkscan_perms_sharded
+
+            # adj p-values recomputed once on the stitched maxima below
+            # (the per-chromosome ones are dropped with the partial result)
+            res = bulkscan_perms_sharded(
+                Y, G[:, mask], K, covar, mesh=mesh, precision=precision,
+                rndseed=base_seed if share_shuffles else base_seed + i,
+                **kwargs,
+            )
+        else:
+            res = bulkscan_perms(
+                Y, G[:, mask], K, covar, precision=precision,
+                rndseed=base_seed if share_shuffles else base_seed + i,
+                _adj_pvals=False,  # recomputed once on the stitched maxima
+                **kwargs,
+            )
         h2_by_chrom[c] = res.h2_null_list
         s2_by_chrom[c] = res.sigma2_e_list
         nperms, original = res.nperms, res.original

@@ -404,3 +404,29 @@ def test_cli_bulkscan_perms_resume(csv_data, tmp_path):
     a = np.load(csv_data / "a.npz")
     b = np.load(csv_data / "b.npz")
     np.testing.assert_array_equal(a["perm_maxlods"], b["perm_maxlods"])
+
+
+def test_cli_loco_sharded(csv_data):
+    """--loco --sharded runs per-chromosome scans on the mesh and matches
+    the single-device LOCO output."""
+    with open(csv_data / "gmap2.csv", "w") as f:
+        f.write("Locus,Chr,cM,Mb\n")
+        for i in range(40):
+            f.write(f"m{i},{1 if i < 22 else 2},{i * 1.0},{i * 0.5}\n")
+    base = ["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+            "--pheno", "pheno.csv", "--loco", "--gmap", "gmap2.csv",
+            "--precision", "fast32"]
+    r1 = _run(base + ["--sharded", "--nperms", "12",
+                      "-o", "loco_sh.npz"], csv_data)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    r2 = _run(base + ["--nperms", "12", "-o", "loco_sd.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    a = np.load(csv_data / "loco_sh.npz")
+    b = np.load(csv_data / "loco_sd.npz")
+    assert np.max(np.abs(a["L"] - b["L"])) < 1e-4
+    np.testing.assert_allclose(
+        a["perm_maxlods"], b["perm_maxlods"], atol=1e-4
+    )
+    # --loco with --stream-markers stays refused with a clear message
+    r3 = _run(base + ["--stream-markers", "16", "-o", "x.npz"], csv_data)
+    assert r3.returncode != 0 and "stream" in (r3.stderr + r3.stdout)

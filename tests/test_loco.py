@@ -106,3 +106,23 @@ def test_loco_guards(loco_data):
         bl.bulkscan_loco(Y, G, np.repeat("1", G.shape[1]))
     with pytest.raises(ValueError, match="one entry per marker"):
         bl.bulkscan_loco(Y, G, chrom[:-3])
+
+
+def test_bulkscan_loco_on_mesh_matches_single_device(loco_data):
+    """LOCO x sharded composition: per-chromosome scans run on the device
+    mesh; results must equal the single-device LOCO engine."""
+    import jax
+
+    from bulklmm_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    G, Y, chrom = loco_data
+    mesh = make_mesh(8, marker_shards=2)
+    a = bl.bulkscan_loco(Y[:, :5], G, chrom, mesh=mesh)
+    b = bl.bulkscan_loco(Y[:, :5], G, chrom)
+    assert np.max(np.abs(np.asarray(a.L) - np.asarray(b.L))) < 1e-9
+    pa = bl.bulkscan_perms_loco(Y[:, :5], G, chrom, mesh=mesh, nperms=19, rndseed=3)
+    pb = bl.bulkscan_perms_loco(Y[:, :5], G, chrom, nperms=19, rndseed=3)
+    assert np.max(np.abs(np.asarray(pa.maxlods) - np.asarray(pb.maxlods))) < 1e-9
+    assert np.max(np.abs(np.asarray(pa.log10_adj_pvals) - np.asarray(pb.log10_adj_pvals))) < 1e-9
