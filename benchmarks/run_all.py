@@ -43,12 +43,22 @@ def synth(n, p, m, seed=2026):
 
 
 def timeit(fn, *, repeats=3):
+    """Min over repeats, with extra samples for sub-second configs.
+
+    Tunnel dispatch latency varies ~100x with load (docs/PERF.md
+    methodology); cheap configs take 12 samples so the min has a chance to
+    land in a quiet window, expensive ones keep the 3-sample budget."""
     fn()  # warm-up: compile + absorb async first-fetch latency
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
+    if min(times) < 0.5:
+        for _ in range(12 - repeats):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
     return min(times)
 
 

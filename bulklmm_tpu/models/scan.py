@@ -273,6 +273,21 @@ def _effects_alt_rotated(y0, X0m, C0, lam, h2s, method):
     return beta, se
 
 
+@partial(jax.jit, static_argnames=("n", "c"))
+@with_highest_matmul
+def _rotate3_packed(packed, Xm, *, n, c):
+    """Eigen-rotate with ALL small operands arriving as ONE packed vector
+    ``[Ut (n*n,), lam (n,), y (n,), C (n*c,)]`` — the raw-K single-trait
+    path's eigenvectors/eigenvalues/trait/covariates ride a single
+    host->device transfer instead of four (each tiny transfer costs ~6 ms
+    of dispatch-issue latency over the tunnel; see _host_null_fit)."""
+    Ut = packed[: n * n].reshape(n, n)
+    lam = packed[n * n : n * n + n]
+    y = packed[n * n + n : n * n + 2 * n][:, None]
+    C = packed[n * n + 2 * n :].reshape(n, c)
+    return jnp.matmul(Ut, y), jnp.matmul(Ut, Xm), jnp.matmul(Ut, C), lam, Ut
+
+
 @jax.jit
 @with_highest_matmul
 def _rotate3(Ut, y, Xm, C):
@@ -694,14 +709,27 @@ def scan(
             output_effects=output_effects,
         )
     dtype = precision.resolve_solve()
-    Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+    from ..ops.rotation import KinshipDecomposition, kinship_eigen
+
     # dispatch the device rotation FIRST (async): the O(n^2 p) marker GEMM
     # (and, over a dispatch tunnel, the RPC round-trip) overlaps the host
     # null fit below instead of waiting behind it
-    y0, X0m, C0 = _rotate3(
-        Ut, jnp.asarray(y, dtype=dtype), g.astype(dtype),
-        jnp.asarray(covar, dtype=dtype),
-    )
+    if isinstance(K, KinshipDecomposition):
+        # cached factors already device-resident — only y/covar upload
+        Ut, lam, Ut_h, lam_h = resolve_kinship_with_host(K, decomp_scheme, dtype)
+        y0, X0m, C0 = _rotate3(
+            Ut, jnp.asarray(y, dtype=dtype), g.astype(dtype),
+            jnp.asarray(covar, dtype=dtype),
+        )
+    else:
+        # raw-K path: the host eigh's factors plus the trait and covariates
+        # ride ONE packed host->device transfer
+        Ut_h, lam_h = kinship_eigen(K, decomp_scheme)
+        packed = np.concatenate([Ut_h.ravel(), lam_h, y.ravel(), covar.ravel()])
+        y0, X0m, C0, lam, Ut = _rotate3_packed(
+            jnp.asarray(packed, dtype=dtype), g.astype(dtype),
+            n=n, c=covar.shape[1],
+        )
     null_fit = _host_null_fit(
         y, covar, Ut_h, lam_h, prior, reml, optim_interval, dtype
     )
