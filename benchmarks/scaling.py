@@ -59,6 +59,7 @@ def main():
     import os
 
     import jax
+    import jax.numpy as jnp
 
     # the session's TPU plugin force-sets jax_platforms at interpreter
     # start; honor an explicit JAX_PLATFORMS=cpu request (virtual mesh)
@@ -86,7 +87,10 @@ def main():
 
         def run():
             res = bulkscan_sharded(Y, G, K, mesh=mesh, method=args.method)
-            res.L.block_until_ready()
+            # checksum-forced completion (repo methodology: a device-side
+            # reduction + scalar fetch; block_until_ready alone has been
+            # observed to under-report on the asynchronous tunnel backend)
+            float(jnp.sum(res.L))
             return res
 
         if virtual:

@@ -211,6 +211,19 @@ def _bulkscan(args):
             "--loco does not compose with --stream-markers; use --sharded "
             "or stream via the Python API"
         )
+    # validate flag combinations BEFORE any compute: a potentially
+    # hours-long scan must never be discarded by a post-hoc SystemExit
+    if args.nperms > 0 and stream and sharded:
+        raise SystemExit(
+            "--nperms with both --stream-markers and --sharded is not "
+            "supported yet; drop one of the two"
+        )
+    if args.resume and stream:
+        raise SystemExit(
+            "--resume via the CLI covers the in-memory permutation engines "
+            "(plain, --sharded, or --loco); for streamed sweeps pass "
+            "checkpoint= to bulkscan_perms_streamed via the Python API"
+        )
     mesh = _make_cli_mesh(args) if sharded else None
     G = _load_geno(args)
     Y = _load_pheno(args)
@@ -294,24 +307,14 @@ def _bulkscan(args):
             precision=precision,
         )
         if args.resume:
-            if args.loco or stream:
-                raise SystemExit(
-                    "--resume checkpoints the in-memory permutation engines "
-                    "(plain or --sharded); it does not compose with --loco "
-                    "or --stream-markers"
-                )
             perm_kwargs["checkpoint"] = args.resume
             if args.trait_chunk is not None:
                 perm_kwargs["trait_chunk"] = args.trait_chunk
         if args.loco:
+            # checkpoint (if any) fans out to per-chromosome subdirectories
             pr = bulkscan_perms_loco(
                 Y, G, chrom, mesh=mesh,
                 lowrank_k=getattr(args, "lowrank_k", 0), **perm_kwargs,
-            )
-        elif stream and mesh is not None:
-            raise SystemExit(
-                "--nperms with both --stream-markers and --sharded is not "
-                "supported yet; drop one of the two"
             )
         elif stream:
             from . import bulkscan_perms_streamed
@@ -357,6 +360,11 @@ def _podscan(args):
             "--coordinator/--nproc/--pid must be given together (or all "
             "omitted for a single-process run)"
         )
+    if getattr(args, "loco", False) or getattr(args, "gmap", None):
+        raise SystemExit(
+            "podscan does not support --loco/--gmap yet; run per-chromosome "
+            "pods or use bulkscan --loco --sharded on one host"
+        )
     pid = init_distributed(args.coordinator, args.nproc, args.pid)
     save_dir = args.save_shards or str(Path(args.output).parent)
 
@@ -364,7 +372,15 @@ def _podscan(args):
     Y = _load_pheno(args)
     mesh = make_global_mesh()
     sl = local_trait_slice(Y.shape[1], mesh)
-    K = _load_kinship(args, G, precision)
+    if getattr(args, "lowrank_k", 0) and not getattr(args, "kinship", None):
+        # rank-k factors straight from genotypes — the pod-scale cohorts
+        # this subcommand targets are exactly where a dense n x n kinship
+        # and its host eigh stop being an option
+        from . import kinship_lowrank_from_geno
+
+        K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
+    else:
+        K = _load_kinship(args, G, precision)
 
     if args.nperms > 0:
         _, lo, hi = bulkscan_perms_distributed(

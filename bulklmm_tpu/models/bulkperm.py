@@ -127,7 +127,8 @@ class _PermCheckpoint:
                     "fresh directory or delete it"
                 )
         else:
-            self.meta_path.write_text(json.dumps(meta, indent=1))
+            blob = json.dumps(meta, indent=1).encode()
+            self._atomic_write("meta.json", lambda fh: fh.write(blob))
 
     def load(self, lo: int, hi: int):
         f = self.dir / f"maxlods_{lo}_{hi}.npy"
@@ -171,17 +172,34 @@ class _PermCheckpoint:
 
 
 def _perm_checkpoint(checkpoint, *, n, m, p, nperms, rndseed, method, reml,
-                     original, trait_chunk, h2_grid, prior, rank):
-    """Build the checkpoint handle (or None) with the run fingerprint."""
+                     original, trait_chunk, h2_grid, prior, rank,
+                     precision=None, engine=None):
+    """Build the checkpoint handle (or None) with the run fingerprint.
+
+    ``precision`` (PrecisionConfig) and ``engine`` (the RESOLVED engine
+    string) are part of the fingerprint: resuming an EXACT64 sweep under
+    FAST32, or a fused-Pallas sweep on an XLA backend, would silently mix
+    numerics across trait chunks in one FWER threshold matrix — refuse it
+    like any other config mismatch.
+    """
     if checkpoint is None:
         return None
-    return _PermCheckpoint(checkpoint, dict(
+    meta = dict(
         n=int(n), m=int(m), p=int(p), nperms=int(nperms),
         rndseed=int(rndseed), method=str(method), reml=bool(reml),
         original=bool(original), trait_chunk=int(trait_chunk),
         h2_grid=[float(v) for v in np.asarray(h2_grid).ravel()],
         prior=[float(prior[0]), float(prior[1])], rank=str(rank),
-    ))
+    )
+    if precision is not None:
+        meta["precision"] = "{}/{}/{}".format(
+            jnp.dtype(precision.resolve_solve()).name,
+            jnp.dtype(precision.resolve_gemm()).name,
+            jnp.dtype(precision.resolve_kernel()).name,
+        )
+    if engine is not None:
+        meta["engine"] = str(engine)
+    return _PermCheckpoint(checkpoint, meta)
 
 
 def _perm_common_inputs(
@@ -451,6 +469,7 @@ def _bulkscan_perms_lowrank(
         checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}",
+        precision=precision, engine="xla",
     )
 
     UtX, UtX2, xsq = _bulkperm_lr_marker_prep(X, U, precision=precision)
@@ -670,6 +689,7 @@ def bulkscan_perms(
         checkpoint, n=n, m=m, p=G.shape[1], nperms=nperms, rndseed=rndseed,
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, rank="full",
+        precision=precision, engine=eng,
     )
 
     # results stay device-resident; every chunk dispatch is async (no host

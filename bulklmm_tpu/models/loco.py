@@ -320,6 +320,21 @@ def bulkscan_perms_loco(
     G = np.asarray(G)
     base_seed = int(rndseed)
 
+    # per-chromosome checkpoint SUBDIRECTORIES: every chromosome is its own
+    # sweep (different marker count, different seed) — one shared directory
+    # would trip the config-mismatch guard on the second chromosome
+    checkpoint = kwargs.pop("checkpoint", None)
+
+    def _chrom_ckpt(c):
+        if checkpoint is None:
+            return None
+        from pathlib import Path
+
+        safe = "".join(
+            ch if ch.isalnum() or ch in "._-" else "_" for ch in str(c)
+        )
+        return str(Path(checkpoint) / f"chr_{safe}")
+
     maxlods = None
     h2_by_chrom, s2_by_chrom = {}, {}
     nperms = original = None
@@ -329,17 +344,18 @@ def bulkscan_perms_loco(
         if mesh is not None:
             from ..parallel.sharding import bulkscan_perms_sharded
 
-            # adj p-values recomputed once on the stitched maxima below
-            # (the per-chromosome ones are dropped with the partial result)
             res = bulkscan_perms_sharded(
                 Y, G[:, mask], K, covar, mesh=mesh, precision=precision,
                 rndseed=base_seed if share_shuffles else base_seed + i,
+                checkpoint=_chrom_ckpt(c),
+                _adj_pvals=False,  # recomputed once on the stitched maxima
                 **kwargs,
             )
         else:
             res = bulkscan_perms(
                 Y, G[:, mask], K, covar, precision=precision,
                 rndseed=base_seed if share_shuffles else base_seed + i,
+                checkpoint=_chrom_ckpt(c),
                 _adj_pvals=False,  # recomputed once on the stitched maxima
                 **kwargs,
             )

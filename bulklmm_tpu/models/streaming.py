@@ -597,6 +597,7 @@ def bulkscan_perms_streamed(
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, perm_chunk=perm_chunk, block=block,
         K_total=K_total, rank="full-streamed",
+        precision=precision, engine=eng,
     )
     for bi, (lo, hi) in enumerate(spans):
         if bi < blocks_done:
@@ -662,7 +663,8 @@ def _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk):
 
 def _stream_perm_ckpt(checkpoint, acc, *, n, m, p, nperms, rndseed, method,
                       reml, original, trait_chunk, h2_grid, prior,
-                      perm_chunk, block, K_total, rank):
+                      perm_chunk, block, K_total, rank,
+                      precision=None, engine=None):
     """Checkpoint handle + resume seed for the streamed perm engines:
     loads the persisted (m, K) running-max state into the per-(trait,
     perm)-chunk accumulator dict and returns (handle, blocks_done)."""
@@ -677,6 +679,7 @@ def _stream_perm_ckpt(checkpoint, acc, *, n, m, p, nperms, rndseed, method,
         # the streamed engine's resume state additionally depends on the
         # block/perm-chunk tiling — fold it into the fingerprint
         rank=f"{rank}-b{block}-pc{perm_chunk}",
+        precision=precision, engine=engine,
     )
     st = ck.load_state()
     if st is None:
@@ -732,6 +735,7 @@ def _perms_streamed_lowrank(
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, perm_chunk=perm_chunk, block=block,
         K_total=K_total, rank=f"lowrank{lr.rank}-streamed",
+        precision=precision, engine="xla",
     )
     for bi, (lo, hi) in enumerate(spans):
         if bi < blocks_done:

@@ -552,6 +552,7 @@ def _bulkscan_perms_lowrank_sharded(
     Y, G, lr, covar, mesh, *,
     nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
     precision, trait_chunk, perm_chunk, original, checkpoint=None,
+    _adj_pvals=True,
 ):
     """Rank-k (Woodbury) permutation engine on the device mesh.
 
@@ -624,7 +625,8 @@ def _bulkscan_perms_lowrank_sharded(
     ckpt = _perm_checkpoint(
         checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
-        h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}",
+        h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}-sharded",
+        precision=precision, engine="xla",
     )
 
     trait_rows = []
@@ -663,13 +665,14 @@ def _bulkscan_perms_lowrank_sharded(
         trait_rows[0] if len(trait_rows) == 1
         else jnp.concatenate(trait_rows, axis=0)
     )
-    return _attach_adj_pvals(BulkPermResult(
+    res = BulkPermResult(
         maxlods=maxlods,
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,
         original=original,
-    ))
+    )
+    return _attach_adj_pvals(res) if _adj_pvals else res
 
 
 def bulkscan_perms_sharded(
@@ -699,6 +702,7 @@ def bulkscan_perms_sharded(
     tile_p: int = 512,
     interpret: bool = False,
     checkpoint=None,
+    _adj_pvals: bool = True,
 ):
     """All-trait permutation maxima sharded over the device mesh.
 
@@ -734,13 +738,15 @@ def bulkscan_perms_sharded(
     )
 
     if isinstance(K, LowRankKinship):
-        return _bulkscan_perms_lowrank_sharded(
+        res_lr = _bulkscan_perms_lowrank_sharded(
             Y, G, K, covar, mesh,
             nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
             prior=prior, reml=reml, optim_interval=optim_interval,
             precision=precision, trait_chunk=trait_chunk,
             perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
+            _adj_pvals=_adj_pvals,
         )
+        return res_lr
 
     n, m = Y.shape
     dtype = precision.resolve_solve()
@@ -807,7 +813,8 @@ def bulkscan_perms_sharded(
     ckpt = _perm_checkpoint(
         checkpoint, n=n, m=m, p=X0m.shape[1], nperms=nperms,
         rndseed=rndseed, method=method, reml=reml, original=original,
-        trait_chunk=trait_chunk, h2_grid=h2_grid, prior=prior, rank="full",
+        trait_chunk=trait_chunk, h2_grid=h2_grid, prior=prior,
+        rank="full-sharded", precision=precision, engine=eng,
     )
 
     trait_rows = []
@@ -848,13 +855,14 @@ def bulkscan_perms_sharded(
 
     from ..models.bulkperm import _attach_adj_pvals
 
-    return _attach_adj_pvals(BulkPermResult(
+    res = BulkPermResult(
         maxlods=maxlods,
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,
         original=original,
-    ))
+    )
+    return _attach_adj_pvals(res) if _adj_pvals else res
 
 
 def train_step_sharded(mesh: Mesh, Y, G, K, h2_grid=None, **kwargs) -> BulkScanResult:

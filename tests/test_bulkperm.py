@@ -704,3 +704,41 @@ def test_bulkperm_checkpoint_sharded_and_lowrank(perm_data, tmp_path):
             checkpoint=str(cks),
         )
         assert np.max(np.abs(np.asarray(s1.maxlods) - np.asarray(s2.maxlods))) < 1e-12
+
+
+def test_bulkperm_checkpoint_refuses_precision_and_engine_mismatch(
+    perm_data, tmp_path
+):
+    """Resuming under a different precision (or engine) must be refused —
+    it would silently mix numerics across trait chunks in one FWER matrix."""
+    from bulklmm_tpu.utils.config import EXACT64, FAST32
+
+    G, Y, K = perm_data
+    ck = tmp_path / "ck"
+    bl.bulkscan_perms(
+        Y, G, K, nperms=9, rndseed=1, trait_chunk=2,
+        checkpoint=str(ck), precision=EXACT64,
+    )
+    with pytest.raises(ValueError, match="precision"):
+        bl.bulkscan_perms(
+            Y, G, K, nperms=9, rndseed=1, trait_chunk=2,
+            checkpoint=str(ck), precision=FAST32,
+        )
+
+
+def test_bulkperm_loco_checkpoint_per_chromosome(perm_data, tmp_path):
+    """LOCO sweeps checkpoint into per-chromosome subdirectories; a rerun
+    resumes every chromosome and matches the uncheckpointed run."""
+    G, Y, K = perm_data
+    chrom = np.repeat(["1", "2"], [60, G.shape[1] - 60])
+    ck = tmp_path / "loco"
+    ref = bl.bulkscan_perms_loco(Y, G, chrom, nperms=9, rndseed=4)
+    a = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=9, rndseed=4, checkpoint=str(ck)
+    )
+    assert sorted(d.name for d in ck.iterdir()) == ["chr_1", "chr_2"]
+    b = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=9, rndseed=4, checkpoint=str(ck)
+    )
+    for r in (a, b):
+        assert np.max(np.abs(np.asarray(r.maxlods) - np.asarray(ref.maxlods))) < 1e-12
