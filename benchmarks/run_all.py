@@ -65,15 +65,16 @@ def timeit(fn, *, repeats=3):
 def probe_peak_tflops(dtype_name, precision, size=8192, repeats=8):
     """Empirical square-GEMM throughput ceiling for MFU accounting.
 
-    Device-kind labels through the dispatch tunnel are unreliable (the
-    advertised "TPU v5 lite" sustains ~25-30 PF here), so the MFU
-    denominator is MEASURED: large (size^3) matmuls at the engine's
-    (dtype, precision) pair, CHAINED — each rep's output feeds the next
-    rep's input (normalized to stay finite) so no layer of the stack can
-    dedup/cache repeated identical executions and fake the ceiling.
-    Returns TF/s of nominal (2*M*N*K) FLOPs — multi-pass precisions
-    (HIGHEST = bf16x6) count as ONE nominal op, same convention as the
-    per-config FLOP models.
+    The denominator is MEASURED with the repo's checksum-fetch methodology:
+    chained matmuls (each rep's output feeds the next rep's input, so no
+    layer can dedup repeated identical executions) ending in a device-side
+    reduction + scalar FETCH inside the timed region —
+    ``block_until_ready`` alone does NOT reliably wait on this
+    environment's asynchronous backend (probes timed with it alone read
+    tens of PFLOP/s, far beyond any single chip; fetch-forced they read
+    v5e-class numbers). Returns TF/s of nominal (2*M*N*K) FLOPs —
+    multi-pass precisions (HIGHEST = bf16x6) count as ONE nominal op,
+    same convention as the per-config FLOP models.
     """
     import jax
     import jax.numpy as jnp
@@ -86,11 +87,11 @@ def probe_peak_tflops(dtype_name, precision, size=8192, repeats=8):
         lambda a, b: jnp.matmul(a, b, precision=precision) / float(size)
     )
     b = f(a, b)
-    b.block_until_ready()
+    float(jnp.sum(b))  # warm-up, fetch-forced
     t0 = time.perf_counter()
     for _ in range(repeats):
         b = f(a, b)
-    b.block_until_ready()
+    float(jnp.sum(b))  # checksum fetch closes the timed region
     dt = (time.perf_counter() - t0) / repeats
     return 2.0 * size**3 / dt / 1e12
 
@@ -119,12 +120,13 @@ def main():
 
     results = {}
 
-    # Empirical peaks for the two GEMM modes the engines use: XLA paths run
-    # f32 at Precision.HIGHEST (bf16x6), the fused Pallas kernels bf16-class
-    # DEFAULT dots. Nominal-FLOP convention on both sides.
+    # Empirical peak for the GEMM mode every engine uses: f32 operands at
+    # Precision.HIGHEST (bf16x6 passes) — XLA paths AND the fused Pallas
+    # kernels (their dots are explicitly HIGHEST; Mosaic's default f32 dot
+    # is single-pass bf16, outside the parity bar). Nominal-FLOP
+    # convention on both sides of the mfu ratio.
     peaks = {
         "f32_highest": round(probe_peak_tflops(jnp.float32, "highest"), 1),
-        "bf16_default": round(probe_peak_tflops(jnp.bfloat16, "default"), 1),
     }
     print(json.dumps({"metric": "peak_probe_tflops", **peaks}))
 
@@ -148,14 +150,14 @@ def main():
         "scan_perms_1000": (rot(1) + corr(1, nperm1), "f32_highest"),
         "bulkscan_null_grid": (rot(m) + corr(m), "f32_highest"),
         "bulkscan_null_exact": (rot(m) + corr(m), "f32_highest"),
-        # fused Pallas alt-grid: full grid sweep per marker, DEFAULT dots
-        "bulkscan_alt_grid": (rot(m) + grid * corr(m), "bf16_default"),
+        # fused Pallas alt-grid: full grid sweep per marker, HIGHEST dots
+        "bulkscan_alt_grid": (rot(m) + grid * corr(m), "f32_highest"),
         # per-marker Brent: ~iters grid-likelihood passes dominated by the
         # (p-batched) WLS ells — count the final correlation pass only
         # (a LOWER bound; the row is marked approximate)
         "scan_alt_exact": (rot(1) + corr(1), "f32_highest"),
         "bulkscan_perms_1000": (
-            rot(m) + 2.0 * n * p * nperm1 * m, "bf16_default",
+            rot(m) + 2.0 * n * p * nperm1 * m, "f32_highest",
         ),
     }
 
