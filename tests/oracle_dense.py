@@ -228,3 +228,27 @@ def bulkscan_null_grid_dense(Y, g, K, h2_grid, covar=None, prior=(0.0, 0.0),
             X[:, c] = tG[:, i]
             lod[i, t] = (n / 2.0) * (np.log10(rss0) - np.log10(ols_rss(X, ty)))
     return dict(lod=lod, h2_null=h2_out)
+
+
+def effects_dense(y, g, K, h2, covar=None, weights=None):
+    """Per-marker GLS effect sizes + Wald SEs at a FIXED h2, dense-Sigma
+    path: V(h2)-whiten, then per-marker OLS of ty on [tC, tx_j] with the
+    per-marker unbiased residual variance rss_j / (n - c - 1) (the
+    engine's GEMMA-style Wald convention, models/scan.py
+    _effects_from_whitened) — no eigendecomposition anywhere."""
+    y, g, X0, K = _design(y, g, covar, weights, K)
+    n, p = g.shape
+    c = X0.shape[1]
+    ty, tX0, tG, _ = _whiten(K, float(h2), y, X0, g)
+    beta = np.zeros(p)
+    se = np.zeros(p)
+    dof = max(n - c - 1, 1)
+    for j in range(p):
+        A = np.column_stack([tX0, tG[:, j]])
+        coef, *_ = np.linalg.lstsq(A, ty, rcond=None)
+        r = ty - A @ coef
+        rss = float(np.sum(r * r))
+        XtX_inv = np.linalg.inv(A.T @ A)
+        beta[j] = coef[-1, 0]
+        se[j] = np.sqrt(rss / dof * XtX_inv[-1, -1])
+    return beta, se

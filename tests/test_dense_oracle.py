@@ -138,3 +138,45 @@ def test_bulkscan_null_grid_matches_dense_sigma(name, cfg):
     ref = od.bulkscan_null_grid_dense(Y, G, K, grid)
     assert np.max(np.abs(np.asarray(res.h2_null_list) - ref["h2_null"])) <= H2_TOL
     assert np.max(np.abs(np.asarray(res.L) - ref["lod"])) <= LOD_TOL
+
+
+def test_effects_match_dense_sigma():
+    """GLS effect sizes + Wald SEs vs the dense-Sigma path (the in-repo
+    effects oracle shares the rotated-weights algebra with the engine;
+    this one whitens by explicit Cholesky of V)."""
+    y, G, K = _dataset(seed=71, n=50, p=12)
+    res = bl.scan(y, G, K, output_effects=True, optim_interval=8,
+                  precision=EXACT64)
+    eb, es = od.effects_dense(y, G, K, float(res.h2_null))
+    assert np.max(np.abs(np.asarray(res.beta) - eb)) <= 1e-8
+    assert np.max(np.abs(np.asarray(res.beta_se) - es)) <= 1e-8
+    # bulkscan effects column
+    rng = np.random.default_rng(5)
+    Y = np.column_stack([y, rng.normal(size=(len(y), 2))])
+    rb = bl.bulkscan(Y, G, K, output_effects=True, prior_variance=0.0,
+                     precision=EXACT64)
+    for t in range(Y.shape[1]):
+        eb, es = od.effects_dense(Y[:, t], G, K, float(rb.h2_null_list[t]))
+        assert np.max(np.abs(np.asarray(rb.beta_mat[:, t]) - eb)) <= 1e-8, t
+        assert np.max(np.abs(np.asarray(rb.beta_se_mat[:, t]) - es)) <= 1e-8, t
+
+
+def test_loco_matches_dense_sigma():
+    """LOCO engine vs per-chromosome dense-Sigma scans: each chromosome's
+    columns must equal a dense scan against the leave-that-chromosome-out
+    kinship (independent algorithm end to end)."""
+    y, G, K = _dataset(seed=83, n=45, p=12)
+    chrom = np.repeat(["1", "2", "3"], [5, 4, 3])
+    res = bl.scan_loco(y, G, chrom, optim_interval=8, precision=EXACT64)
+    for c in ("1", "2", "3"):
+        mask = chrom == c
+        Kc = np.asarray(bl.calc_kinship(G[:, ~mask]))
+        ref = od.scan_null_dense(y, G[:, mask], Kc, ninterval=8)
+        idx = np.flatnonzero(mask)
+        got = np.asarray(res.lod)[idx]
+        assert abs(float(res.h2_null_by_chrom[c]) - ref["h2_null"]) <= 1e-6, c
+        assert np.max(np.abs(got - ref["lod"])) <= 1e-6, c
+        ref_at = od.scan_null_dense(
+            y, G[:, mask], Kc, h2_override=float(res.h2_null_by_chrom[c])
+        )
+        assert np.max(np.abs(got - ref_at["lod"])) <= 1e-8, c
