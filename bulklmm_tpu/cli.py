@@ -218,7 +218,7 @@ def _bulkscan(args):
             "--nperms with both --stream-markers and --sharded is not "
             "supported yet; drop one of the two"
         )
-    if args.resume and stream:
+    if args.nperms > 0 and args.resume and stream:
         raise SystemExit(
             "--resume via the CLI covers the in-memory permutation engines "
             "(plain, --sharded, or --loco); for streamed sweeps pass "

@@ -124,7 +124,11 @@ class _PermCheckpoint:
                 raise ValueError(
                     f"checkpoint directory {self.dir} holds a different "
                     f"sweep (mismatched keys: {sorted(diff)}); point at a "
-                    "fresh directory or delete it"
+                    "fresh directory or delete it. (Checkpoints written by "
+                    "older framework versions lack newer fingerprint keys "
+                    "— e.g. precision/engine — and cannot be safely "
+                    "resumed, because the unrecorded settings cannot be "
+                    "verified; such sweeps must restart.)"
                 )
         else:
             blob = json.dumps(meta, indent=1).encode()

@@ -328,12 +328,17 @@ def bulkscan_perms_loco(
     def _chrom_ckpt(c):
         if checkpoint is None:
             return None
+        import hashlib
         from pathlib import Path
 
         safe = "".join(
             ch if ch.isalnum() or ch in "._-" else "_" for ch in str(c)
         )
-        return str(Path(checkpoint) / f"chr_{safe}")
+        # sanitization alone can collide distinct labels ('1:A' vs '1 A');
+        # a short hash of the RAW label keeps subdirectories unique so one
+        # chromosome can never silently resume another's maxima
+        tag = hashlib.sha1(str(c).encode()).hexdigest()[:8]
+        return str(Path(checkpoint) / f"chr_{safe}_{tag}")
 
     maxlods = None
     h2_by_chrom, s2_by_chrom = {}, {}

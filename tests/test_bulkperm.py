@@ -736,9 +736,36 @@ def test_bulkperm_loco_checkpoint_per_chromosome(perm_data, tmp_path):
     a = bl.bulkscan_perms_loco(
         Y, G, chrom, nperms=9, rndseed=4, checkpoint=str(ck)
     )
-    assert sorted(d.name for d in ck.iterdir()) == ["chr_1", "chr_2"]
+    names = sorted(d.name for d in ck.iterdir())
+    assert len(names) == 2
+    # sanitized label + a hash of the RAW label (collision-proof: '1:A'
+    # and '1 A' sanitize identically but must not share a directory)
+    assert names[0].startswith("chr_1_") and names[1].startswith("chr_2_")
     b = bl.bulkscan_perms_loco(
         Y, G, chrom, nperms=9, rndseed=4, checkpoint=str(ck)
+    )
+    for r in (a, b):
+        assert np.max(np.abs(np.asarray(r.maxlods) - np.asarray(ref.maxlods))) < 1e-12
+
+
+def test_bulkperm_loco_checkpoint_label_collision(perm_data, tmp_path):
+    """Labels that sanitize identically ('1:A' vs '1 A') must get distinct
+    checkpoint subdirectories — one chromosome must never resume
+    another's maxima (round-3 review finding, empirically confirmed)."""
+    G, Y, K = perm_data
+    chrom = np.repeat(["1:A", "1 A"], [48, G.shape[1] - 48])
+    ck = tmp_path / "coll"
+    ref = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=9, rndseed=4, share_shuffles=True
+    )
+    a = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=9, rndseed=4, share_shuffles=True,
+        checkpoint=str(ck),
+    )
+    assert len(list(ck.iterdir())) == 2, "colliding labels shared a directory"
+    b = bl.bulkscan_perms_loco(
+        Y, G, chrom, nperms=9, rndseed=4, share_shuffles=True,
+        checkpoint=str(ck),
     )
     for r in (a, b):
         assert np.max(np.abs(np.asarray(r.maxlods) - np.asarray(ref.maxlods))) < 1e-12
