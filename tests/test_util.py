@@ -121,3 +121,27 @@ def test_smallchol_matches_numpy():
     # cancellation floor: never negative
     out = residual_sq(jnp.asarray(1.0), [jnp.asarray(1.0000001)])
     assert float(out) > 0.0
+
+
+def test_public_api_surface_importable():
+    """Every name in __all__ resolves, and the result types / train-step
+    alias (exercised indirectly everywhere else) work by name."""
+    import bulklmm_tpu as bl
+    from bulklmm_tpu import parallel as blp
+
+    for mod in (bl, blp):
+        for name in mod.__all__:
+            assert getattr(mod, name, None) is not None, name
+    assert isinstance(bl.__version__, str) and bl.__version__
+    # the driver-facing "one full training step" wrapper
+    import jax
+
+    rng = np.random.default_rng(0)
+    n, p, m = 24, 16, 6
+    G = rng.uniform(0, 1, (n, p))
+    K = np.asarray(bl.calc_kinship(G))
+    Y = rng.normal(size=(n, m))
+    mesh = blp.make_mesh(min(len(jax.devices()), 2))
+    res = blp.train_step_sharded(mesh, Y, G, K)
+    assert np.asarray(res.L).shape == (p, m)
+    assert isinstance(res, bl.BulkScanResult)
