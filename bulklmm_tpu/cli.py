@@ -304,6 +304,10 @@ def _bulkscan(args):
         perm_kwargs = dict(
             nperms=args.nperms, rndseed=args.seed,
             method=args.method if args.method != "alt-grid" else "null-grid",
+            # the permutation sweep must run under the SAME likelihood
+            # criterion as the scan — REML thresholds for an ML scan (or
+            # vice versa) would be silently inconsistent
+            reml=args.reml,
             precision=precision,
         )
         if args.resume:

@@ -175,16 +175,75 @@ class _PermCheckpoint:
         return z["maxima"], int(z["blocks_done"])
 
 
+def _data_fingerprint(*arrays, max_bytes: int = 1 << 28):
+    """Order-sensitive content digest of a sweep's input arrays.
+
+    Shapes/config alone cannot distinguish "the same sweep" from "the same
+    sweep on a corrected phenotype CSV" — resuming across such an edit
+    would silently mix stale and fresh maxima rows in one FWER threshold
+    matrix. This folds the actual bytes into the checkpoint fingerprint.
+
+    Arrays up to ``max_bytes`` (256 MB) are hashed in full; larger ones
+    (memmap-scale genotype panels) are hashed by a deterministic sample of
+    ~1024 evenly spaced rows (column-subsampled if still too large), which
+    stays cheap without reading tens of GB — any realistic regeneration of
+    an input file perturbs bytes throughout, so the sample catches it.
+    ``KinshipDecomposition`` / ``LowRankKinship`` hash their factor arrays.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+
+    def feed(a):
+        if a is None:
+            h.update(b"<none>")
+            return
+        # unwrap cached decompositions into their defining factors
+        if hasattr(a, "Ut") and hasattr(a, "lam"):       # KinshipDecomposition
+            feed(a.Ut_host if a.Ut_host is not None else a.Ut)
+            feed(a.lam_host if a.lam_host is not None else a.lam)
+            return
+        if hasattr(a, "U") and hasattr(a, "lam"):        # LowRankKinship
+            feed(a.U)
+            feed(a.lam)
+            return
+        a = np.asarray(a)  # device arrays fetch here (checkpointing only)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        if a.nbytes <= max_bytes:
+            h.update(np.ascontiguousarray(a).tobytes())
+            return
+        rows = np.linspace(
+            0, a.shape[0] - 1, num=min(a.shape[0], 1024)
+        ).astype(np.int64)
+        sample = np.ascontiguousarray(a[rows])
+        if sample.nbytes > max_bytes:
+            flat = sample.reshape(sample.shape[0], -1)
+            ncols = max(1, max_bytes // max(1, flat[:, :1].nbytes))
+            cols = np.linspace(
+                0, flat.shape[1] - 1, num=min(flat.shape[1], ncols)
+            ).astype(np.int64)
+            sample = np.ascontiguousarray(flat[:, cols])
+        h.update(sample.tobytes())
+
+    for a in arrays:
+        feed(a)
+    return h.hexdigest()
+
+
 def _perm_checkpoint(checkpoint, *, n, m, p, nperms, rndseed, method, reml,
                      original, trait_chunk, h2_grid, prior, rank,
-                     precision=None, engine=None):
+                     precision=None, engine=None, data_digest=None):
     """Build the checkpoint handle (or None) with the run fingerprint.
 
     ``precision`` (PrecisionConfig) and ``engine`` (the RESOLVED engine
     string) are part of the fingerprint: resuming an EXACT64 sweep under
     FAST32, or a fused-Pallas sweep on an XLA backend, would silently mix
     numerics across trait chunks in one FWER threshold matrix — refuse it
-    like any other config mismatch.
+    like any other config mismatch. ``data_digest``
+    (:func:`_data_fingerprint` of Y/G/covar/weights/K) guards the same
+    failure for same-shape same-seed INPUT edits — e.g. a corrected
+    phenotype CSV between runs.
     """
     if checkpoint is None:
         return None
@@ -203,6 +262,8 @@ def _perm_checkpoint(checkpoint, *, n, m, p, nperms, rndseed, method, reml,
         )
     if engine is not None:
         meta["engine"] = str(engine)
+    if data_digest is not None:
+        meta["data"] = str(data_digest)
     return _PermCheckpoint(checkpoint, meta)
 
 
@@ -440,6 +501,7 @@ def _bulkscan_perms_lowrank(
     Y, G, lr, covar, *,
     nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
     precision, trait_chunk, perm_chunk, original, checkpoint=None,
+    data_digest=None,
 ):
     """Rank-k engine body for :func:`bulkscan_perms` (same chunk loop and
     result semantics; whitening in standard coordinates). Marker-side
@@ -473,7 +535,7 @@ def _bulkscan_perms_lowrank(
         checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}",
-        precision=precision, engine="xla",
+        precision=precision, engine="xla", data_digest=data_digest,
     )
 
     UtX, UtX2, xsq = _bulkperm_lr_marker_prep(X, U, precision=precision)
@@ -649,6 +711,13 @@ def bulkscan_perms(
             "whitening); use engine='xla' or 'auto'."
         )
 
+    # content digest of the raw user inputs (pre-conversion), folded into
+    # the checkpoint fingerprint — same-shape same-seed input edits between
+    # runs must refuse to resume, not silently mix maxima rows
+    data_digest = (
+        _data_fingerprint(Y, G, covar, weights, K)
+        if checkpoint is not None else None
+    )
     Y, G, K, covar, h2_grid, prior = _perm_common_inputs(
         Y, G, K, covar, method=method, engine=engine, h2_grid=h2_grid,
         weights=weights, add_intercept=add_intercept,
@@ -662,6 +731,7 @@ def bulkscan_perms(
             prior=prior, reml=reml, optim_interval=optim_interval,
             precision=precision, trait_chunk=trait_chunk,
             perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
+            data_digest=data_digest,
         )
         return _attach_adj_pvals(res) if _adj_pvals else res
     G = jnp.asarray(G)
@@ -693,7 +763,7 @@ def bulkscan_perms(
         checkpoint, n=n, m=m, p=G.shape[1], nperms=nperms, rndseed=rndseed,
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, rank="full",
-        precision=precision, engine=eng,
+        precision=precision, engine=eng, data_digest=data_digest,
     )
 
     # results stay device-resident; every chunk dispatch is async (no host

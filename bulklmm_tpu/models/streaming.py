@@ -510,6 +510,7 @@ def bulkscan_perms_streamed(
     tile_p: int = 512,
     interpret: bool = False,
     checkpoint=None,
+    checkpoint_every: int = 1,
 ):
     """All-trait permutation maxima over a HOST-resident marker panel,
     streamed in marker blocks — for p too large to hold (n, p) genotypes on
@@ -528,9 +529,13 @@ def bulkscan_perms_streamed(
 
     ``checkpoint`` (directory) makes the sweep preemption-safe: the (m,
     1+nperms) running-max accumulator + a marker-block cursor persist
-    atomically after every block; re-running the same call resumes from
-    the last completed block (models/bulkperm.py::_PermCheckpoint — a
-    config mismatch is refused).
+    atomically every ``checkpoint_every`` marker blocks (and after the
+    final one); re-running the same call resumes from the last persisted
+    block (models/bulkperm.py::_PermCheckpoint — a config or input-data
+    mismatch is refused). Each save is a full device->host sync plus an
+    O(m x nperms) atomic rewrite — at biobank scale that can dominate the
+    block pipeline, so raise ``checkpoint_every`` for large sweeps; resume
+    redoes at most the trailing unsaved blocks (max is idempotent).
     """
     from ..ops.bulkperm import permutation_indices
     from ..ops.lowrank import LowRankKinship
@@ -545,6 +550,14 @@ def bulkscan_perms_streamed(
             "(the fused kernel assumes the rotated basis's diagonal "
             "whitening); use engine='xla' or 'auto'."
         )
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    from .bulkperm import _data_fingerprint
+
+    data_digest = (
+        _data_fingerprint(Y, G, covar, K)
+        if checkpoint is not None else None
+    )
     Y, _, K, covar, h2_grid, prior = _perm_common_inputs(
         Y, G, K, covar, method=method, engine=engine, h2_grid=h2_grid,
         weights=None, add_intercept=add_intercept,
@@ -562,6 +575,7 @@ def bulkscan_perms_streamed(
             reml=reml, optim_interval=optim_interval, precision=precision,
             trait_chunk=trait_chunk, perm_chunk=perm_chunk,
             original=original, checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every, data_digest=data_digest,
         )
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
@@ -597,7 +611,7 @@ def bulkscan_perms_streamed(
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, perm_chunk=perm_chunk, block=block,
         K_total=K_total, rank="full-streamed",
-        precision=precision, engine=eng,
+        precision=precision, engine=eng, data_digest=data_digest,
     )
     for bi, (lo, hi) in enumerate(spans):
         if bi < blocks_done:
@@ -631,7 +645,11 @@ def bulkscan_perms_streamed(
                     )[:mb]
                 key = (ms, ks)
                 acc[key] = blk if key not in acc else jnp.maximum(acc[key], blk)
-        if ck is not None:
+        # cadence: a save is a full device sync + O(m*K) atomic rewrite —
+        # do it every `checkpoint_every` blocks (and after the last)
+        if ck is not None and (
+            (bi + 1) % checkpoint_every == 0 or bi == len(spans) - 1
+        ):
             ck.save_state(
                 _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
                 bi + 1,
@@ -664,7 +682,7 @@ def _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk):
 def _stream_perm_ckpt(checkpoint, acc, *, n, m, p, nperms, rndseed, method,
                       reml, original, trait_chunk, h2_grid, prior,
                       perm_chunk, block, K_total, rank,
-                      precision=None, engine=None):
+                      precision=None, engine=None, data_digest=None):
     """Checkpoint handle + resume seed for the streamed perm engines:
     loads the persisted (m, K) running-max state into the per-(trait,
     perm)-chunk accumulator dict and returns (handle, blocks_done)."""
@@ -679,7 +697,7 @@ def _stream_perm_ckpt(checkpoint, acc, *, n, m, p, nperms, rndseed, method,
         # the streamed engine's resume state additionally depends on the
         # block/perm-chunk tiling — fold it into the fingerprint
         rank=f"{rank}-b{block}-pc{perm_chunk}",
-        precision=precision, engine=engine,
+        precision=precision, engine=engine, data_digest=data_digest,
     )
     st = ck.load_state()
     if st is None:
@@ -697,6 +715,7 @@ def _perms_streamed_lowrank(
     Y, G, lr, covar, h2_grid, prior, *,
     nperms, rndseed, method, block, reml, optim_interval, precision,
     trait_chunk, perm_chunk, original, checkpoint=None,
+    checkpoint_every: int = 1, data_digest=None,
 ):
     """Rank-k body of :func:`bulkscan_perms_streamed`: Woodbury whitening
     in standard coordinates per HOST marker block (models/bulkperm.py
@@ -735,7 +754,7 @@ def _perms_streamed_lowrank(
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, perm_chunk=perm_chunk, block=block,
         K_total=K_total, rank=f"lowrank{lr.rank}-streamed",
-        precision=precision, engine="xla",
+        precision=precision, engine="xla", data_digest=data_digest,
     )
     for bi, (lo, hi) in enumerate(spans):
         if bi < blocks_done:
@@ -758,7 +777,9 @@ def _perms_streamed_lowrank(
                 acc[key] = (
                     blk if key not in acc else jnp.maximum(acc[key], blk)
                 )
-        if ck is not None:
+        if ck is not None and (
+            (bi + 1) % checkpoint_every == 0 or bi == len(spans) - 1
+        ):
             ck.save_state(
                 _assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
                 bi + 1,

@@ -552,7 +552,7 @@ def _bulkscan_perms_lowrank_sharded(
     Y, G, lr, covar, mesh, *,
     nperms, rndseed, method, h2_grid, prior, reml, optim_interval,
     precision, trait_chunk, perm_chunk, original, checkpoint=None,
-    _adj_pvals=True,
+    _adj_pvals=True, data_digest=None,
 ):
     """Rank-k (Woodbury) permutation engine on the device mesh.
 
@@ -562,6 +562,11 @@ def _bulkscan_perms_lowrank_sharded(
     beyond-the-eigh-wall cohort's (n ~ 1e5) multi-chip path — exactly the
     scale that needs the most devices. Reference capability being scaled:
     src/scan.jl:485-557 (permutation testing).
+
+    ``perm_chunk`` is the PER-DEVICE permutation width (global columns per
+    chunk step = perm_chunk x markers-axis shards) — per-device memory at a
+    given value matches the single-device engine, where the same keyword is
+    the GLOBAL width; results are unaffected.
     """
     from ..models.bulkperm import (
         BulkPermResult, _attach_adj_pvals, _bulkperm_lr_marker_prep,
@@ -626,7 +631,7 @@ def _bulkscan_perms_lowrank_sharded(
         checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
         method=method, reml=reml, original=original, trait_chunk=trait_chunk,
         h2_grid=h2_grid, prior=prior, rank=f"lowrank{lr.rank}-sharded",
-        precision=precision, engine="xla",
+        precision=precision, engine="xla", data_digest=data_digest,
     )
 
     trait_rows = []
@@ -713,6 +718,13 @@ def bulkscan_perms_sharded(
     genome-wide max over markers is computed against the replicated,
     MB-scale marker panel). The fused Pallas kernel runs per device under
     ``shard_map`` on TPU meshes; CPU/virtual meshes use the XLA engine.
+
+    NOTE on ``perm_chunk`` semantics: here it is the PER-DEVICE permutation
+    width — each chunk step processes ``perm_chunk x markers_axis_shards``
+    permutation columns globally, so per-device memory per step matches
+    the single-device engine at the same value (in single-device
+    ``bulkscan_perms`` the keyword is the global width; results are
+    unaffected either way).
     """
     from ..models.bulkperm import (
         BulkPermResult, _bulkperm_prep, _perm_common_inputs,
@@ -731,6 +743,12 @@ def bulkscan_perms_sharded(
             "(the fused kernel assumes the rotated basis); use 'auto'/'xla'."
         )
 
+    from ..models.bulkperm import _data_fingerprint
+
+    data_digest = (
+        _data_fingerprint(Y, G, covar, weights, K)
+        if checkpoint is not None else None
+    )
     Y, G, K, covar, h2_grid, prior = _perm_common_inputs(
         Y, jnp.asarray(G), K, covar, method=method, engine=engine,
         h2_grid=h2_grid, weights=weights, add_intercept=add_intercept,
@@ -744,7 +762,7 @@ def bulkscan_perms_sharded(
             prior=prior, reml=reml, optim_interval=optim_interval,
             precision=precision, trait_chunk=trait_chunk,
             perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
-            _adj_pvals=_adj_pvals,
+            _adj_pvals=_adj_pvals, data_digest=data_digest,
         )
         return res_lr
 
@@ -815,6 +833,7 @@ def bulkscan_perms_sharded(
         rndseed=rndseed, method=method, reml=reml, original=original,
         trait_chunk=trait_chunk, h2_grid=h2_grid, prior=prior,
         rank="full-sharded", precision=precision, engine=eng,
+        data_digest=data_digest,
     )
 
     trait_rows = []

@@ -618,6 +618,56 @@ def test_bulkperm_checkpoint_resume(perm_data, tmp_path):
         )
 
 
+def test_bulkperm_checkpoint_refuses_edited_inputs(perm_data, tmp_path):
+    """Same shapes + same seed but EDITED input contents (e.g. a corrected
+    phenotype CSV between runs) must refuse to resume — the fingerprint
+    carries a content digest of Y/G/covar/K, not just shapes and config
+    (ADVICE r3, medium)."""
+    G, Y, K = perm_data
+    ck = tmp_path / "ck"
+    bl.bulkscan_perms(Y, G, K, nperms=9, rndseed=9, trait_chunk=3,
+                      checkpoint=str(ck))
+    Y2 = np.asarray(Y).copy()
+    Y2[3, 1] += 0.25  # one corrected phenotype entry, same shape/dtype
+    with pytest.raises(ValueError, match="different"):
+        bl.bulkscan_perms(Y2, G, K, nperms=9, rndseed=9, trait_chunk=3,
+                          checkpoint=str(ck))
+    # a changed genotype panel is refused too
+    G2 = np.asarray(G).copy()
+    G2[0, 0] += 0.5
+    with pytest.raises(ValueError, match="different"):
+        bl.bulkscan_perms(Y, G2, K, nperms=9, rndseed=9, trait_chunk=3,
+                          checkpoint=str(ck))
+    # unchanged inputs still resume cleanly
+    bl.bulkscan_perms(Y, G, K, nperms=9, rndseed=9, trait_chunk=3,
+                      checkpoint=str(ck))
+
+
+def test_streamed_perm_checkpoint_every(perm_data, tmp_path):
+    """checkpoint_every=N saves the streamed accumulator every N marker
+    blocks (plus the final one) instead of after every block (ADVICE r3):
+    result identical, fewer sync points."""
+    G, Y, K = perm_data
+    ref = bl.bulkscan_perms(Y, G, K, nperms=19, rndseed=5)
+    ck = tmp_path / "ck"
+    res = bl.bulkscan_perms_streamed(
+        np.asarray(Y), np.asarray(G), K, nperms=19, rndseed=5,
+        marker_block=7, checkpoint=str(ck), checkpoint_every=3,
+    )
+    assert np.max(np.abs(np.asarray(res.maxlods) - np.asarray(ref.maxlods))) < 1e-9
+    # final state present and complete despite the sparser cadence
+    import numpy as _np
+
+    st = _np.load(ck / "acc_state.npz")
+    nblocks = -(-G.shape[1] // 7)
+    assert int(st["blocks_done"]) == nblocks
+    with pytest.raises(ValueError):
+        bl.bulkscan_perms_streamed(
+            np.asarray(Y), np.asarray(G), K, nperms=19, rndseed=5,
+            marker_block=7, checkpoint=str(ck), checkpoint_every=0,
+        )
+
+
 def test_bulkperm_checkpoint_kill_and_resume(perm_data, tmp_path):
     """True kill-and-resume: a subprocess sweep is SIGKILLed after its first
     chunk lands on disk; the resumed run equals an uninterrupted one."""
