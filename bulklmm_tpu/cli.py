@@ -211,19 +211,6 @@ def _bulkscan(args):
             "--loco does not compose with --stream-markers; use --sharded "
             "or stream via the Python API"
         )
-    # validate flag combinations BEFORE any compute: a potentially
-    # hours-long scan must never be discarded by a post-hoc SystemExit
-    if args.nperms > 0 and stream and sharded:
-        raise SystemExit(
-            "--nperms with both --stream-markers and --sharded is not "
-            "supported yet; drop one of the two"
-        )
-    if args.nperms > 0 and args.resume and stream:
-        raise SystemExit(
-            "--resume via the CLI covers the in-memory permutation engines "
-            "(plain, --sharded, or --loco); for streamed sweeps pass "
-            "checkpoint= to bulkscan_perms_streamed via the Python API"
-        )
     mesh = _make_cli_mesh(args) if sharded else None
     G = _load_geno(args)
     Y = _load_pheno(args)
@@ -314,6 +301,8 @@ def _bulkscan(args):
             perm_kwargs["checkpoint"] = args.resume
             if args.trait_chunk is not None:
                 perm_kwargs["trait_chunk"] = args.trait_chunk
+        if stream and getattr(args, "checkpoint_every", 1) != 1:
+            perm_kwargs["checkpoint_every"] = args.checkpoint_every
         if args.loco:
             # checkpoint (if any) fans out to per-chromosome subdirectories
             pr = bulkscan_perms_loco(
@@ -321,10 +310,12 @@ def _bulkscan(args):
                 lowrank_k=getattr(args, "lowrank_k", 0), **perm_kwargs,
             )
         elif stream:
+            # composes with --sharded: per-block chunk cores run on the
+            # mesh (models/streaming.py::_perms_streamed_sharded)
             from . import bulkscan_perms_streamed
 
             pr = bulkscan_perms_streamed(
-                Y, G, K, marker_block=stream, **perm_kwargs
+                Y, G, K, marker_block=stream, mesh=mesh, **perm_kwargs
             )
         elif mesh is not None:
             from .parallel import bulkscan_perms_sharded
@@ -504,7 +495,14 @@ def main(argv=None):
         "--resume", metavar="DIR", default=None,
         help="with --nperms: write per-trait-chunk checkpoints to DIR and "
         "resume any found there (a preempted sweep continues where it "
-        "stopped; config mismatches are refused)",
+        "stopped; config or input-data mismatches are refused)",
+    )
+    b.add_argument(
+        "--checkpoint-every", type=int, default=1, metavar="N",
+        help="with --nperms --stream-markers --resume: persist the "
+        "running-max accumulator every N marker blocks instead of every "
+        "block (each save syncs the device and rewrites the full state; "
+        "raise for biobank-scale sweeps)",
     )
     b.add_argument(
         "--sharded", action="store_true",

@@ -511,10 +511,24 @@ def bulkscan_perms_streamed(
     interpret: bool = False,
     checkpoint=None,
     checkpoint_every: int = 1,
+    mesh=None,
 ):
     """All-trait permutation maxima over a HOST-resident marker panel,
     streamed in marker blocks — for p too large to hold (n, p) genotypes on
     device.
+
+    ``mesh`` (optional ``jax.sharding.Mesh`` from
+    ``bulklmm_tpu.parallel.make_mesh``) composes the streamed sweep with
+    the device mesh — the large-p-beyond-HBM x multi-chip x permutations
+    configuration (biobank FWER thresholds). Layout follows
+    ``bulkscan_perms_sharded``: traits shard the traits axis, permutation
+    columns the markers axis (each MB-scale marker block is replicated, so
+    the genome-wide max over markers stays device-local and the hot path is
+    collective-free); the (m, 1+nperms) running-max accumulator lives as
+    trait x perm tiles sharded over the mesh. ``perm_chunk`` is then the
+    PER-DEVICE permutation width, as in ``bulkscan_perms_sharded``.
+    Numerics are unchanged — same chunk cores, placement only — and
+    checkpointing works identically.
 
     Same numerics as :func:`bulklmm_tpu.bulkscan_perms` (shared chunk
     core): LOD is monotone in r^2, so the genome-wide maxima accumulate as
@@ -567,6 +581,18 @@ def bulkscan_perms_streamed(
     p = G.shape[1]
     dtype = precision.resolve_solve()
     block = min(marker_block, p)
+
+    if mesh is not None:
+        return _perms_streamed_sharded(
+            Y, G, K, covar, h2_grid, prior, mesh,
+            nperms=nperms, rndseed=rndseed, method=method, block=block,
+            reml=reml, solve_method=solve_method,
+            optim_interval=optim_interval, decomp_scheme=decomp_scheme,
+            precision=precision, trait_chunk=trait_chunk,
+            perm_chunk=perm_chunk, original=original, tile_p=tile_p,
+            interpret=interpret, engine=engine, checkpoint=checkpoint,
+            checkpoint_every=checkpoint_every, data_digest=data_digest,
+        )
 
     if isinstance(K, LowRankKinship):
         return _perms_streamed_lowrank(
@@ -787,6 +813,200 @@ def _perms_streamed_lowrank(
 
     return _attach_adj_pvals(BulkPermResult(
         maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
+        h2_null_list=h2_list,
+        sigma2_e_list=sigma2_list,
+        nperms=nperms,
+        original=original,
+    ))
+
+
+def _perms_streamed_sharded(
+    Y, G, K, covar, h2_grid, prior, mesh, *,
+    nperms, rndseed, method, block, reml, solve_method, optim_interval,
+    decomp_scheme, precision, trait_chunk, perm_chunk, original,
+    tile_p, interpret, engine, checkpoint=None, checkpoint_every: int = 1,
+    data_digest=None,
+):
+    """Mesh body of :func:`bulkscan_perms_streamed`: host marker blocks x
+    device mesh x permutations — the biobank FWER composition.
+
+    Per HOST marker block the same shard_map chunk cores as
+    ``bulkscan_perms_sharded`` run (device (i, j) owns trait shard i x
+    permutation shard j against the replicated block; the max over the
+    block's markers is device-local, collective-free), and block results
+    fold into the trait x perm accumulator tiles by elementwise max (LOD is
+    monotone in r^2). Trait-side tensors are placed on the mesh ONCE and
+    reused by every block. Supports dense kinships (full-rank rotation,
+    fused Pallas or XLA chunk core per device) and
+    :class:`~bulklmm_tpu.ops.lowrank.LowRankKinship` (Woodbury whitening,
+    XLA core). Reference capability being scaled: src/scan.jl:485-557.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _P
+
+    from ..ops.bulkperm import permutation_indices
+    from ..ops.lowrank import LowRankKinship
+    from ..parallel.sharding import (
+        MARKERS_AXIS, TRAITS_AXIS, _bulkperm_lr_block_fn,
+        _bulkperm_lr_chunk_fn, _bulkperm_sharded_fn,
+    )
+    from .bulkperm import (
+        BulkPermResult, _attach_adj_pvals, _bulkperm_lr_marker_prep,
+        _bulkperm_prep_traits, _bulkperm_prep_traits_lowrank,
+        _resolve_perm_engine,
+    )
+
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    n, m = Y.shape
+    p = G.shape[1]
+    dtype = precision.resolve_solve()
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
+    lowrank = isinstance(K, LowRankKinship)
+    rep = NamedSharding(mesh, _P(None, None))
+
+    if lowrank:
+        from ..ops.bulkperm import lowrank_perm_chunk_cap
+
+        U = jax.device_put(jnp.asarray(K.U, dtype=dtype), rep)
+        lam = jnp.asarray(K.lam, dtype=dtype)
+        h2_list, sigma2_list, sm1, Qstack, wrn = (
+            _bulkperm_prep_traits_lowrank(
+                Y.astype(dtype), covar.astype(dtype), U, lam,
+                h2_grid.astype(dtype),
+                n=n, prior=prior, reml=reml, method=method,
+                optim_interval=optim_interval, precision=precision,
+            )
+        )
+        eng = "xla"
+        quantum = tshards
+        row_quant = mshards
+        if trait_chunk is None:
+            trait_chunk = 16 * tshards
+        trait_chunk += (-trait_chunk) % quantum
+        pc_dev = min(
+            perm_chunk,
+            lowrank_perm_chunk_cap(
+                n, block, trait_chunk=-(-trait_chunk // tshards)
+            ),
+        )
+        blockfn = _bulkperm_lr_block_fn(mesh, precision)
+        runfn = _bulkperm_lr_chunk_fn(mesh, n, precision)
+        rank_tag = f"lowrank{K.rank}-streamed-sharded"
+    else:
+        Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
+        h2_list, sigma2_list, sqrtw, Qstack, wrn = _bulkperm_prep_traits(
+            Y.astype(dtype), covar.astype(dtype), Ut, lam,
+            h2_grid.astype(dtype),
+            prior=prior, reml=reml, method=method, solve_method=solve_method,
+            optim_interval=optim_interval, precision=precision,
+        )
+        # engine keys off the MESH's devices; per-device memory caps see
+        # the per-device trait block against one replicated marker block
+        eng, cap = _resolve_perm_engine(
+            engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
+            precision=precision, tile_p=tile_p, interpret=interpret,
+            p=block,
+            xla_trait_block=(
+                16 if trait_chunk is None
+                else max(1, -(-trait_chunk // tshards))
+            ),
+        )
+        quantum = tshards * (8 if eng == "pallas" else 1)
+        row_quant = mshards * 128 if eng == "pallas" else mshards
+        if trait_chunk is None:
+            trait_chunk = (1024 if eng == "pallas" else 16) * tshards
+        trait_chunk += (-trait_chunk) % quantum
+        pc_dev = min(perm_chunk, cap) if cap is not None else perm_chunk
+        Ut = jax.device_put(Ut, rep)
+        runfn = _bulkperm_sharded_fn(mesh, eng, n, precision, tile_p, interpret)
+        rank_tag = "full-streamed-sharded"
+
+    chunk_glob = pc_dev * mshards
+    idx = permutation_indices(n, nperms, rndseed, original=original)
+    K_total = int(idx.shape[0])
+
+    # permutation chunks: padded to the markers-axis quantum with
+    # identity-permutation repeats (their columns are sliced off); placed
+    # on the mesh ONCE, reused by every marker block
+    idx_chunks = []
+    for ks in range(0, K_total, chunk_glob):
+        blk = idx[ks:min(ks + chunk_glob, K_total)]
+        k_pad = (-blk.shape[0]) % row_quant
+        if k_pad:
+            blk = jnp.concatenate([blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0)
+        idx_chunks.append((
+            ks,
+            jax.device_put(blk, NamedSharding(mesh, _P(MARKERS_AXIS, None))),
+            min(ks + chunk_glob, K_total) - ks,
+        ))
+
+    # trait-side tensors: marker-independent, placed on the mesh once
+    tparts = []
+    for ms in range(0, m, trait_chunk):
+        me = min(ms + trait_chunk, m)
+        mb = me - ms
+        lead_b = (sm1 if lowrank else sqrtw)[ms:me]
+        Q_b, wrn_b = Qstack[ms:me], wrn[:, ms:me]
+        if mb % quantum:
+            pad = -mb % quantum
+            lead_b = jnp.pad(lead_b, ((0, pad), (0, 0)))
+            Q_b = jnp.pad(Q_b, ((0, pad), (0, 0), (0, 0)))
+            wrn_b = jnp.pad(wrn_b, ((0, 0), (0, pad)))
+        tparts.append((
+            ms, mb,
+            jax.device_put(lead_b, NamedSharding(mesh, _P(TRAITS_AXIS, None))),
+            jax.device_put(
+                Q_b, NamedSharding(mesh, _P(TRAITS_AXIS, None, None))
+            ),
+            jax.device_put(wrn_b, NamedSharding(mesh, _P(None, TRAITS_AXIS))),
+        ))
+
+    acc = {}
+    spans = list(_blocks(p, block))
+    ck, blocks_done = _stream_perm_ckpt(
+        checkpoint, acc, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
+        method=method, reml=reml, original=original, trait_chunk=trait_chunk,
+        h2_grid=h2_grid, prior=prior, perm_chunk=chunk_glob, block=block,
+        K_total=K_total, rank=rank_tag,
+        precision=precision, engine=eng, data_digest=data_digest,
+    )
+    for bi, (lo, hi) in enumerate(spans):
+        if bi < blocks_done:
+            continue
+        Xb = _pad_block(G, lo, hi, block, dtype, rep)
+        if lowrank:
+            UtX, UtX2, xsq = _bulkperm_lr_marker_prep(Xb, U, precision=precision)
+            UtX = jax.device_put(UtX, rep)
+            UtX2 = jax.device_put(UtX2, rep)
+            xsq = jax.device_put(xsq, NamedSharding(mesh, _P(None)))
+        else:
+            X0b = _rotate_block(Ut, Xb)
+        for ms, mb, lead_b, Q_b, wrn_b in tparts:
+            if lowrank:
+                qXs, xns = blockfn(Xb, U, UtX, UtX2, xsq, lead_b, Q_b)
+            for ks, idx_blk, kw in idx_chunks:
+                if lowrank:
+                    blk = runfn(
+                        Xb, U, UtX, lead_b, Q_b, qXs, xns, wrn_b, idx_blk
+                    )[:mb, :kw]
+                else:
+                    blk = runfn(X0b, lead_b, Q_b, wrn_b, idx_blk)[:mb, :kw]
+                key = (ms, ks)
+                acc[key] = (
+                    blk if key not in acc else jnp.maximum(acc[key], blk)
+                )
+        if ck is not None and (
+            (bi + 1) % checkpoint_every == 0 or bi == len(spans) - 1
+        ):
+            ck.save_state(
+                _assemble_perm_acc(acc, m, trait_chunk, K_total, chunk_glob),
+                bi + 1,
+            )
+
+    return _attach_adj_pvals(BulkPermResult(
+        maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, chunk_glob),
         h2_null_list=h2_list,
         sigma2_e_list=sigma2_list,
         nperms=nperms,

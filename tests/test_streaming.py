@@ -210,3 +210,50 @@ def test_streamed_perms_checkpoint_resume(cohort, tmp_path):
     )
     for r in (c, d):
         assert np.max(np.abs(np.asarray(r.maxlods) - np.asarray(ref_lr.maxlods))) < 1e-12
+
+
+def test_streamed_perms_on_mesh_matches_single_device(cohort, vmesh, tmp_path):
+    """Streamed x sharded x permutations (VERDICT r3 item 3):
+    bulkscan_perms_streamed(mesh=...) runs the sharded chunk cores per host
+    marker block — the large-p-beyond-HBM multi-chip FWER composition. Must
+    equal the single-device streamed sweep at 1e-9 (full-rank AND rank-k),
+    with checkpoint/resume preserved on the mesh."""
+    G, K, Y = cohort[0], cohort[1], cohort[2]
+    Ys = Y[:, :5]  # odd trait count exercises the traits-axis padding
+    ref = bl.bulkscan_perms_streamed(
+        Ys, G, K, nperms=19, rndseed=6, marker_block=16
+    )
+    res = bl.bulkscan_perms_streamed(
+        Ys, G, K, nperms=19, rndseed=6, marker_block=16, mesh=vmesh
+    )
+    assert res.maxlods.shape == ref.maxlods.shape
+    assert np.max(np.abs(np.asarray(res.maxlods) - np.asarray(ref.maxlods))) < 1e-9
+    assert np.max(np.abs(
+        np.asarray(res.log10_adj_pvals) - np.asarray(ref.log10_adj_pvals)
+    )) < 1e-9
+    # rank-k Woodbury whitening on the mesh, streamed
+    lr = kinship_lowrank_exact(K, 20, dtype=jnp.float64)
+    ref_lr = bl.bulkscan_perms_streamed(
+        Ys, G, lr, nperms=19, rndseed=6, marker_block=16
+    )
+    res_lr = bl.bulkscan_perms_streamed(
+        Ys, G, lr, nperms=19, rndseed=6, marker_block=16, mesh=vmesh
+    )
+    assert np.max(np.abs(
+        np.asarray(res_lr.maxlods) - np.asarray(ref_lr.maxlods)
+    )) < 1e-9
+    # checkpointing composes: persist on the mesh, rewind the cursor to a
+    # partial state, resume on the mesh; cadence honored
+    ck = tmp_path / "mesh_ck"
+    a = bl.bulkscan_perms_streamed(
+        Ys, G, K, nperms=19, rndseed=6, marker_block=16, mesh=vmesh,
+        checkpoint=str(ck), checkpoint_every=2,
+    )
+    assert np.max(np.abs(np.asarray(a.maxlods) - np.asarray(ref.maxlods))) < 1e-9
+    st = np.load(ck / "acc_state.npz")
+    np.savez(ck / "acc_state.npz", maxima=st["maxima"], blocks_done=2)
+    b = bl.bulkscan_perms_streamed(
+        Ys, G, K, nperms=19, rndseed=6, marker_block=16, mesh=vmesh,
+        checkpoint=str(ck), checkpoint_every=2,
+    )
+    assert np.max(np.abs(np.asarray(b.maxlods) - np.asarray(ref.maxlods))) < 1e-9
