@@ -288,6 +288,9 @@ def _perm_common_inputs(
         covar = jnp.ones((n, 1), dtype=Y.dtype)
         add_intercept = False
     else:
+        from ..ops.stats import check_covar_full_rank
+
+        check_covar_full_rank(covar, add_intercept)
         covar = jnp.asarray(covar)
         covar = covar[:, None] if covar.ndim == 1 else covar
     if weights is not None:

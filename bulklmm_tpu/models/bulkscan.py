@@ -173,6 +173,9 @@ def _scan_common_inputs(Y, covar, h2_grid, add_intercept, *, method, engine):
         covar = jnp.ones((n, 1), dtype=Y.dtype)
         add_intercept = False
     else:
+        from ..ops.stats import check_covar_full_rank
+
+        check_covar_full_rank(covar, add_intercept)
         covar = jnp.asarray(covar)
         covar = covar[:, None] if covar.ndim == 1 else covar
     return Y, covar, h2_grid, add_intercept

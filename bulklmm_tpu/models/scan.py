@@ -152,6 +152,21 @@ def _scan_alt_impl(
         lod = (ells_ml - ell_null_ml) / _LN10
     else:
         lod = (ells - out00.ell) / _LN10
+    # a marker collinear with the covariates adds no information: its
+    # augmented design is rank-deficient, and the clamped Gram Cholesky
+    # inside the per-marker fit returns a slightly PERTURBED likelihood
+    # (measured: LOD noise ~ +-0.1) — mask such markers to LOD = 0 exactly.
+    # Collinearity is h2-independent (x in span(C) iff W^(1/2)x in
+    # span(W^(1/2)C)), so one unweighted test covers every fitted h2
+    # (ops/smallchol.py::residual_keep_mask, COMPAT.md #15).
+    from ..ops.smallchol import residual_keep_mask
+    from ..ops.wls import resid
+
+    Xr = resid(X0m, C0, method=method)
+    keep = residual_keep_mask(
+        jnp.sum(Xr * Xr, axis=0), jnp.sum(X0m * X0m, axis=0)
+    )
+    lod = lod * keep
     return out00.sigma2, out00.h2, h2s, lod
 
 
@@ -175,19 +190,29 @@ def _scan_perms_impl(
     # slightly negative kinship eigenvalues (src/bulkscan_helpers.jl:138)
     sqrtw = jnp.sqrt(jnp.abs(make_weights(vc.h2, lam)))
     w_r0 = r0 * sqrtw[:, None]
-    X00 = resid(X0m * sqrtw[:, None], C0 * sqrtw[:, None], method=method)
+    Xw = X0m * sqrtw[:, None]
+    X00 = resid(Xw, C0 * sqrtw[:, None], method=method)
 
     r0perm = transform_permute(w_r0, nperms=nperms, rndseed=rndseed, original=True)
 
-    # tiny floors: a marker collinear with the covariates (or a trait fully
-    # explained by them) residualizes to ~0 — 0/0 would NaN a whole row of
-    # L_perms and poison the max-over-markers permutation thresholds; the
-    # floor maps it to r = 0 (matching the guarded per-trait kernel)
+    # a marker collinear with the covariates (or a trait fully explained
+    # by them) residualizes to rounding noise — 0/0 would NaN a whole row
+    # of L_perms, and normalizing the noise would fabricate O(1/sqrt(n))
+    # correlations in the max-over-markers thresholds; the relative rank
+    # mask maps both to r = 0 exactly (ops/smallchol.py, COMPAT.md #15)
+    from ..ops.smallchol import residual_keep_mask
+
     tiny = jnp.finfo(X00.dtype).tiny
     norm_y = jnp.sqrt(jnp.maximum(jnp.sum(r0perm * r0perm, axis=0), tiny))
     norm_x = jnp.sqrt(jnp.maximum(jnp.sum(X00 * X00, axis=0), tiny))
-    r0n = r0perm / norm_y
-    X00n = X00 / norm_x
+    keep_x = residual_keep_mask(
+        jnp.sum(X00 * X00, axis=0), jnp.sum(Xw * Xw, axis=0)
+    )
+    keep_y = residual_keep_mask(
+        jnp.sum(w_r0 * w_r0), jnp.sum((y0 * sqrtw[:, None]) ** 2)
+    )
+    r0n = (r0perm * keep_y) / norm_y
+    X00n = (X00 * keep_x[None, :]) / norm_x
 
     from ..ops.liteqtl import _fast_log
 
@@ -677,6 +702,9 @@ def scan(
     else:
         covar = np.asarray(covar, dtype=np.float64)
         covar = covar[:, None] if covar.ndim == 1 else covar
+        from ..ops.stats import check_covar_full_rank
+
+        check_covar_full_rank(covar, add_intercept)
 
     from ..ops.lowrank import LowRankKinship
 

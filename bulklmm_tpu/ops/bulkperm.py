@@ -110,10 +110,19 @@ def perm_trait_parts(
     wr = Sy
     for k in range(c):
         wr = wr - Q[k] * zeta[k][None, :]
-    # explicit residual => nrm2 nonnegative by construction; tiny floor only
-    # guards exactly-covariate-spanned traits (wr == 0 -> wrn == 0)
+    # a fully covariate-explained trait residualizes to rounding noise —
+    # the relative rank mask zeroes it (r = 0 for every marker x perm)
+    # instead of normalizing the noise (ops/smallchol.py, COMPAT.md #15);
+    # the tiny floor still guards 0/0
+    from .smallchol import residual_keep_mask
+
     nrm2 = jnp.sum(wr * wr, axis=0)
-    wrn = wr / jnp.sqrt(jnp.maximum(nrm2, jnp.finfo(sdt).tiny))[None, :]
+    keep = residual_keep_mask(
+        nrm2, jnp.sum(Sy * Sy, axis=0), eps=jnp.finfo(sdt).eps
+    )
+    wrn = (wr * keep[None, :]) / jnp.sqrt(
+        jnp.maximum(nrm2, jnp.finfo(sdt).tiny)
+    )[None, :]
     return S, Q, wrn
 
 
@@ -141,12 +150,19 @@ def perm_trait_marker_parts(
     X = X0m.astype(sdt)  # (n, p)
     X2 = X * X
 
+    from .smallchol import cancel_keep_mask
+
     def one(sw_j, q_j):
         # sw_j (n,), q_j (c, n)
         pX = jnp.matmul(q_j * sw_j[None, :], X, precision=pgp)  # (c, p)
         d1 = jnp.matmul(sw_j * sw_j, X2, precision=pgp)  # (p,)
-        # same cancellation floor as every other engine (residual_sq)
+        # same cancellation floor as every other engine (residual_sq);
+        # covariate-collinear markers go to xn = +inf so the chunk core's
+        # num^2 / xn is exactly 0 (COMPAT.md #15) — cancel_keep_mask, the
+        # linear-in-eps variant for difference-of-squares norms
         xn = residual_sq(d1, [pX[a] for a in range(pX.shape[0])])
+        keep = cancel_keep_mask(xn, d1, eps=jnp.finfo(sdt).eps)
+        xn = jnp.where(keep > 0, xn, jnp.asarray(jnp.inf, xn.dtype))
         return pX, xn
 
     return jax.vmap(one)(sqrtw, Qstack)
@@ -326,8 +342,16 @@ def perm_trait_parts_lowrank(
     wr = Yw
     for a in range(c):
         wr = wr - Q[a] * zeta[a][None, :]
+    from .smallchol import residual_keep_mask
+
     nrm2 = jnp.sum(wr * wr, axis=0)
-    wrn = wr / jnp.sqrt(jnp.maximum(nrm2, jnp.finfo(sdt).tiny))[None, :]
+    # fully covariate-explained traits -> r = 0, not normalized noise
+    keep = residual_keep_mask(
+        nrm2, jnp.sum(Yw * Yw, axis=0), eps=jnp.finfo(sdt).eps
+    )
+    wrn = (wr * keep[None, :]) / jnp.sqrt(
+        jnp.maximum(nrm2, jnp.finfo(sdt).tiny)
+    )[None, :]
     Qstack = jnp.transpose(jnp.stack(Q, axis=0), (2, 0, 1))  # (m, c, n)
     return sm1, Qstack, wrn
 
@@ -361,6 +385,8 @@ def lowrank_perm_trait_marker_parts(
     Xk = X.astype(sdt)
     Uk = U.astype(sdt)
 
+    from .smallchol import cancel_keep_mask
+
     def one(sm1_j, q_j):
         # sm1_j (k,), q_j (c, n)
         dm1_j = sm1_j * sm1_j + 2.0 * sm1_j  # w - 1
@@ -370,9 +396,13 @@ def lowrank_perm_trait_marker_parts(
             + jnp.matmul(qU * sm1_j[None, :], UtX, precision=pgp)
         )  # (c, p)
         # ||(I - QQ^T) A_j x||^2 with the same cancellation floor as the
-        # rank-k scan kernel (residual_sq; D1 pattern of _nd_parts_lowrank)
+        # rank-k scan kernel (residual_sq; D1 pattern of _nd_parts_lowrank);
+        # covariate-collinear markers -> xn = +inf -> r^2 = 0 exactly
+        # (cancel_keep_mask: difference-of-squares noise is linear in eps)
         d1 = xsq + jnp.matmul(dm1_j, UtX2, precision=pgp)  # ||A_j x||^2
         xn = residual_sq(d1, [qX[a] for a in range(qX.shape[0])])
+        keep = cancel_keep_mask(xn, d1, eps=jnp.finfo(sdt).eps)
+        xn = jnp.where(keep > 0, xn, jnp.asarray(jnp.inf, xn.dtype))
         return qX, xn
 
     return jax.vmap(one)(sm1, Qstack)

@@ -36,7 +36,10 @@ import jax.numpy as jnp
 
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .lod import r2lod
-from .smallchol import fwd_subst, pair_indices, residual_sq, unrolled_cholesky
+from .smallchol import (
+    cancel_keep_mask, fwd_subst, pair_indices, residual_keep_mask,
+    residual_sq, unrolled_cholesky,
+)
 from .weights import make_weights
 
 
@@ -113,7 +116,17 @@ def _nd_parts_per_trait(
         N = N - Z[k] * zeta[k][None, :]
     D = residual_sq(D1, Z)
 
-    return N, D, nrm2
+    # zero-information columns contribute r = 0 exactly, not normalized
+    # rounding noise (COMPAT.md #15). Both D and nrm2 are normal-equations
+    # differences of squares (residual_sq), so the keep test is the
+    # linear-in-eps cancel_keep_mask at the eps of the least precise dtype
+    # the operands passed through (gemm or kernel).
+    eps = max(jnp.finfo(gdt).eps, jnp.finfo(sdt).eps)
+    keep = (
+        cancel_keep_mask(D, D1, eps=eps)
+        * cancel_keep_mask(nrm2, yty, eps=eps)[None, :]
+    )
+    return N * keep, D, nrm2
 
 
 def weighted_correlation_per_trait(
@@ -125,7 +138,10 @@ def weighted_correlation_per_trait(
     N, D, nrm2 = _nd_parts_per_trait(
         Y0, X0m, C0, lam, h2_per_trait, precision=precision
     )
-    return N / jnp.sqrt(D * nrm2[None, :])
+    # floor: an ALL-ZERO column has D == 0 exactly (N is already masked to
+    # 0 there — the floor keeps the ratio 0/tiny = 0 instead of 0/0 = NaN)
+    den = jnp.maximum(D * nrm2[None, :], jnp.finfo(D.dtype).tiny)
+    return N / jnp.sqrt(den)
 
 
 def _effects_from_nd(N, D, nrm2, n, c):
@@ -150,7 +166,8 @@ def lods_and_effects_per_trait(
     N, D, nrm2 = _nd_parts_per_trait(
         Y0, X0m, C0, lam, h2_per_trait, precision=precision
     )
-    r = N / jnp.sqrt(D * nrm2[None, :])
+    den = jnp.maximum(D * nrm2[None, :], jnp.finfo(D.dtype).tiny)
+    r = N / jnp.sqrt(den)
     lod = r2lod(r, n, fast_log=_fast_log(precision))
     beta, se = _effects_from_nd(N, D, nrm2, n, c)
     return lod, beta, se
@@ -188,12 +205,18 @@ def weighted_correlation_shared(
         Mw = M.astype(sdt) * s[:, None]
         proj = jnp.matmul(q.T, Mw, precision=pgp)
         Mr = Mw - jnp.matmul(q, proj, precision=pgp)
-        # tiny floor: a column collinear with the covariates (monomorphic
-        # marker vs the intercept) residualizes to ~0; 0/0 would NaN the
-        # whole row and poison downstream max-reductions — the floor maps
-        # it to r = 0 instead
+        # a column collinear with the covariates (monomorphic marker vs
+        # the intercept) residualizes to rounding noise; 0/0 would NaN the
+        # whole row, and normalizing the noise would fabricate O(1/sqrt(n))
+        # correlations — the relative rank mask maps it to r = 0 exactly
+        # (ops/smallchol.py::residual_keep_mask; COMPAT.md #15)
         nrm2 = jnp.sum(Mr * Mr, axis=0)
-        return Mr / jnp.sqrt(jnp.maximum(nrm2, jnp.finfo(sdt).tiny))
+        keep = residual_keep_mask(
+            nrm2, jnp.sum(Mw * Mw, axis=0), eps=jnp.finfo(sdt).eps
+        )
+        return (Mr * keep[None, :]) / jnp.sqrt(
+            jnp.maximum(nrm2, jnp.finfo(sdt).tiny)
+        )
 
     X00 = residualize_normalize(X0m).astype(gdt)
     Y00 = residualize_normalize(Y0).astype(gdt)

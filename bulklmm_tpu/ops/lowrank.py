@@ -50,7 +50,10 @@ import numpy as np
 
 from ..utils.config import DEFAULT_PRECISION, PrecisionConfig, with_highest_matmul
 from .lod import r2lod
-from .smallchol import fwd_subst, pair_indices, residual_sq, unrolled_cholesky
+from .smallchol import (
+    cancel_keep_mask, fwd_subst, pair_indices, residual_keep_mask,
+    residual_sq, unrolled_cholesky,
+)
 
 _LN10 = math.log(10.0)
 _MAX_DELTA = 1e18  # same h2 -> 1 clamp as ops/weights.py
@@ -470,7 +473,19 @@ def _nd_parts_lowrank(
     for a in range(c):
         N = N - Z[a] * zeta[a][None, :]
     D = residual_sq(D1, Z)
-    return N, D, nrm2
+    # zero-information columns contribute r = 0 exactly, not normalized
+    # rounding noise (COMPAT.md #15). D and nrm2 are differences of squares
+    # (residual_sq) -> linear-in-eps cancel_keep_mask at the eps of the
+    # least precise dtype the operands passed through.
+    eps = max(
+        jnp.finfo(precision.resolve_gemm()).eps,
+        jnp.finfo(precision.resolve_kernel()).eps,
+    )
+    keep = (
+        cancel_keep_mask(D, D1, eps=eps)
+        * cancel_keep_mask(nrm2, yWy, eps=eps)[None, :]
+    )
+    return N * keep, D, nrm2
 
 
 def lods_per_trait_lowrank(
@@ -486,7 +501,8 @@ def lods_per_trait_lowrank(
     from .liteqtl import _fast_log
 
     N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
-    r = N / jnp.sqrt(D * nrm2[None, :])
+    den = jnp.maximum(D * nrm2[None, :], jnp.finfo(D.dtype).tiny)
+    r = N / jnp.sqrt(den)
     return r2lod(r, n, fast_log=_fast_log(precision))
 
 
@@ -539,7 +555,16 @@ def lods_shared_lowrank(
     for a in range(c):
         N = N - Z[a][:, None] * zeta[a][None, :]
     D = residual_sq(D1, Z)
-    r = N / jnp.sqrt(D[:, None] * nrm2[None, :])
+    eps = max(
+        jnp.finfo(precision.resolve_gemm()).eps,
+        jnp.finfo(precision.resolve_kernel()).eps,
+    )
+    keep = (
+        cancel_keep_mask(D, D1, eps=eps)[:, None]
+        * cancel_keep_mask(nrm2, yWy, eps=eps)[None, :]
+    )
+    den = jnp.maximum(D[:, None] * nrm2[None, :], jnp.finfo(D.dtype).tiny)
+    r = (N * keep) / jnp.sqrt(den)
     return r2lod(r, n, fast_log=_fast_log(precision))
 
 
@@ -551,7 +576,8 @@ def lods_and_effects_lowrank(
 
     c = parts["CtC"].shape[0]
     N, D, nrm2 = _nd_parts_lowrank(parts, lam, h2_per_trait, precision=precision)
-    r = N / jnp.sqrt(D * nrm2[None, :])
+    den = jnp.maximum(D * nrm2[None, :], jnp.finfo(D.dtype).tiny)
+    r = N / jnp.sqrt(den)
     lod = r2lod(r, n, fast_log=_fast_log(precision))
     beta, se = _effects_from_nd(N, D, nrm2, n, c)
     return lod, beta, se
@@ -754,13 +780,23 @@ def scan_perms_lowrank_kernel(
     X00 = resid(Xw, Cw, method=method)
 
     r0perm = transform_permute(w_r0, nperms=nperms, rndseed=rndseed, original=True)
-    # tiny floors against collinear-with-covariates columns (0/0 -> NaN
-    # would poison the max-over-markers thresholds); r = 0 instead
+    # collinear-with-covariates columns (and fully-explained traits)
+    # residualize to rounding noise: the relative rank mask maps them to
+    # r = 0 exactly instead of normalizing the noise (ops/smallchol.py,
+    # COMPAT.md #15); the tiny floor still guards 0/0
+    yw = whiten_lowrank(y, U, lam, h2, gemm_precision=pgp)
     tiny = jnp.finfo(X00.dtype).tiny
     norm_y = jnp.sqrt(jnp.maximum(jnp.sum(r0perm * r0perm, axis=0), tiny))
     norm_x = jnp.sqrt(jnp.maximum(jnp.sum(X00 * X00, axis=0), tiny))
-    r0n = r0perm / norm_y
-    X00n = X00 / norm_x
+    keps = jnp.finfo(precision.resolve_kernel()).eps
+    keep_x = residual_keep_mask(
+        jnp.sum(X00 * X00, axis=0), jnp.sum(Xw * Xw, axis=0), eps=keps
+    )
+    keep_y = residual_keep_mask(
+        jnp.sum(w_r0 * w_r0), jnp.sum(yw * yw), eps=keps
+    )
+    r0n = (r0perm * keep_y) / norm_y
+    X00n = (X00 * keep_x[None, :]) / norm_x
     gdt = precision.resolve_gemm()
     L = jnp.matmul(X00n.T.astype(gdt), r0n.astype(gdt), precision=pgp)
     return r2lod(L, n, fast_log=_fast_log(precision))

@@ -74,3 +74,34 @@ def shuffle_vector(key, x, nshuffle: int, *, original: bool = True):
     if original:
         out = jnp.concatenate([x[:, None], out], axis=1)
     return out
+
+
+def check_covar_full_rank(covar, add_intercept: bool) -> None:
+    """Refuse rank-deficient covariate designs at the public entry points.
+
+    A dependent covariate column — a duplicated/linearly-dependent column,
+    or a constant column colliding with the auto-added intercept — makes
+    the null model unidentifiable; under jit the downstream Gram Cholesky
+    would produce silent NaN/garbage (the reference fails opaquely inside
+    its QR/Cholesky solves too, src/wls.jl). Host-side check: c is tiny,
+    the rank test costs microseconds. No-op for traced inputs (the entry
+    points are never jitted; this is belt-and-braces).
+    """
+    import numpy as np
+
+    try:
+        C = np.asarray(covar, dtype=np.float64)
+    except Exception:  # traced values cannot be validated host-side
+        return
+    if C.ndim == 1:
+        C = C[:, None]
+    if add_intercept:
+        C = np.concatenate([np.ones((C.shape[0], 1)), C], axis=1)
+    if np.linalg.matrix_rank(C) < C.shape[1]:
+        raise ValueError(
+            "covariates are rank-deficient (linearly dependent columns, or "
+            "a constant column together with the auto-added intercept): the "
+            "null model is unidentifiable. Drop the dependent column(s), or "
+            "pass add_intercept=False if the covariates already include an "
+            "intercept."
+        )

@@ -84,7 +84,16 @@ def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g):
     yn = jnp.sum(Yr * Yr, axis=0, keepdims=True)  # (1, TM)
 
     num = jax.lax.dot_general(Xr, Yr, (((1,), (0,)), ((), ())), precision=_HI)
-    r2 = (num * num) / jnp.maximum(xn * yn, tiny)
+    # covariate-collinear markers / fully-explained traits residualize to
+    # rounding noise — the relative rank mask maps them to r2 = 0 exactly,
+    # matching the XLA engine (ops/smallchol.py::residual_keep_mask)
+    eps = jnp.finfo(jnp.float32).eps
+    thr = (1024.0 * eps) ** 2
+    keep = (
+        (xn > thr * jnp.sum(Xw * Xw, axis=1, keepdims=True)).astype(num.dtype)
+        * (yn > thr * jnp.sum(Yw * Yw, axis=0, keepdims=True)).astype(num.dtype)
+    )
+    r2 = keep * (num * num) / jnp.maximum(xn * yn, tiny)
     # same cancellation floor as the XLA path: r2 can round to >= 1 for
     # markers perfectly correlated with a trait; TPU flushes subnormals to
     # zero and log10_f32_accurate needs a normal input

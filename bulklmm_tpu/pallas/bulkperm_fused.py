@@ -72,8 +72,14 @@ def _kernel(w_ref, q_ref, x_ref, s_ref, o_ref, *, k_pad):
         num = jax.lax.dot_general(
             Xr, St, (((1,), (0,)), ((), ())), precision=_HI
         )  # (TP, k_pad)
-        # padded marker rows are all-zero => num = 0, xn = 0 -> r2 = 0
-        r2 = (num * num) / jnp.maximum(xn, tiny)
+        # padded marker rows are all-zero => num = 0, xn = 0 -> r2 = 0;
+        # covariate-collinear markers residualize to rounding noise — the
+        # relative rank mask maps them to r2 = 0 exactly, matching the XLA
+        # engine (ops/smallchol.py::residual_keep_mask, COMPAT.md #15)
+        eps = jnp.finfo(jnp.float32).eps
+        keep = (xn > (1024.0 * eps) ** 2
+                * jnp.sum(Xw * Xw, axis=1, keepdims=True)).astype(num.dtype)
+        r2 = keep * (num * num) / jnp.maximum(xn, tiny)
         rows.append(jnp.max(r2, axis=0, keepdims=True))
     new = jnp.concatenate(rows, axis=0)  # (TM, k_pad)
 

@@ -85,10 +85,16 @@ def _kernel(xt_ref, xct_refs, xxt_ref, w_ref, wy_ref, scal_ref, out_ref, *, c, n
     # D can go <= 0 for markers (near-)collinear with the covariates, which
     # would produce NaN / negative LOD. The 1-r^2 floor must stay at or above
     # f32 tiny — TPU flushes subnormals to zero and the log10 bit extraction
-    # assumes a normal input.
+    # assumes a normal input. Markers whose residual collapsed to rounding
+    # noise are masked to r2 = 0 exactly (relative rank test BEFORE the
+    # floor). D is a difference of squares, so its noise floor is LINEAR in
+    # eps (~4 eps D1, the residual_sq clamp) — the threshold must be the
+    # linear 1024 eps D1 (ops/smallchol.py::cancel_keep_mask), not the
+    # explicit-residual (1024 eps)^2 D1 which sits below the noise.
     eps = jnp.finfo(f32).eps
+    keep = (D > 1024.0 * eps * D1).astype(f32)
     D = jnp.maximum(D, 4.0 * eps * D1)
-    r2 = (N * N) * inv_nrm2[None, :] / D
+    r2 = keep * (N * N) * inv_nrm2[None, :] / D
     one_minus = jnp.maximum(1.0 - r2, jnp.finfo(f32).tiny)
     out_ref[:] = (-0.5 * n) * log10_f32_accurate(one_minus)
 
@@ -132,13 +138,22 @@ def fused_lods_per_trait(
     Gd = {kl: Gv[i] for i, kl in enumerate(pairs)}
     Lc = unrolled_cholesky(Gd, c)
     zeta = fwd_subst(Lc, [t[k] for k in range(c)], c)
-    nrm2 = residual_sq(jnp.sum(WY * Y, axis=0), zeta)
+    yty = jnp.sum(WY * Y, axis=0)
+    nrm2 = residual_sq(yty, zeta)
+    # fully covariate-explained traits -> inv_nrm2 = 0 -> r2 = 0 exactly,
+    # matching the XLA kernel's mask; nrm2 is a difference of squares
+    # (residual_sq) so the linear-in-eps cancel_keep_mask applies
+    from ..ops.smallchol import cancel_keep_mask
 
-    # rows: tri entries (col-major lower), zeta, 1/nrm2
+    inv_nrm2 = cancel_keep_mask(nrm2, yty) / jnp.maximum(
+        nrm2, jnp.finfo(f32).tiny
+    )
+
+    # rows: tri entries (col-major lower), zeta, masked 1/nrm2
     scal = jnp.stack(
         [Lc[(i, k)] for k in range(c) for i in range(k, c)]
         + zeta
-        + [1.0 / nrm2],
+        + [inv_nrm2],
         axis=0,
     )  # (S, m)
 
