@@ -227,6 +227,38 @@ def main():
         return float(jnp.sum(r.lod))
     record("scan_alt_exact", timeit(f))
 
+    # 6b. marginal single-trait cost with a WARM KinshipDecomposition
+    # (VERDICT r3 item 5): the per-call RTT floor the 1-shot configs pay
+    # (docs/PERF.md "single-trait floor") is a fixed cost — a repeated-scan
+    # workflow (the reference's own loop pattern) pays only the marginal.
+    kd = bl.decompose_kinship(K)
+    NSEQ = 16
+
+    def f():
+        s = 0.0
+        for j in range(NSEQ):
+            r = bl.scan(Y[:, j % Y.shape[1]], Gd, kd)
+            s += float(jnp.sum(r.lod))  # fetch per scan: sequential marginal
+        return s
+    BASELINES["scan_marginal_warm"] = BASELINES["scan_single_trait"]
+    record(
+        "scan_marginal_warm", timeit(f, repeats=2) / NSEQ,
+        note=f"marginal per-scan over {NSEQ} sequential scans, warm "
+        "KinshipDecomposition, per-scan result fetch",
+    )
+
+    # 6c. same, pipelined: dispatch all scans, fetch once at the end — the
+    # per-call fetch RTT amortizes, isolating device+host compute
+    def f():
+        lods = [bl.scan(Y[:, j % Y.shape[1]], Gd, kd).lod for j in range(NSEQ)]
+        return float(jnp.sum(jnp.stack(lods)))
+    BASELINES["scan_marginal_pipelined"] = BASELINES["scan_single_trait"]
+    record(
+        "scan_marginal_pipelined", timeit(f, repeats=2) / NSEQ,
+        note=f"marginal per-scan over {NSEQ} dispatched scans, one "
+        "checksum fetch at the end (upload/compute/fetch overlapped)",
+    )
+
     # 7. all-trait bulk permutation thresholds (fused Pallas engine)
     def f():
         r = bl.bulkscan_perms(Yd, Gd, K, nperms=1000, rndseed=0)

@@ -24,6 +24,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # host null fit (ops/hostfit.py): measured max errors are 1.1e-6 (scan_null),
 # 1.1e-6 (reml), 9.3e-7 (covar), 1.1e-6 (weights), 9.6e-13 (alt), 1.3e-6
 # (perms), 9.7e-6 (bulk null-grid / null-exact), 1.8e-6 (bulk alt-grid).
+# Round-4 extension (VERDICT r3 item 2): every remaining public engine —
+# rank-k (k = n exactness AND matched-k truncation vs a matched-k CPU-f64
+# golden, incl. Woodbury perm whitening), streamed (+ perms), LOCO
+# (single + bulk), output_effects beta/SE, thresholds + adjusted p-values.
 TOL = {
     "scan_null": 2e-5,
     "scan_reml": 2e-5,
@@ -35,6 +39,20 @@ TOL = {
     "bulk_null_exact": 2e-5,
     "bulk_alt_grid": 2e-5,
     "bulk_perms": 2e-5,
+    "lowrank_k_eq_n": 2e-5,
+    "lowrank_trunc": 2e-5,
+    "lowrank_scan": 2e-5,
+    "lowrank_scan_perms": 2e-5,
+    "lowrank_bulk_perms": 2e-5,
+    "streamed": 2e-5,
+    "streamed_perms": 2e-5,
+    "loco_scan": 2e-5,
+    "loco_bulk": 2e-5,
+    "effects_beta": 2e-5,
+    "effects_beta_se": 2e-5,
+    "scan_effects_beta": 2e-5,
+    "thresholds_bulk": 2e-5,
+    "adj_pvals": 2e-5,
 }
 
 CHILD = r"""
@@ -48,6 +66,7 @@ import bulklmm_tpu as bl
 
 data = np.load(sys.argv[1])
 Y, G, K, w, covar = data["Y"], data["G"], data["K"], data["w"], data["covar"]
+chrom = data["chrom"]
 y = Y[:, 0]
 out = {}
 out["scan_null"] = np.asarray(bl.scan(y, G, K).lod)
@@ -61,9 +80,36 @@ out["perms"] = np.asarray(
 out["bulk_null_grid"] = np.asarray(bl.bulkscan(Y, G, K).L)
 out["bulk_null_exact"] = np.asarray(bl.bulkscan(Y, G, K, method="null-exact").L)
 out["bulk_alt_grid"] = np.asarray(bl.bulkscan(Y, G, K, method="alt-grid").L)
-out["bulk_perms"] = np.asarray(
-    bl.bulkscan_perms(Y, G, K, nperms=100, rndseed=7).maxlods
+bp = bl.bulkscan_perms(Y, G, K, nperms=100, rndseed=7)
+out["bulk_perms"] = np.asarray(bp.maxlods)
+
+# rank-k: matched-k truncation golden (SAME deterministic eigenpairs as the
+# TPU side — both built from the shared U/lam in the npz)
+import jax.numpy as jnp
+lr = bl.LowRankKinship(U=jnp.asarray(data["lrU"]), lam=jnp.asarray(data["lrlam"]))
+out["lowrank_trunc"] = np.asarray(bl.bulkscan(Y, G, lr).L)
+out["lowrank_scan"] = np.asarray(bl.scan(y, G, lr).lod)
+out["lowrank_scan_perms"] = np.asarray(
+    bl.scan(y, G, lr, permutation_test=True, nperms=100, rndseed=7).L_perms
 )
+out["lowrank_bulk_perms"] = np.asarray(
+    bl.bulkscan_perms(Y, G, lr, nperms=100, rndseed=7).maxlods
+)
+
+# LOCO (per-chromosome leave-out kinships from the same G)
+out["loco_scan"] = np.asarray(bl.scan_loco(y, G, chrom).lod)
+out["loco_bulk"] = np.asarray(bl.bulkscan_loco(Y, G, chrom).L)
+
+# GLS marker effects + Wald SEs
+eb = bl.bulkscan(Y, G, K, output_effects=True)
+out["effects_beta"] = np.asarray(eb.beta_mat)
+out["effects_beta_se"] = np.asarray(eb.beta_se_mat)
+out["scan_effects_beta"] = np.asarray(bl.scan(y, G, K, output_effects=True).beta)
+
+# analysis layer on the perm maxima
+thr = bl.get_thresholds_bulk(bp.perm_maxima, [0.10, 0.05, 0.01])
+out["thresholds_bulk"] = np.asarray(thr.thrs)
+out["adj_pvals"] = np.asarray(bp.log10_adj_pvals)
 np.savez(sys.argv[2], **out)
 print("cpu goldens done")
 """
@@ -92,9 +138,19 @@ def main():
     ).astype(np.float32)
     w = rng.uniform(0.5, 2.0, n)
     covar = rng.normal(size=(n, 2))
+    chrom = np.repeat(np.arange(1, 9), p // 8)
+
+    # deterministic matched-k eigenpairs shared by BOTH sides (host f64
+    # eigh; k = 32 truncation — the fixed-k config VERDICT r3 item 2 asks
+    # for, validated against a matched-k golden, not against full rank)
+    evals, evecs = np.linalg.eigh(K)
+    order = np.argsort(evals)[::-1][:32]
+    lrU = evecs[:, order]
+    lrlam = np.maximum(evals[order], 0.0)
 
     tmp = Path(tempfile.mkdtemp())
-    np.savez(tmp / "data.npz", Y=Y, G=G, K=K, w=w, covar=covar)
+    np.savez(tmp / "data.npz", Y=Y, G=G, K=K, w=w, covar=covar, chrom=chrom,
+             lrU=lrU, lrlam=lrlam)
 
     env = {k: v for k, v in os.environ.items() if "AXON" not in k and "PALLAS" not in k}
     env["JAX_PLATFORMS"] = "cpu"
@@ -126,15 +182,74 @@ def main():
     results["bulk_alt_grid"] = np.asarray(
         bl.bulkscan(Y, G, K, method="alt-grid", precision=BALANCED).L
     )
-    results["bulk_perms"] = np.asarray(
-        bl.bulkscan_perms(
-            Y, G, K, nperms=100, rndseed=7, precision=BALANCED
-        ).maxlods  # auto -> fused Pallas kernel on TPU
+    bp = bl.bulkscan_perms(
+        Y, G, K, nperms=100, rndseed=7, precision=BALANCED
+    )  # auto -> fused Pallas kernel on TPU
+    results["bulk_perms"] = np.asarray(bp.maxlods)
+
+    # rank-k engine: k = n is EXACT (full spectrum) so it must match the
+    # full-rank golden; k = 32 matches the matched-k CPU-f64 golden
+    lr_full = bl.kinship_lowrank_exact(K, n)
+    results["lowrank_k_eq_n"] = (
+        np.asarray(bl.bulkscan(Y, G, lr_full, precision=BALANCED).L),
+        "bulk_null_grid",
     )
+    lr = bl.LowRankKinship(U=jnp.asarray(lrU), lam=jnp.asarray(lrlam))
+    results["lowrank_trunc"] = np.asarray(bl.bulkscan(Y, G, lr, precision=BALANCED).L)
+    results["lowrank_scan"] = np.asarray(bl.scan(y, G, lr, precision=BALANCED).lod)
+    results["lowrank_scan_perms"] = np.asarray(
+        bl.scan(y, G, lr, permutation_test=True, nperms=100, rndseed=7,
+                precision=BALANCED).L_perms
+    )
+    results["lowrank_bulk_perms"] = np.asarray(
+        bl.bulkscan_perms(Y, G, lr, nperms=100, rndseed=7,
+                          precision=BALANCED).maxlods
+    )
+
+    # streamed engines (double-buffered block pipeline; marker_block < p
+    # forces real multi-block streaming), vs the in-HBM goldens
+    results["streamed"] = (
+        np.asarray(bl.bulkscan_streamed(Y, G, K, marker_block=100,
+                                        precision=BALANCED).L),
+        "bulk_null_grid",
+    )
+    results["streamed_perms"] = (
+        np.asarray(bl.bulkscan_perms_streamed(
+            Y, G, K, nperms=100, rndseed=7, marker_block=100,
+            precision=BALANCED).maxlods),
+        "bulk_perms",
+    )
+
+    # LOCO
+    results["loco_scan"] = np.asarray(
+        bl.scan_loco(y, G, chrom, precision=BALANCED).lod
+    )
+    results["loco_bulk"] = np.asarray(
+        bl.bulkscan_loco(Y, G, chrom, precision=BALANCED).L
+    )
+
+    # GLS effects + Wald SEs
+    eb = bl.bulkscan(Y, G, K, output_effects=True, precision=BALANCED)
+    results["effects_beta"] = np.asarray(eb.beta_mat)
+    results["effects_beta_se"] = np.asarray(eb.beta_se_mat)
+    results["scan_effects_beta"] = np.asarray(
+        bl.scan(y, G, K, output_effects=True, precision=BALANCED).beta
+    )
+
+    # analysis layer (type-7 quantile thresholds + genome-wide adjusted
+    # p-values) on the TPU perm maxima
+    thr = bl.get_thresholds_bulk(bp.perm_maxima, [0.10, 0.05, 0.01])
+    results["thresholds_bulk"] = np.asarray(thr.thrs)
+    results["adj_pvals"] = np.asarray(bp.log10_adj_pvals)
 
     ok = True
     for name, tpu in results.items():
-        err = float(np.max(np.abs(tpu - gold[name])))
+        # a (array, golden_key) pair reuses another path's golden (e.g.
+        # k = n rank-k and the streamed engines vs the in-HBM goldens)
+        gold_key = name
+        if isinstance(tpu, tuple):
+            tpu, gold_key = tpu
+        err = float(np.max(np.abs(tpu - gold[gold_key])))
         passed = err <= TOL[name]
         ok &= passed
         print(json.dumps({"path": name, "max_abs_err": err, "tol": TOL[name],

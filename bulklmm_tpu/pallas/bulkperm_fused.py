@@ -80,11 +80,32 @@ def _kernel(s_ref, x_ref, ixn_ref, o_ref, *, k_pad, dot_precision):
                                 ignores the marker grid index)
     """
     Xt = x_ref[:]  # (TP, n_pad)
+    three_pass = dot_precision == jax.lax.Precision.HIGH
+    if three_pass:
+        # Mosaic has no Precision.HIGH lowering — emulate XLA's bf16x3
+        # (hh + hl + lh; drops the ~2^-16-relative ll term) with manual
+        # bf16 splits and three single-pass dots accumulated in f32.
+        # X splits once per tile, shared by all 8 traits.
+        bf16 = jnp.bfloat16
+        Xh = Xt.astype(bf16)
+        Xl = (Xt - Xh.astype(jnp.float32)).astype(bf16)
     rows = []
     for t in range(_TM):
-        num = jax.lax.dot_general(
-            Xt, s_ref[t], (((1,), (0,)), ((), ())), precision=dot_precision
-        )  # (TP, k_pad)
+        if three_pass:
+            St = s_ref[t]
+            Sh = St.astype(jnp.bfloat16)
+            Sl = (St - Sh.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            num = (
+                jax.lax.dot_general(Xh, Sh, dims, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(Xh, Sl, dims, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(Xl, Sh, dims, preferred_element_type=jnp.float32)
+            )
+        else:
+            num = jax.lax.dot_general(
+                Xt, s_ref[t], (((1,), (0,)), ((), ())),
+                precision=dot_precision,
+            )  # (TP, k_pad)
         # padded marker rows are all-zero AND their inv_xn is 0 -> r2 = 0;
         # degenerate (monomorphic / covariate-collinear) markers arrive
         # with inv_xn = 0 exactly (COMPAT.md #15)

@@ -100,6 +100,28 @@ def test_bulkscan_perms_pallas_interpret_matches_xla(perm_data, singles):
     assert np.max(np.abs(a.maxlods - c.maxlods)) < 1e-5
 
 
+def test_bulkscan_perms_pallas_throughput_tier(perm_data, singles):
+    """THROUGHPUT reaches the fused kernel as a manual bf16x3 split (Mosaic
+    has no Precision.HIGH lowering): screening-tier accuracy vs the exact
+    path — measured 3.6e-3 max LOD error at BXD scale on hardware
+    (docs/PERF.md round-4)."""
+    from bulklmm_tpu.utils.config import THROUGHPUT
+
+    G, Y, K = perm_data
+    h2s, _ = singles
+    a = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s
+    )
+    t = bl.bulkscan_perms(
+        Y, G, K, nperms=24, rndseed=7, method="null-grid", h2_grid=h2s,
+        engine="pallas", interpret=True, precision=THROUGHPUT,
+    )
+    err = np.max(np.abs(np.asarray(a.maxlods) - np.asarray(t.maxlods)))
+    assert np.all(np.isfinite(np.asarray(t.maxlods)))
+    assert err < 2e-2  # screening tier (bf16x3), not the 1e-5 parity bar
+    assert err > 0.0  # and it genuinely took the 3-pass branch
+
+
 def test_bulkscan_perms_deterministic_and_seed_sensitive(perm_data):
     G, Y, K = perm_data
     a = bl.bulkscan_perms(Y, G, K, nperms=16, rndseed=3)
