@@ -16,6 +16,18 @@ Measures (checksum-fetch methodology, docs/PERF.md):
   5. HBM stream rate for an Sperm-sized tensor (gather + read)
 
 Run: python benchmarks/probe_perm_kernel.py
+
+MEASURED OUTCOME (v5e, 2026-08, docs/PERF.md round-4): the square probe
+reads 22.5-28 TF/s; the XLA rect probes read only 5-9 TF/s and are nearly
+precision-INsensitive (HIGHEST 5.1 vs DEFAULT 6.0) — a fori-loop of one
+small dot is latency/pipeline-bound, so XLA micro-probes CANNOT stand in
+for the Mosaic kernel, whose grid pipelines the same dot shape at
+~17 TF/s nominal. The decisive experiment ran on the kernel itself:
+swapping its dots 6 passes -> 3 (manual bf16 splits) moved the full BXD
+sweep 2.43 s -> 1.33 s, i.e. ~0.37 s per bf16 pass x 6 ~ 2.2 s of pure
+MXU — the kernel is ~90% MXU-pass-bound and the round-3 "HBM-bound"
+hypothesis is refuted (the Sperm stream probe reads the full gather +
+round-trip at tens of ms). Kept for reproducibility of those numbers.
 """
 
 from __future__ import annotations

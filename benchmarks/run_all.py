@@ -273,6 +273,24 @@ def main():
         "0.079 s/trait)",
     )
 
+    # 7b. same sweep in the THROUGHPUT screening tier (manual bf16x3 dots
+    # in the fused kernel; 3.6e-3 max LOD error vs BALANCED — docs/PERF.md
+    # round-4: the kernel is ~90% MXU-pass-bound, so halving the passes
+    # halves the sweep)
+    from bulklmm_tpu.utils.config import THROUGHPUT
+
+    def f():
+        r = bl.bulkscan_perms(Yd, Gd, K, nperms=1000, rndseed=0,
+                              precision=THROUGHPUT)
+        return float(jnp.sum(r.maxlods))
+    BASELINES["bulkscan_perms_1000_throughput"] = m * BASELINES["scan_perms_1000"]
+    record(
+        "bulkscan_perms_1000_throughput", timeit(f, repeats=1),
+        note="screening tier: bf16x3 kernel dots, 3.6e-3 max |dLOD| vs "
+        "BALANCED (FWER thresholds are ~0.5-LOD-wide null quantiles, so "
+        "this is far below their Monte-Carlo error)",
+    )
+
     out = Path(__file__).parent / "results.json"
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"# wrote {out}")

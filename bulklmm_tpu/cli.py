@@ -43,13 +43,13 @@ def _load_pheno(args):
 def _resolve_precision(args):
     """Map --precision to a PrecisionConfig, enabling x64 first when needed
     (must happen before any array work, kinship included)."""
-    from .utils.config import BALANCED, EXACT64, FAST32, MIXED
+    from .utils.config import BALANCED, EXACT64, FAST32, MIXED, THROUGHPUT
 
     precision = {
         "fast32": FAST32, "balanced": BALANCED, "mixed": MIXED,
-        "exact64": EXACT64,
+        "exact64": EXACT64, "throughput": THROUGHPUT,
     }[args.precision]
-    if args.precision != "fast32":
+    if args.precision not in ("fast32", "throughput"):
         import jax
 
         jax.config.update("jax_enable_x64", True)
@@ -432,8 +432,11 @@ def main(argv=None):
             p.add_argument("--pheno", required=True, help="phenotype CSV or .npz")
         p.add_argument("-o", "--output", required=True)
         p.add_argument(
-            "--precision", choices=["fast32", "balanced", "mixed", "exact64"],
+            "--precision",
+            choices=["fast32", "balanced", "mixed", "exact64", "throughput"],
             default="balanced",
+            help="numerics preset (utils/config.py): throughput = bf16x3 "
+            "screening tier (~4e-3 LOD; 2x on the bulk-perm kernel)",
         )
         p.add_argument(
             "--lowrank-k", type=int, default=0,

@@ -357,7 +357,10 @@ def _alt_grid_pallas_pipeline(
     Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
 
     def impl(Yc):
-        return fused_alt_grid(Yc, X0m, C0, lam, h2_grid, prior=prior, reml=reml)
+        return fused_alt_grid(
+            Yc, X0m, C0, lam, h2_grid, prior=prior, reml=reml,
+            dot_precision=precision.gemm_precision,
+        )
 
     if trait_chunk is None:
         return impl(Y0)

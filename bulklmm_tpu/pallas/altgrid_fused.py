@@ -54,7 +54,8 @@ from ..ops.weights import make_weights
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g):
+def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g,
+            dot_precision=_HI):
     """One (marker-tile, trait-tile, grid-step) cell.
 
     s_ref:    (1, 1, n_pad) sqrt-weights for grid step k
@@ -83,7 +84,33 @@ def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g):
     Yr = Yw - jax.lax.dot_general(Qt, pY, (((0,), (0,)), ((), ())), precision=_HI)
     yn = jnp.sum(Yr * Yr, axis=0, keepdims=True)  # (1, TM)
 
-    num = jax.lax.dot_general(Xr, Yr, (((1,), (0,)), ((), ())), precision=_HI)
+    dims = (((1,), (0,)), ((), ()))
+    if dot_precision == jax.lax.Precision.HIGH:
+        # Mosaic has no Precision.HIGH lowering — emulate bf16x3 with
+        # manual bf16 hi/lo splits of the residualized operands and three
+        # single-pass dots (f32 accumulation): the THROUGHPUT screening
+        # tier (~1e-3 LOD). The thin residualization dots above stay
+        # HIGHEST — they are c-wide and cost nothing next to this one.
+        bf16 = jnp.bfloat16
+        Xh = Xr.astype(bf16)
+        Xl = (Xr - Xh.astype(jnp.float32)).astype(bf16)
+        Yh = Yr.astype(bf16)
+        Yl = (Yr - Yh.astype(jnp.float32)).astype(bf16)
+        # precision pinned to DEFAULT: these dots run under the callers'
+        # with_highest_matmul context, and HIGHEST on bf16 operands is a
+        # Mosaic type error ("Bad lhs type" — fp32 contract precision on
+        # a bf16 matmul); single-pass is exactly what the splits want
+        lo = jax.lax.Precision.DEFAULT
+        num = (
+            jax.lax.dot_general(Xh, Yh, dims, precision=lo,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(Xh, Yl, dims, precision=lo,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(Xl, Yh, dims, precision=lo,
+                                  preferred_element_type=jnp.float32)
+        )
+    else:
+        num = jax.lax.dot_general(Xr, Yr, dims, precision=dot_precision)
     # covariate-collinear markers / fully-explained traits residualize to
     # rounding noise — the relative rank mask maps them to r2 = 0 exactly,
     # matching the XLA engine (ops/smallchol.py::residual_keep_mask)
@@ -148,6 +175,7 @@ def fused_alt_grid(
     reml: bool = False,
     tile_p: int = 512,
     tile_m: int = 1024,
+    dot_precision=_HI,
     interpret: bool = False,
 ):
     """(p, m) alt-grid LOD matrix + (p, m) argmax h2 panel, fused.
@@ -199,7 +227,7 @@ def fused_alt_grid(
     cp = jnp.ones((g, m_pad), dtype=f32).at[:, :m].set(cmat).reshape(g, 1, m_pad)
 
     grid = (p_pad // tile_p, m_pad // tile_m, g)
-    kernel = functools.partial(_kernel, n=n, g=g)
+    kernel = functools.partial(_kernel, n=n, g=g, dot_precision=dot_precision)
     # index-map zeros are derived from the i32 grid indices (j * 0, not the
     # literal 0): with jax x64 enabled a literal traces as i64 and Mosaic
     # rejects the mixed i32/i64 index tuple
@@ -236,8 +264,10 @@ def fused_alt_grid(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            # HIGHEST = 6 bf16 passes on the main dot
-            flops=6 * 2 * p_pad * n_pad * m_pad * g,
+            # 6 bf16 passes at HIGHEST (3 at the emulated HIGH) on the
+            # main dot
+            flops=(6 if dot_precision == _HI else 3)
+            * 2 * p_pad * n_pad * m_pad * g,
             bytes_accessed=4 * (p_pad * n_pad + n_pad * m_pad + 2 * p_pad * m_pad),
             transcendentals=p_pad * m_pad,
         ),

@@ -96,10 +96,18 @@ def _kernel(s_ref, x_ref, ixn_ref, o_ref, *, k_pad, dot_precision):
             Sh = St.astype(jnp.bfloat16)
             Sl = (St - Sh.astype(jnp.float32)).astype(jnp.bfloat16)
             dims = (((1,), (0,)), ((), ()))
+            # precision pinned to DEFAULT: under a with_highest_matmul
+            # caller context the inherited HIGHEST on bf16 operands is a
+            # Mosaic type error ("Bad lhs type"); single-pass is exactly
+            # what the splits want
+            lo = jax.lax.Precision.DEFAULT
             num = (
-                jax.lax.dot_general(Xh, Sh, dims, preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(Xh, Sl, dims, preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(Xl, Sh, dims, preferred_element_type=jnp.float32)
+                jax.lax.dot_general(Xh, Sh, dims, precision=lo,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(Xh, Sl, dims, precision=lo,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(Xl, Sh, dims, precision=lo,
+                                      preferred_element_type=jnp.float32)
             )
         else:
             num = jax.lax.dot_general(

@@ -67,6 +67,14 @@ def test_cli_bulkscan(csv_data):
     z = np.load(csv_data / "lods.npz")
     assert z["L"].shape == (40, 6) and np.isfinite(z["L"]).all()
     assert z["h2_null_list"].shape == (6,)
+    # the bf16x3 screening tier is CLI-selectable and screening-close
+    r2 = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+               "--pheno", "pheno.csv", "--precision", "throughput",
+               "-o", "lods_tp.npz"], csv_data)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    Ltp = np.load(csv_data / "lods_tp.npz")["L"]
+    assert np.isfinite(Ltp).all()
+    assert np.max(np.abs(Ltp - z["L"])) < 2e-2
 
 
 def test_cli_scan_alt_assumption_and_precision(csv_data):
