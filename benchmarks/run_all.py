@@ -259,6 +259,22 @@ def main():
         "checksum fetch at the end (upload/compute/fetch overlapped)",
     )
 
+    # 6d. marginal FULL bulkscan (warm decomposition, pipelined dispatch):
+    # isolates the flagship's true compute from the one-shot per-call RTT
+    # floor — the repeated-workflow number (e.g. LOCO loops, parameter
+    # sweeps, method comparisons on one cohort)
+    NB = 6
+
+    def f():
+        Ls = [bl.bulkscan(Yd, Gd, kd).L for _ in range(NB)]
+        return float(sum(jnp.sum(L[0]) + jnp.sum(L[-1]) for L in Ls))
+    BASELINES["bulkscan_marginal_pipelined"] = BASELINES["bulkscan_null_grid"]
+    record(
+        "bulkscan_marginal_pipelined", timeit(f, repeats=2) / NB,
+        note=f"marginal per full {m}x{p} null-grid bulkscan over {NB} "
+        "dispatched scans, warm KinshipDecomposition, one fetch at the end",
+    )
+
     # 7. all-trait bulk permutation thresholds (fused Pallas engine)
     def f():
         r = bl.bulkscan_perms(Yd, Gd, K, nperms=1000, rndseed=0)

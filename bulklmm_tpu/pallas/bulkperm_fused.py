@@ -254,5 +254,9 @@ def fused_perm_prep(
     _, xns = perm_trait_marker_parts(
         X0m, sqrtw_blk, Qblk, precision=precision
     )
-    inv_xn = (1.0 / xns).astype(f32)  # masked xn = +inf -> exactly 0
+    inv = (1.0 / xns).astype(f32)  # masked xn = +inf -> exactly 0
+    # a kept-but-subnormal xn (marker amplitudes ~1e-19, below any real
+    # dataset) would overflow 1/xn to +inf and the kernel's num^2 (flushed
+    # to 0 on TPU) x inf would NaN the row — clamp nonfinite to 0
+    inv_xn = jnp.where(jnp.isfinite(inv), inv, jnp.zeros_like(inv))
     return S2, inv_xn
