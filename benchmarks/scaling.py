@@ -73,6 +73,9 @@ def main():
     platform = devs[0].platform
     # a forced-host-count CPU backend is virtual: shards share physical cores
     virtual = platform == "cpu"
+    if virtual and args.out.endswith("scaling_results.json"):
+        # don't clobber the real-hardware artifact with a virtual run
+        args.out = args.out[: -len(".json")] + "_virtual.json"
     ndev = len(devs)
     shard_counts = args.shards or [
         k for k in (1, 2, 4, 8, 16, 32) if k <= ndev

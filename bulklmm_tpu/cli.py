@@ -211,6 +211,13 @@ def _bulkscan(args):
             "--loco does not compose with --stream-markers; use --sharded "
             "or stream via the Python API"
         )
+    if getattr(args, "checkpoint_every", 1) != 1 and not stream:
+        # fail BEFORE compute: the in-memory engines checkpoint per trait
+        # chunk and would silently ignore the flag
+        raise SystemExit(
+            "--checkpoint-every applies only to the marker-streamed "
+            "permutation sweep; add --stream-markers BLOCK or drop the flag"
+        )
     mesh = _make_cli_mesh(args) if sharded else None
     G = _load_geno(args)
     Y = _load_pheno(args)

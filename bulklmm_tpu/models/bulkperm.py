@@ -183,11 +183,17 @@ def _data_fingerprint(*arrays, max_bytes: int = 1 << 28):
     would silently mix stale and fresh maxima rows in one FWER threshold
     matrix. This folds the actual bytes into the checkpoint fingerprint.
 
-    Arrays up to ``max_bytes`` (256 MB) are hashed in full; larger ones
-    (memmap-scale genotype panels) are hashed by a deterministic sample of
-    ~1024 evenly spaced rows (column-subsampled if still too large), which
-    stays cheap without reading tens of GB — any realistic regeneration of
-    an input file perturbs bytes throughout, so the sample catches it.
+    Arrays up to ``max_bytes`` (256 MB) are hashed in full. Larger ones
+    (memmap-scale genotype panels) are hashed by (a) a deterministic sample
+    of ~1024 evenly spaced rows (column-subsampled if still too large) AND
+    (b) a full-pass per-row weighted checksum ``sum_j a[i, j] * w_j`` with
+    fixed pseudorandom column weights, computed in row chunks — a single
+    edited cell, a swapped pair within a row, or any row-local change
+    perturbs its row's checksum even when the edited row is not in the
+    sample (the sampling-only scheme missed exactly the motivating case:
+    one corrected phenotype value in a > 256 MB matrix). The checksum pass
+    reads the full array once — for a memmap that is one extra IO sweep,
+    paid only when checkpointing is requested.
     ``KinshipDecomposition`` / ``LowRankKinship`` hash their factor arrays.
     """
     import hashlib
@@ -225,6 +231,20 @@ def _data_fingerprint(*arrays, max_bytes: int = 1 << 28):
             ).astype(np.int64)
             sample = np.ascontiguousarray(flat[:, cols])
         h.update(sample.tobytes())
+        # full-pass per-row weighted checksum: catches edits the row
+        # sample misses (one cell anywhere -> its row's checksum moves)
+        ncol = int(np.prod(a.shape[1:], dtype=np.int64))
+        # fixed pseudorandom weights (golden-ratio sequence, f64, in
+        # (0.5, 1.5)) — column-position-sensitive, so within-row swaps
+        # change the checksum too
+        w = (np.arange(ncol, dtype=np.float64) * 0.6180339887498949) % 1.0 + 0.5
+        chunk = max(1, max_bytes // max(1, ncol * 8))
+        sums = np.empty(a.shape[0], dtype=np.float64)
+        for lo in range(0, a.shape[0], chunk):
+            hi_ = min(lo + chunk, a.shape[0])
+            blk = np.asarray(a[lo:hi_]).reshape(hi_ - lo, ncol)
+            sums[lo:hi_] = blk.astype(np.float64, copy=False) @ w
+        h.update(sums.tobytes())
 
     for a in arrays:
         feed(a)
@@ -645,6 +665,31 @@ def _bulkperm_xla_trait_block(X0m, sqrtw_blk, Qblk, *, precision):
     )
 
 
+@partial(jax.jit, static_argnames=("precision",))
+def _bulkperm_pallas_trait_block(X0m, sqrtw_blk, Qblk, *, precision):
+    """Hoisted permutation-independent inv_xn for the Pallas engine."""
+    from ..pallas.bulkperm_fused import fused_perm_trait_block
+
+    return fused_perm_trait_block(X0m, sqrtw_blk, Qblk, precision=precision)
+
+
+@partial(jax.jit, static_argnames=("n", "precision", "tile_p", "interpret"))
+def _bulkperm_chunk_pallas(
+    X0m, sqrtw_blk, Qblk, inv_xn, wrn_blk, idx_blk, *,
+    n, precision, tile_p, interpret,
+):
+    """(mb, Kc) genome-wide max LODs, Pallas engine with the hoisted
+    trait-block inv_xn (only the chunk-dependent S2 prep runs here)."""
+    from ..pallas.bulkperm_fused import fused_perm_chunk_inputs, fused_perm_maxlods
+
+    S2 = fused_perm_chunk_inputs(sqrtw_blk, Qblk, wrn_blk, idx_blk)
+    return fused_perm_maxlods(
+        X0m, S2, inv_xn,
+        n=n, tile_p=tile_p, dot_precision=precision.gemm_precision,
+        interpret=interpret,
+    )
+
+
 @partial(jax.jit, static_argnames=("n", "precision"))
 def _bulkperm_chunk_xla(
     X0m, sqrtw_blk, Qblk, pXs, xns, wrn_blk, idx_blk, *, n, precision
@@ -800,6 +845,10 @@ def bulkscan_perms(
             pXs, xns = _bulkperm_xla_trait_block(
                 X0m, sw_b, Q_b, precision=precision
             )
+        elif eng == "pallas":
+            inv_xn = _bulkperm_pallas_trait_block(
+                X0m, sw_b, Q_b, precision=precision
+            )
         perm_cols = []
         for ks in range(0, K_total, perm_chunk):
             ke = min(ks + perm_chunk, K_total)
@@ -807,6 +856,12 @@ def bulkscan_perms(
                 blk = _bulkperm_chunk_xla(
                     X0m, sw_b, Q_b, pXs, xns, wrn_b, idx[ks:ke],
                     n=n, precision=precision,
+                )
+            elif eng == "pallas":
+                blk = _bulkperm_chunk_pallas(
+                    X0m, sw_b, Q_b, inv_xn, wrn_b, idx[ks:ke],
+                    n=n, precision=precision,
+                    tile_p=tile_p, interpret=interpret,
                 )
             else:
                 blk = _bulkperm_chunk(

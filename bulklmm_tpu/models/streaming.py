@@ -94,7 +94,10 @@ def _block_alt_grid(Y0, Xb, C0, Ut, lam, h2_grid, *, prior, reml, precision,
     if use_pallas:
         from ..pallas.altgrid_fused import fused_alt_grid
 
-        return fused_alt_grid(Y0, X0b, C0, lam, h2_grid, prior=prior, reml=reml)
+        return fused_alt_grid(
+            Y0, X0b, C0, lam, h2_grid, prior=prior, reml=reml,
+            dot_precision=precision.gemm_precision,
+        )
     return _alt_grid_impl(
         Y0, X0b, C0, lam, h2_grid,
         prior=prior, reml=reml, method="qr", precision=precision,
@@ -628,7 +631,10 @@ def bulkscan_perms_streamed(
     # per-(trait chunk, perm chunk) device accumulators; marker blocks fold
     # in via elementwise max (monotone in r^2), zero-padded block columns
     # contribute r^2 = 0 and never win
-    from .bulkperm import _bulkperm_chunk_xla, _bulkperm_xla_trait_block
+    from .bulkperm import (
+        _bulkperm_chunk_pallas, _bulkperm_chunk_xla, _bulkperm_pallas_trait_block,
+        _bulkperm_xla_trait_block,
+    )
 
     acc = {}
     spans = list(_blocks(p, block))
@@ -656,12 +662,24 @@ def bulkscan_perms_streamed(
                 pXs, xns = _bulkperm_xla_trait_block(
                     X0b, sw_b, Q_b, precision=precision
                 )
+            elif eng == "pallas":
+                # perm-independent inv_xn hoisted out of the chunk loop
+                # (per marker block — X0b changes per block)
+                inv_xn = _bulkperm_pallas_trait_block(
+                    X0b, sw_b, Q_b, precision=precision
+                )
             for ks in range(0, K_total, perm_chunk):
                 ke = min(ks + perm_chunk, K_total)
                 if eng == "xla":
                     blk = _bulkperm_chunk_xla(
                         X0b, sw_b, Q_b, pXs, xns, wrn_b, idx[ks:ke],
                         n=n, precision=precision,
+                    )[:mb]
+                elif eng == "pallas":
+                    blk = _bulkperm_chunk_pallas(
+                        X0b, sw_b, Q_b, inv_xn, wrn_b, idx[ks:ke],
+                        n=n, precision=precision,
+                        tile_p=tile_p, interpret=interpret,
                     )[:mb]
                 else:
                     blk = _bulkperm_chunk(
@@ -853,7 +871,6 @@ def _perms_streamed_sharded(
     from .bulkperm import (
         BulkPermResult, _attach_adj_pvals, _bulkperm_lr_marker_prep,
         _bulkperm_prep_traits, _bulkperm_prep_traits_lowrank,
-        _resolve_perm_engine,
     )
 
     if checkpoint_every < 1:
@@ -902,23 +919,17 @@ def _perms_streamed_sharded(
             prior=prior, reml=reml, method=method, solve_method=solve_method,
             optim_interval=optim_interval, precision=precision,
         )
-        # engine keys off the MESH's devices; per-device memory caps see
-        # the per-device trait block against one replicated marker block
-        eng, cap = _resolve_perm_engine(
-            engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
-            precision=precision, tile_p=tile_p, interpret=interpret,
-            p=block,
-            xla_trait_block=(
-                16 if trait_chunk is None
-                else max(1, -(-trait_chunk // tshards))
-            ),
+        # engine + tiling quanta from the SAME helper as the in-HBM mesh
+        # engine (parallel/sharding.py::_mesh_perm_tiling — per-device
+        # memory caps see the per-device trait block against one
+        # replicated marker block)
+        from ..parallel.sharding import _mesh_perm_tiling
+
+        eng, trait_chunk, pc_dev, quantum, row_quant = _mesh_perm_tiling(
+            mesh, engine=engine, n=n, p=block, precision=precision,
+            tile_p=tile_p, interpret=interpret, trait_chunk=trait_chunk,
+            perm_chunk=perm_chunk,
         )
-        quantum = tshards * (8 if eng == "pallas" else 1)
-        row_quant = mshards * 128 if eng == "pallas" else mshards
-        if trait_chunk is None:
-            trait_chunk = (1024 if eng == "pallas" else 16) * tshards
-        trait_chunk += (-trait_chunk) % quantum
-        pc_dev = min(perm_chunk, cap) if cap is not None else perm_chunk
         Ut = jax.device_put(Ut, rep)
         runfn = _bulkperm_sharded_fn(mesh, eng, n, precision, tile_p, interpret)
         rank_tag = "full-streamed-sharded"
@@ -927,20 +938,16 @@ def _perms_streamed_sharded(
     idx = permutation_indices(n, nperms, rndseed, original=original)
     K_total = int(idx.shape[0])
 
-    # permutation chunks: padded to the markers-axis quantum with
-    # identity-permutation repeats (their columns are sliced off); placed
-    # on the mesh ONCE, reused by every marker block
-    idx_chunks = []
-    for ks in range(0, K_total, chunk_glob):
-        blk = idx[ks:min(ks + chunk_glob, K_total)]
-        k_pad = (-blk.shape[0]) % row_quant
-        if k_pad:
-            blk = jnp.concatenate([blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0)
-        idx_chunks.append((
-            ks,
-            jax.device_put(blk, NamedSharding(mesh, _P(MARKERS_AXIS, None))),
-            min(ks + chunk_glob, K_total) - ks,
+    # permutation chunks padded/placed by the shared helper; placed on the
+    # mesh ONCE, reused by every marker block
+    from ..parallel.sharding import _mesh_perm_idx_chunks
+
+    idx_chunks = [
+        (ci * chunk_glob, idx_blk, kw)
+        for ci, (idx_blk, kw) in enumerate(_mesh_perm_idx_chunks(
+            idx, mesh, chunk_glob=chunk_glob, row_quant=row_quant
         ))
+    ]
 
     # trait-side tensors: marker-independent, placed on the mesh once
     tparts = []

@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.lod import log10_f32_accurate
+from ..ops.smallchol import residual_keep_mask
 from ..ops.weights import make_weights
 
 _HI = jax.lax.Precision.HIGHEST
@@ -113,13 +114,11 @@ def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g,
         num = jax.lax.dot_general(Xr, Yr, dims, precision=dot_precision)
     # covariate-collinear markers / fully-explained traits residualize to
     # rounding noise — the relative rank mask maps them to r2 = 0 exactly,
-    # matching the XLA engine (ops/smallchol.py::residual_keep_mask)
-    eps = jnp.finfo(jnp.float32).eps
-    thr = (1024.0 * eps) ** 2
-    keep = (
-        (xn > thr * jnp.sum(Xw * Xw, axis=1, keepdims=True)).astype(num.dtype)
-        * (yn > thr * jnp.sum(Yw * Yw, axis=0, keepdims=True)).astype(num.dtype)
-    )
+    # matching the XLA engine (the helpers are pure jnp, fine in-kernel;
+    # explicit residuals -> the squared-threshold residual_keep_mask)
+    keep = residual_keep_mask(
+        xn, jnp.sum(Xw * Xw, axis=1, keepdims=True)
+    ) * residual_keep_mask(yn, jnp.sum(Yw * Yw, axis=0, keepdims=True))
     r2 = keep * (num * num) / jnp.maximum(xn * yn, tiny)
     # same cancellation floor as the XLA path: r2 can round to >= 1 for
     # markers perfectly correlated with a trait; TPU flushes subnormals to

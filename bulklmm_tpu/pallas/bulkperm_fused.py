@@ -226,37 +226,48 @@ def fused_perm_maxlods(
     )
 
 
-def fused_perm_prep(
-    X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, *, precision
-):
-    """XLA-side prep for :func:`fused_perm_maxlods`: the (n,)-scale
-    trait-side work the v2 kernel no longer re-derives per marker tile.
+def fused_perm_trait_block(X0m, sqrtw_blk, Qblk, *, precision):
+    """Permutation-INDEPENDENT trait-block prep for
+    :func:`fused_perm_maxlods`, computed once per trait block and reused
+    by every permutation chunk (the pallas analog of the XLA engine's
+    hoisted ``_bulkperm_xla_trait_block``).
 
-    Returns ``(S2, inv_xn)``:
-
-    - ``S2`` (mb, n, Kc): shuffled unit residuals, covariate-residualized
-      against each trait's weighted-covariate orthobasis and folded with
-      the trait's sqrt-weights — ``sw_t ⊙ (I - Q_t^T Q_t) S_t`` (the
-      self-adjoint move of the projector from the marker side);
-    - ``inv_xn`` (mb, p): ``keep / ||(I-P_t)(x_i ⊙ sw_t)||^2`` from the
-      XLA engine's :func:`ops.bulkperm.perm_trait_marker_parts` (masked
-      markers arrive as xn = +inf there, so 1/xn = 0 exactly).
+    Returns ``inv_xn`` (mb, p): ``keep / ||(I-P_t)(x_i ⊙ sw_t)||^2`` from
+    :func:`ops.bulkperm.perm_trait_marker_parts` (masked degenerate
+    markers arrive as xn = +inf there, so 1/xn = 0 exactly).
     """
     from ..ops.bulkperm import perm_trait_marker_parts
 
+    _, xns = perm_trait_marker_parts(
+        X0m, sqrtw_blk, Qblk, precision=precision
+    )
+    inv = (1.0 / xns).astype(jnp.float32)
+    # a kept-but-subnormal xn (marker amplitudes ~1e-19, below any real
+    # dataset) would overflow 1/xn to +inf and the kernel's num^2 (flushed
+    # to 0 on TPU) x inf would NaN the row — clamp nonfinite to 0
+    return jnp.where(jnp.isfinite(inv), inv, jnp.zeros_like(inv))
+
+
+def fused_perm_chunk_inputs(sqrtw_blk, Qblk, wrn_blk, idx_blk):
+    """Per-(trait block, perm chunk) prep for :func:`fused_perm_maxlods`.
+
+    Returns ``S2`` (mb, n, Kc): shuffled unit residuals, covariate-
+    residualized against each trait's weighted-covariate orthobasis and
+    folded with the trait's sqrt-weights — ``sw_t ⊙ (I - Q_t^T Q_t) S_t``
+    (the self-adjoint move of the projector from the marker side, so the
+    kernel runs ONE dot per (trait, marker tile)).
+    """
     f32 = jnp.float32
     St = jnp.transpose(wrn_blk[idx_blk], (2, 1, 0)).astype(f32)  # (mb, n, Kc)
     Q = Qblk.astype(f32)  # (mb, c, n)
     proj = jnp.einsum("tcn,tnk->tck", Q, St, precision=_HI)
     Sr = St - jnp.einsum("tcn,tck->tnk", Q, proj, precision=_HI)
-    S2 = sqrtw_blk.astype(f32)[:, :, None] * Sr
+    return sqrtw_blk.astype(f32)[:, :, None] * Sr
 
-    _, xns = perm_trait_marker_parts(
-        X0m, sqrtw_blk, Qblk, precision=precision
-    )
-    inv = (1.0 / xns).astype(f32)  # masked xn = +inf -> exactly 0
-    # a kept-but-subnormal xn (marker amplitudes ~1e-19, below any real
-    # dataset) would overflow 1/xn to +inf and the kernel's num^2 (flushed
-    # to 0 on TPU) x inf would NaN the row — clamp nonfinite to 0
-    inv_xn = jnp.where(jnp.isfinite(inv), inv, jnp.zeros_like(inv))
+
+def fused_perm_prep(X0m, sqrtw_blk, Qblk, wrn_blk, idx_blk, *, precision):
+    """Both prep stages in one call — for single-chunk callers (the
+    shard_map body runs one chunk per device call, so nothing is wasted)."""
+    S2 = fused_perm_chunk_inputs(sqrtw_blk, Qblk, wrn_blk, idx_blk)
+    inv_xn = fused_perm_trait_block(X0m, sqrtw_blk, Qblk, precision=precision)
     return S2, inv_xn

@@ -88,11 +88,12 @@ def _kernel(xt_ref, xct_refs, xxt_ref, w_ref, wy_ref, scal_ref, out_ref, *, c, n
     # assumes a normal input. Markers whose residual collapsed to rounding
     # noise are masked to r2 = 0 exactly (relative rank test BEFORE the
     # floor). D is a difference of squares, so its noise floor is LINEAR in
-    # eps (~4 eps D1, the residual_sq clamp) — the threshold must be the
-    # linear 1024 eps D1 (ops/smallchol.py::cancel_keep_mask), not the
-    # explicit-residual (1024 eps)^2 D1 which sits below the noise.
+    # eps (~4 eps D1, the residual_sq clamp) — cancel_keep_mask, not the
+    # explicit-residual squared threshold which sits below the noise.
+    from ..ops.smallchol import cancel_keep_mask
+
     eps = jnp.finfo(f32).eps
-    keep = (D > 1024.0 * eps * D1).astype(f32)
+    keep = cancel_keep_mask(D, D1)
     D = jnp.maximum(D, 4.0 * eps * D1)
     r2 = keep * (N * N) * inv_nrm2[None, :] / D
     one_minus = jnp.maximum(1.0 - r2, jnp.finfo(f32).tiny)

@@ -450,6 +450,65 @@ def scan_perms_sharded(
     return ScanResult(sigma2_e=sigma2_e, h2_null=h2_null, lod=L[:, 0], L_perms=L[:, 1:])
 
 
+def _mesh_perm_tiling(
+    mesh, *, engine, n, p, precision, tile_p, interpret, trait_chunk,
+    perm_chunk,
+):
+    """Engine choice + tiling quanta for a dense-kinship (traits x markers)
+    mesh permutation sweep — the ONE place the per-device trait quantum
+    (8-sublane Pallas output tiles), the markers-axis perm-row quantum,
+    the trait-chunk default, and the per-device perm-width cap are
+    computed. Shared by :func:`bulkscan_perms_sharded` and the streamed
+    composition (models/streaming.py::_perms_streamed_sharded) so the two
+    mesh engines' tilings cannot desynchronize.
+
+    Returns ``(eng, trait_chunk, pc_dev, quantum, row_quant)``.
+    """
+    from ..models.bulkperm import _resolve_perm_engine
+
+    tshards = mesh.shape[TRAITS_AXIS]
+    mshards = mesh.shape[MARKERS_AXIS]
+    # engine keys off the MESH's devices, not the session default backend;
+    # the XLA memory cap sees the PER-DEVICE trait block (trait_chunk
+    # rounded UP to a tshards multiple) against the replicated panel
+    eng, cap = _resolve_perm_engine(
+        engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
+        precision=precision, tile_p=tile_p, interpret=interpret, p=p,
+        xla_trait_block=(
+            16 if trait_chunk is None else max(1, -(-trait_chunk // tshards))
+        ),
+    )
+    quantum = tshards * (8 if eng == "pallas" else 1)
+    row_quant = mshards * 128 if eng == "pallas" else mshards
+    if trait_chunk is None:
+        trait_chunk = (1024 if eng == "pallas" else 16) * tshards
+    trait_chunk += (-trait_chunk) % quantum
+    pc_dev = min(perm_chunk, cap) if cap is not None else perm_chunk
+    return eng, trait_chunk, pc_dev, quantum, row_quant
+
+
+def _mesh_perm_idx_chunks(idx, mesh, *, chunk_glob, row_quant):
+    """Split the (K_total, n) permutation-index matrix into global chunks,
+    pad each to the markers-axis quantum with identity-permutation rows
+    (their columns are sliced off by the caller), and place on the mesh.
+    Returns ``[(device_idx_block, true_width), ...]`` — placed ONCE,
+    reusable across marker blocks."""
+    K_total = int(idx.shape[0])
+    out = []
+    for ks in range(0, K_total, chunk_glob):
+        blk = idx[ks:min(ks + chunk_glob, K_total)]
+        k_pad = (-blk.shape[0]) % row_quant
+        if k_pad:
+            blk = jnp.concatenate(
+                [blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0
+            )
+        out.append((
+            jax.device_put(blk, NamedSharding(mesh, P(MARKERS_AXIS, None))),
+            min(ks + chunk_glob, K_total) - ks,
+        ))
+    return out
+
+
 @lru_cache(maxsize=None)
 def _bulkperm_sharded_fn(mesh, engine, n, precision, tile_p, interpret):
     """shard_map-wrapped bulk-perm chunk core, cached per (mesh, config).
@@ -614,18 +673,9 @@ def _bulkscan_perms_lowrank_sharded(
     block = _bulkperm_lr_block_fn(mesh, precision)
     run = _bulkperm_lr_chunk_fn(mesh, n, precision)
 
-    # perm rows pad to the markers-axis quantum with identity-permutation
-    # repeats (their columns are sliced off)
-    idx_chunks = []
-    for ks in range(0, K_total, chunk_glob):
-        blk = idx[ks:min(ks + chunk_glob, K_total)]
-        k_pad = (-blk.shape[0]) % mshards
-        if k_pad:
-            blk = jnp.concatenate([blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0)
-        idx_chunks.append((
-            jax.device_put(blk, NamedSharding(mesh, P(MARKERS_AXIS, None))),
-            min(ks + chunk_glob, K_total) - ks,
-        ))
+    idx_chunks = _mesh_perm_idx_chunks(
+        idx, mesh, chunk_glob=chunk_glob, row_quant=mshards
+    )
 
     ckpt = _perm_checkpoint(
         checkpoint, n=n, m=m, p=p, nperms=nperms, rndseed=rndseed,
@@ -777,54 +827,26 @@ def bulkscan_perms_sharded(
         optim_interval=optim_interval, precision=precision,
     )
 
-    tshards = mesh.shape[TRAITS_AXIS]
     mshards = mesh.shape[MARKERS_AXIS]
-    # engine choice keys off the MESH's devices, not the session default
-    # backend (a CPU dry-run mesh can coexist with a TPU default backend).
-    # The XLA memory cap sees the PER-DEVICE trait block against the
-    # replicated marker panel (each device runs one _chunk_impl tile).
-    eng, cap = _resolve_perm_engine(
-        engine, n, on_tpu=mesh.devices.flat[0].platform == "tpu",
-        precision=precision, tile_p=tile_p, interpret=interpret,
-        p=X0m.shape[1],
-        xla_trait_block=(
-            # ceiling: the actual per-device block is trait_chunk rounded
-            # UP to a tshards multiple, so the memory cap must see it
-            16 if trait_chunk is None else max(1, -(-trait_chunk // tshards))
-        ),
+    # per-DEVICE perm width is bounded by the same policy as the other
+    # entry points; global chunk = device width x marker shards; all
+    # tiling quanta from the shared helper (also used by the streamed
+    # composition — models/streaming.py::_perms_streamed_sharded)
+    eng, trait_chunk, pc_dev, quantum, row_quant = _mesh_perm_tiling(
+        mesh, engine=engine, n=n, p=X0m.shape[1], precision=precision,
+        tile_p=tile_p, interpret=interpret, trait_chunk=trait_chunk,
+        perm_chunk=perm_chunk,
     )
-    # per-device trait blocks: multiples of 8 for the Pallas output tile
-    quantum = tshards * (8 if eng == "pallas" else 1)
-    if trait_chunk is None:
-        trait_chunk = (1024 if eng == "pallas" else 16) * tshards
-    trait_chunk += (-trait_chunk) % quantum
 
     idx = permutation_indices(n, nperms, rndseed, original=original)
-    K_total = int(idx.shape[0])
-    # per-DEVICE perm width is bounded by the same policy as the other
-    # entry points (the fused kernel's VMEM cap / a memory-sane XLA chunk);
-    # global chunk = device width x marker shards
-    pc_dev = min(perm_chunk, cap) if cap is not None else perm_chunk
     chunk_glob = pc_dev * mshards
-    # perm rows pad to the markers-axis quantum with identity-permutation
-    # repeats (their columns are sliced off)
-    row_quant = mshards * 128 if eng == "pallas" else mshards
 
     run = _bulkperm_sharded_fn(mesh, eng, n, precision, tile_p, interpret)
     X0m = jax.device_put(X0m, NamedSharding(mesh, P(None, None)))
 
-    idx_chunks = []
-    for ks in range(0, K_total, chunk_glob):
-        blk = idx[ks:min(ks + chunk_glob, K_total)]
-        k_pad = (-blk.shape[0]) % row_quant
-        if k_pad:
-            blk = jnp.concatenate(
-                [blk, jnp.tile(idx[:1], (k_pad, 1))], axis=0
-            )
-        idx_chunks.append((
-            jax.device_put(blk, NamedSharding(mesh, P(MARKERS_AXIS, None))),
-            min(ks + chunk_glob, K_total) - ks,
-        ))
+    idx_chunks = _mesh_perm_idx_chunks(
+        idx, mesh, chunk_glob=chunk_glob, row_quant=row_quant
+    )
 
     from ..models.bulkperm import _perm_checkpoint
 

@@ -665,6 +665,29 @@ def test_bulkperm_checkpoint_refuses_edited_inputs(perm_data, tmp_path):
                       checkpoint=str(ck))
 
 
+def test_data_fingerprint_overcap_catches_single_cell_edits():
+    """Arrays over the hash cap use row-sampling PLUS a full-pass per-row
+    weighted checksum: a single edited cell in an UNSAMPLED row — the
+    motivating corrected-phenotype case — and a within-row swap must both
+    change the digest (code-review r4)."""
+    from bulklmm_tpu.models.bulkperm import _data_fingerprint
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(5000, 40))  # 1.6 MB
+    cap = 1 << 14  # 16 KB: forces the over-cap path (~1024-row sample)
+    base = _data_fingerprint(a, max_bytes=cap)
+    assert _data_fingerprint(a.copy(), max_bytes=cap) == base
+
+    # rows sampled by linspace(0, 4999, 1024) — row 2 is NOT in the sample
+    edited = a.copy()
+    edited[2, 17] += 1e-6
+    assert _data_fingerprint(edited, max_bytes=cap) != base
+
+    swapped = a.copy()
+    swapped[2, 5], swapped[2, 6] = a[2, 6], a[2, 5]  # row sum preserved
+    assert _data_fingerprint(swapped, max_bytes=cap) != base
+
+
 def test_streamed_perm_checkpoint_every(perm_data, tmp_path):
     """checkpoint_every=N saves the streamed accumulator every N marker
     blocks (plus the final one) instead of after every block (ADVICE r3):

@@ -353,6 +353,17 @@ def test_cli_bulkscan_streamed_sharded_perms(csv_data):
     assert np.max(np.abs(a - c)) < 1e-4
 
 
+def test_cli_checkpoint_every_requires_streaming(csv_data):
+    """--checkpoint-every without --stream-markers would be silently
+    ignored by the in-memory engines; fail fast BEFORE any compute
+    (code-review r4)."""
+    r = _run(["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+              "--pheno", "pheno.csv", "--nperms", "8", "--resume", "ckd",
+              "--checkpoint-every", "4", "-o", "x.npz"], csv_data)
+    assert r.returncode != 0
+    assert "stream-markers" in (r.stderr + r.stdout)
+
+
 def test_cli_podscan_single_process_and_merge(csv_data, tmp_path):
     """podscan without --coordinator is a one-process pod; merge-shards
     assembles its shard file into the final .npz."""
