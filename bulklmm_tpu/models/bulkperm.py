@@ -748,7 +748,12 @@ def bulkscan_perms(
     in standard coordinates (``A_j = I + U diag(sqrt(w_j)-1) U^T``; the
     whitened residual's standard coordinates are iid under the null) — no
     (n, n) kinship and no host eigh, for cohorts beyond the eigh wall
-    (XLA engine only).
+    (XLA engine only). Note the shuffles act on DIFFERENT (equally valid)
+    exchangeable coordinates than the full-rank engine's rotated basis, so
+    even at k = n the individual permutation columns are different draws
+    from the same null — the OBSERVED column and the threshold
+    distribution agree (tested vs a dense whitening oracle), the
+    realization-level perm columns do not.
 
     Returns :class:`BulkPermResult`; feed ``result.perm_maxima`` to
     :func:`bulklmm_tpu.get_thresholds_bulk` for (levels x m) thresholds.
