@@ -74,3 +74,34 @@ def test_lowrank_full_rank_matches_rotated_random_config(seed):
         np.asarray(a.L), np.asarray(b.L), atol=1e-6,
         err_msg=f"seed={seed}",
     )
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_perm_engines_match_random_config(seed):
+    """Randomized shapes through every permutation composition: the fused
+    kernel (interpret), the mesh engine, and streamed x sharded must all
+    reproduce the single-device XLA sweep exactly (same shuffles, same
+    whitening basis)."""
+    from bulklmm_tpu.parallel import bulkscan_perms_sharded, make_mesh
+
+    rng = np.random.default_rng(seed)
+    G, K, Y, covar, _, _ = _config(seed)
+    p = G.shape[1]
+    a = bl.bulkscan_perms(Y, G, K, covar, nperms=13, rndseed=seed)
+    A = np.asarray(a.maxlods)
+    b = bl.bulkscan_perms(
+        Y, G, K, covar, nperms=13, rndseed=seed, engine="pallas",
+        interpret=True, tile_p=16,
+        trait_chunk=int(rng.integers(1, Y.shape[1] + 1)),
+    )
+    assert np.max(np.abs(A - np.asarray(b.maxlods))) < 1e-5, "pallas"
+    mesh = make_mesh(4, marker_shards=2)
+    c = bulkscan_perms_sharded(
+        Y, G, K, covar, mesh=mesh, nperms=13, rndseed=seed
+    )
+    assert np.max(np.abs(A - np.asarray(c.maxlods))) < 1e-9, "sharded"
+    d = bl.bulkscan_perms_streamed(
+        Y, G, K, covar, nperms=13, rndseed=seed,
+        marker_block=int(rng.integers(5, p + 4)), mesh=mesh,
+    )
+    assert np.max(np.abs(A - np.asarray(d.maxlods))) < 1e-9, "streamed+mesh"
