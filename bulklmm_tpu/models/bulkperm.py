@@ -334,7 +334,7 @@ def _perm_common_inputs(
 
 
 def _resolve_perm_engine(
-    engine, n, *, on_tpu, precision, tile_p=512, interpret=False,
+    engine, n, *, on_tpu, precision, tile_p=256, interpret=False,
     p=None, xla_trait_block=16,
 ):
     """Engine + perm-chunk cap policy shared by the three entry points.
@@ -724,7 +724,7 @@ def bulkscan_perms(
     trait_chunk: Optional[int] = None,
     perm_chunk: int = 2048,
     original: bool = True,
-    tile_p: int = 512,
+    tile_p: int = 256,
     interpret: bool = False,
     checkpoint=None,
     _adj_pvals: bool = True,

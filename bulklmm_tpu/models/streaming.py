@@ -510,7 +510,7 @@ def bulkscan_perms_streamed(
     trait_chunk=None,
     perm_chunk: int = 2048,
     original: bool = True,
-    tile_p: int = 512,
+    tile_p: int = 256,
     interpret: bool = False,
     checkpoint=None,
     checkpoint_every: int = 1,

@@ -219,14 +219,16 @@ def max_r2_perms_xla(
 
 
 def pallas_perm_chunk_cap(
-    n: int, tile_p: int = 512, budget_bytes: int = 40 * 1024 * 1024
+    n: int, tile_p: int = 256, budget_bytes: int = 40 * 1024 * 1024
 ) -> int:
     """Largest permutation-chunk width (a multiple of 128, the kernel's
     lane quantum) whose (8, n, Kc) pre-shuffled residual block stays within
     ``budget_bytes`` of VMEM — it is the dominant, double-buffered input of
-    the fused kernel. A ``tile_p`` above the default shrinks the budget by
-    the extra double-buffered (tile_p, n) marker-tile bytes (the budget was
-    calibrated at tile_p=512). At BXD n the cap is far above any real
+    the fused kernel. A ``tile_p`` above 512 shrinks the budget by the
+    extra double-buffered (tile_p, n) marker-tile bytes (the budget was
+    calibrated at tile_p=512; the round-4 default 256 — measured fastest
+    for the v2 single-dot kernel — only leaves MORE headroom, so the
+    formula stays conservative). At BXD n the cap is far above any real
     nperms; at biobank n it bounds the chunk so the kernel compiles within
     the scoped VMEM limit. Returns **0 when even Kc = 128 does not fit**
     (n beyond ~10k): the kernel is then infeasible and callers must use the

@@ -144,7 +144,7 @@ def fused_perm_maxlods(
     inv_xn,
     *,
     n: int,
-    tile_p: int = 512,
+    tile_p: int = 256,
     dot_precision=_HI,
     interpret: bool = False,
 ):

@@ -754,7 +754,7 @@ def bulkscan_perms_sharded(
     trait_chunk: Optional[int] = None,
     perm_chunk: int = 2048,
     original: bool = True,
-    tile_p: int = 512,
+    tile_p: int = 256,
     interpret: bool = False,
     checkpoint=None,
     _adj_pvals: bool = True,
