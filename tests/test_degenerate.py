@@ -230,3 +230,19 @@ def test_collinear_covariates_refused(deg):
     # a well-conditioned covariate matrix still passes
     ok = bl.bulkscan(Y, Gh, K, covar)
     assert np.all(np.isfinite(np.asarray(ok.L)))
+
+
+def test_per_trait_affine_scale_invariance(deg):
+    """LOD scores are invariant under per-trait affine rescaling (the
+    correlation form divides out scale; the intercept absorbs shift) —
+    must hold across 24+ orders of magnitude without over/underflow
+    (measured 6e-14 in f64, round-4 probe)."""
+    Gh, G, K, Y, covar = deg
+    base = np.asarray(bl.bulkscan(Y, Gh, K, covar).L)
+    for expo in (-12, 12):
+        scale = 10.0 ** expo
+        Ls = np.asarray(bl.bulkscan(Y * scale + 7.0 * scale, Gh, K, covar).L)
+        assert np.isfinite(Ls).all()
+        assert np.max(np.abs(Ls - base)) < 1e-9, expo
+    r = bl.scan(Y[:, 1] * 1e12, Gh, K, covar, permutation_test=True, nperms=8)
+    assert np.all(np.isfinite(np.asarray(r.L_perms)))
