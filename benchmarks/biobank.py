@@ -62,6 +62,13 @@ def main():
         help="trait count for --perms (per-trait whitening makes the "
              "permutation pass cost ~ m x p x n x nperms GEMM flops)",
     )
+    ap.add_argument(
+        "--precision", default=None,
+        choices=["fast32", "balanced", "mixed", "exact64", "throughput"],
+        help="numerics preset (default: the library default; 'throughput' "
+             "= bf16x3 screening tier — the large-n FLOP-bound regime is "
+             "where it pays, docs/PERF.md Screening mode)",
+    )
     args = ap.parse_args()
 
     n, p, m = (5000, 100_000, 20_000) if args.full else (2000, 30_000, 8_000)
@@ -70,6 +77,16 @@ def main():
     import jax.numpy as jnp
 
     import bulklmm_tpu as bl
+    from bulklmm_tpu.utils.config import (
+        BALANCED, DEFAULT_PRECISION, EXACT64, FAST32, MIXED, THROUGHPUT,
+    )
+
+    prec = {
+        None: DEFAULT_PRECISION, "fast32": FAST32, "balanced": BALANCED,
+        "mixed": MIXED, "exact64": EXACT64, "throughput": THROUGHPUT,
+    }[args.precision]
+    if args.precision in ("balanced", "mixed", "exact64"):
+        jax.config.update("jax_enable_x64", True)
 
     G, Y = synth_cohort(n, p, m)
 
@@ -109,7 +126,7 @@ def main():
         Yp = Yd[:, :mp_]
 
         def run():
-            r = bl.bulkscan_perms(Yp, Gd, K, nperms=args.perms)
+            r = bl.bulkscan_perms(Yp, Gd, K, nperms=args.perms, precision=prec)
             return float(jnp.sum(r.maxlods))  # checksum forces completion
 
         run()
@@ -138,7 +155,7 @@ def main():
         mesh = make_mesh()
 
         def run():
-            r = bulkscan_sharded(Yd, Gd, K, mesh=mesh)
+            r = bulkscan_sharded(Yd, Gd, K, mesh=mesh, precision=prec)
             return float(jnp.sum(r.L))
     else:
         mb = -(-m // args.host_blocks)
@@ -147,7 +164,7 @@ def main():
             s = 0.0
             for b in range(args.host_blocks):
                 Yb = Yd[:, b * mb : (b + 1) * mb]
-                r = bl.bulkscan(Yb, Gd, K, trait_chunk=args.trait_chunk)
+                r = bl.bulkscan(Yb, Gd, K, trait_chunk=args.trait_chunk, precision=prec)
                 s += float(jnp.sum(r.L))  # consume block before the next
             return s
 
