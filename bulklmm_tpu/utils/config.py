@@ -101,9 +101,13 @@ BALANCED = PrecisionConfig(
     solve_dtype=jnp.float64, gemm_dtype=jnp.float32, kernel_dtype=jnp.float32
 )
 # THROUGHPUT: like FAST32 but GEMMs at Precision.HIGH (bf16x3 instead of
-# bf16x6) — measured ~1.5x on FLOP-bound (large-n) cohorts at ~4e-3 absolute
-# LOD accuracy. Screening-grade: rank candidate loci fast, confirm peaks
-# with BALANCED/EXACT64.
+# bf16x6; the fused Pallas kernels emulate it with manual bf16 splits —
+# Mosaic has no HIGH lowering). Measured (round 4, v5e): 2.0x on the
+# MXU-pass-bound bulk-perm kernel (BXD 35,554 x 1,000 sweep 2.36 -> 1.30 s
+# at 3.6e-3 max |dLOD|), 1.44-1.61x on FLOP-bound large-n cohorts
+# (biobank bulkscan 0.164 -> 0.114 s; 5000 x 100k x 20k 3.60 -> 2.24 s)
+# at ~4e-3 absolute LOD accuracy. Screening-grade: rank candidate loci
+# fast, confirm peaks with BALANCED/EXACT64.
 THROUGHPUT = PrecisionConfig(
     solve_dtype=jnp.float32,
     gemm_dtype=jnp.float32,
