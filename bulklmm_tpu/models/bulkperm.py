@@ -862,16 +862,10 @@ def bulkscan_perms(
                     X0m, sw_b, Q_b, pXs, xns, wrn_b, idx[ks:ke],
                     n=n, precision=precision,
                 )
-            elif eng == "pallas":
+            else:  # eng == "pallas" (_resolve_perm_engine returns only xla/pallas)
                 blk = _bulkperm_chunk_pallas(
                     X0m, sw_b, Q_b, inv_xn, wrn_b, idx[ks:ke],
                     n=n, precision=precision,
-                    tile_p=tile_p, interpret=interpret,
-                )
-            else:
-                blk = _bulkperm_chunk(
-                    X0m, sw_b, Q_b, wrn_b, idx[ks:ke],
-                    engine=eng, n=n, precision=precision,
                     tile_p=tile_p, interpret=interpret,
                 )
             perm_cols.append(blk[:mb])

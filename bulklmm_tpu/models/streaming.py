@@ -265,9 +265,20 @@ def bulkscan_streamed(
         from .bulkscan import _altgrid_feasible, _guard_pallas_altgrid
 
         _guard_pallas_altgrid(engine, precision, n)
-        Y0 = jnp.matmul(Ut, Yd)
-        C0 = jnp.matmul(Ut, Cd)
+        # HIGHEST rotation: an eager jnp.matmul outside the jitted
+        # with_highest_matmul pipelines would run at the TPU's default
+        # bf16 matmul precision (~1e-2 LOD through the likelihood path)
+        hi = jax.lax.Precision.HIGHEST
+        Y0 = jnp.matmul(Ut, Yd, precision=hi)
+        C0 = jnp.matmul(Ut, Cd, precision=hi)
         h2_panel = np.empty((p, m), dtype=np.float32)
+        if engine == "pallas" and mesh is not None:
+            raise ValueError(
+                "engine='pallas' does not compose with mesh= for the "
+                "streamed alt-grid (the fused block kernel is "
+                "single-device); use engine='auto'/'xla' with mesh=, or "
+                "drop mesh= for the fused kernel"
+            )
         # the fused Pallas block kernel is single-device; on a mesh the
         # XLA formulation partitions via sharding propagation instead
         use_pallas = mesh is None and (engine == "pallas" or (
@@ -675,16 +686,10 @@ def bulkscan_perms_streamed(
                         X0b, sw_b, Q_b, pXs, xns, wrn_b, idx[ks:ke],
                         n=n, precision=precision,
                     )[:mb]
-                elif eng == "pallas":
+                else:  # eng == "pallas" (_resolve_perm_engine returns only xla/pallas)
                     blk = _bulkperm_chunk_pallas(
                         X0b, sw_b, Q_b, inv_xn, wrn_b, idx[ks:ke],
                         n=n, precision=precision,
-                        tile_p=tile_p, interpret=interpret,
-                    )[:mb]
-                else:
-                    blk = _bulkperm_chunk(
-                        X0b, sw_b, Q_b, wrn_b, idx[ks:ke],
-                        engine=eng, n=n, precision=precision,
                         tile_p=tile_p, interpret=interpret,
                     )[:mb]
                 key = (ms, ks)
@@ -866,7 +871,7 @@ def _perms_streamed_sharded(
     from ..ops.lowrank import LowRankKinship
     from ..parallel.sharding import (
         MARKERS_AXIS, TRAITS_AXIS, _bulkperm_lr_block_fn,
-        _bulkperm_lr_chunk_fn, _bulkperm_sharded_fn,
+        _bulkperm_lr_chunk_fn,
     )
     from .bulkperm import (
         BulkPermResult, _attach_adj_pvals, _bulkperm_lr_marker_prep,
@@ -931,7 +936,12 @@ def _perms_streamed_sharded(
             perm_chunk=perm_chunk,
         )
         Ut = jax.device_put(Ut, rep)
-        runfn = _bulkperm_sharded_fn(mesh, eng, n, precision, tile_p, interpret)
+        from ..parallel.sharding import (
+            _bulkperm_fr_block_fn, _bulkperm_fr_chunk_fn,
+        )
+
+        blockfn = _bulkperm_fr_block_fn(mesh, eng, precision)
+        runfn = _bulkperm_fr_chunk_fn(mesh, eng, n, precision, tile_p, interpret)
         rank_tag = "full-streamed-sharded"
 
     chunk_glob = pc_dev * mshards
@@ -991,15 +1001,22 @@ def _perms_streamed_sharded(
         else:
             X0b = _rotate_block(Ut, Xb)
         for ms, mb, lead_b, Q_b, wrn_b in tparts:
+            # permutation-independent parts hoisted per (marker block,
+            # trait chunk) — both kinship ranks, both engines
             if lowrank:
                 qXs, xns = blockfn(Xb, U, UtX, UtX2, xsq, lead_b, Q_b)
+            else:
+                parts = blockfn(X0b, lead_b, Q_b)
+                parts = parts if isinstance(parts, tuple) else (parts,)
             for ks, idx_blk, kw in idx_chunks:
                 if lowrank:
                     blk = runfn(
                         Xb, U, UtX, lead_b, Q_b, qXs, xns, wrn_b, idx_blk
                     )[:mb, :kw]
                 else:
-                    blk = runfn(X0b, lead_b, Q_b, wrn_b, idx_blk)[:mb, :kw]
+                    blk = runfn(
+                        X0b, lead_b, Q_b, *parts, wrn_b, idx_blk
+                    )[:mb, :kw]
                 key = (ms, ks)
                 acc[key] = (
                     blk if key not in acc else jnp.maximum(acc[key], blk)

@@ -56,7 +56,6 @@ from .smallchol import (
 )
 
 _LN10 = math.log(10.0)
-_MAX_DELTA = 1e18  # same h2 -> 1 clamp as ops/weights.py
 
 
 class LowRankKinship(NamedTuple):
@@ -78,16 +77,13 @@ class LowRankKinship(NamedTuple):
 
 
 def _correction_weights(h2, lam):
-    """(w - 1) correction factors; broadcasts like ops/weights.make_weights.
+    """(w - 1) correction factors: ``w_i = 1/(delta lam_i + 1)`` with the
+    same h2 -> 1 clamp as the full-rank path — exactly
+    :func:`ops.weights.make_weights` minus one (single home for the
+    h2 -> weight convention and the delta clamp)."""
+    from .weights import make_weights
 
-    w_i = 1/(delta lam_i + 1) with delta = h2/(1-h2) (clamped at the h2=1
-    endpoint like the full-rank path).
-    """
-    h2 = jnp.asarray(h2)
-    delta = jnp.clip(h2 / (1.0 - h2), -_MAX_DELTA, _MAX_DELTA)
-    if h2.ndim == 0:
-        return 1.0 / (delta * lam + 1.0) - 1.0
-    return 1.0 / (delta[..., None] * lam + 1.0) - 1.0
+    return make_weights(h2, lam) - 1.0
 
 
 # ---------------------------------------------------------------------------

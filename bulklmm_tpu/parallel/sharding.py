@@ -545,6 +545,88 @@ def _bulkperm_sharded_fn(mesh, engine, n, precision, tile_p, interpret):
 
 
 @lru_cache(maxsize=None)
+def _bulkperm_fr_block_fn(mesh, engine, precision):
+    """shard_map-wrapped FULL-RANK per-trait-block permutation-independent
+    parts, traits-sharded against the replicated marker panel — computed
+    once per (marker block, trait chunk) and reused by every permutation
+    chunk (mirrors the single-device hoisting,
+    models/bulkperm.py::_bulkperm_xla_trait_block /
+    _bulkperm_pallas_trait_block, and the rank-k _bulkperm_lr_block_fn).
+    Returns (pXs, xns) for the XLA engine, inv_xn for the Pallas engine."""
+    if engine == "pallas":
+        from ..pallas.bulkperm_fused import fused_perm_trait_block
+
+        f = partial(fused_perm_trait_block, precision=precision)
+        out_specs = P(TRAITS_AXIS, None)
+    else:
+        from ..ops.bulkperm import perm_trait_marker_parts
+
+        f = partial(perm_trait_marker_parts, precision=precision)
+        out_specs = (P(TRAITS_AXIS, None, None), P(TRAITS_AXIS, None))
+    return jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),               # X0m replicated
+                P(TRAITS_AXIS, None),        # sqrt-weights
+                P(TRAITS_AXIS, None, None),  # covariate orthobases
+            ),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+
+
+@lru_cache(maxsize=None)
+def _bulkperm_fr_chunk_fn(mesh, engine, n, precision, tile_p, interpret):
+    """shard_map-wrapped FULL-RANK perm chunk core consuming the hoisted
+    block parts from :func:`_bulkperm_fr_block_fn` (the per-chunk sibling
+    of :func:`_bulkperm_sharded_fn`, which computes parts inline)."""
+    if engine == "pallas":
+        from ..pallas.bulkperm_fused import (
+            fused_perm_chunk_inputs, fused_perm_maxlods,
+        )
+
+        def f(X0m, sw_b, Q_b, inv_xn, wrn_b, idx_blk):
+            S2 = fused_perm_chunk_inputs(sw_b, Q_b, wrn_b, idx_blk)
+            return fused_perm_maxlods(
+                X0m, S2, inv_xn,
+                n=n, tile_p=tile_p,
+                dot_precision=precision.gemm_precision, interpret=interpret,
+            )
+
+        parts_specs = (P(TRAITS_AXIS, None),)  # inv_xn
+    else:
+        from ..ops.bulkperm import max_r2_perms_xla, maxr2_to_lod
+
+        def f(X0m, sw_b, Q_b, pXs, xns, wrn_b, idx_blk):
+            maxr2 = max_r2_perms_xla(
+                X0m, sw_b, Q_b, pXs, xns, wrn_b, idx_blk,
+                precision=precision,
+            )
+            return maxr2_to_lod(maxr2, n, precision=precision)
+
+        parts_specs = (P(TRAITS_AXIS, None, None), P(TRAITS_AXIS, None))
+    return jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),               # X0m replicated
+                P(TRAITS_AXIS, None),        # sqrt-weights
+                P(TRAITS_AXIS, None, None),  # covariate orthobases
+            ) + parts_specs + (
+                P(None, TRAITS_AXIS),        # whitened residuals
+                P(MARKERS_AXIS, None),       # shuffle indices (perm shards)
+            ),
+            out_specs=P(TRAITS_AXIS, MARKERS_AXIS),
+            check_vma=False,
+        )
+    )
+
+
+@lru_cache(maxsize=None)
 def _bulkperm_lr_block_fn(mesh, precision):
     """shard_map-wrapped rank-k per-trait-block marker parts (qX, xn):
     traits-sharded, marker panel and (n, k) factor replicated. Computed once
