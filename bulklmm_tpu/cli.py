@@ -211,13 +211,25 @@ def _bulkscan(args):
             "--loco does not compose with --stream-markers; use --sharded "
             "or stream via the Python API"
         )
-    if getattr(args, "checkpoint_every", 1) != 1 and not stream:
-        # fail BEFORE compute: the in-memory engines checkpoint per trait
-        # chunk and would silently ignore the flag
-        raise SystemExit(
-            "--checkpoint-every applies only to the marker-streamed "
-            "permutation sweep; add --stream-markers BLOCK or drop the flag"
-        )
+    if getattr(args, "checkpoint_every", 1) != 1:
+        # fail BEFORE compute: outside the marker-streamed checkpointed
+        # permutation sweep the flag would be silently ignored
+        if not stream:
+            raise SystemExit(
+                "--checkpoint-every applies only to the marker-streamed "
+                "permutation sweep; add --stream-markers BLOCK or drop "
+                "the flag"
+            )
+        if args.nperms <= 0:
+            raise SystemExit(
+                "--checkpoint-every applies only to the permutation "
+                "sweep; add --nperms N or drop the flag"
+            )
+        if not args.resume:
+            raise SystemExit(
+                "--checkpoint-every needs a checkpoint directory; add "
+                "--resume DIR or drop the flag"
+            )
     mesh = _make_cli_mesh(args) if sharded else None
     G = _load_geno(args)
     Y = _load_pheno(args)

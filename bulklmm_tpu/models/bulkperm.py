@@ -186,14 +186,20 @@ def _data_fingerprint(*arrays, max_bytes: int = 1 << 28):
     Arrays up to ``max_bytes`` (256 MB) are hashed in full. Larger ones
     (memmap-scale genotype panels) are hashed by (a) a deterministic sample
     of ~1024 evenly spaced rows (column-subsampled if still too large) AND
-    (b) a full-pass per-row weighted checksum ``sum_j a[i, j] * w_j`` with
-    fixed pseudorandom column weights, computed in row chunks — a single
-    edited cell, a swapped pair within a row, or any row-local change
-    perturbs its row's checksum even when the edited row is not in the
-    sample (the sampling-only scheme missed exactly the motivating case:
-    one corrected phenotype value in a > 256 MB matrix). The checksum pass
-    reads the full array once — for a memmap that is one extra IO sweep,
-    paid only when checkpointing is requested.
+    (b) a full-pass per-row INTEGER checksum over the raw row bytes,
+    ``sum_k byte[i, k] * w_k  (mod 2^64)`` with fixed position-dependent
+    uint64 weights, computed in row chunks — a single edited byte anywhere
+    perturbs its row's checksum (delta * w_k != 0 mod 2^64 for any
+    byte-sized delta), even when the edited row is not in the sample, and
+    within-row swaps change it too (all weights distinct). Integer
+    arithmetic wraps mod 2^64 identically on every platform, so the digest
+    is bit-stable across BLAS builds / thread counts / numpy versions
+    (same dtype + endianness) — a checkpoint written on one machine
+    resumes on another. The checksum pass reads the full array once — for
+    a memmap that is one extra IO sweep, paid only when checkpointing is
+    requested. Lazy containers (``np.memmap``, h5py datasets) are sized
+    from their ``shape``/``dtype`` and read strictly by slice — never
+    materialized whole.
     ``KinshipDecomposition`` / ``LowRankKinship`` hash their factor arrays.
     """
     import hashlib
@@ -213,16 +219,26 @@ def _data_fingerprint(*arrays, max_bytes: int = 1 << 28):
             feed(a.U)
             feed(a.lam)
             return
-        a = np.asarray(a)  # device arrays fetch here (checkpointing only)
-        h.update(str(a.dtype).encode())
-        h.update(str(a.shape).encode())
-        if a.nbytes <= max_bytes:
-            h.update(np.ascontiguousarray(a).tobytes())
+        # size WITHOUT materializing: memmap/h5py/device arrays all expose
+        # shape+dtype; np.asarray on a >RAM lazy container would OOM here
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            shape = tuple(int(s) for s in a.shape)
+            dt = np.dtype(a.dtype)
+        else:
+            a = np.asarray(a)
+            shape, dt = a.shape, a.dtype
+        nbytes = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        h.update(str(dt).encode())
+        h.update(str(shape).encode())
+        if nbytes <= max_bytes:
+            h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
             return
         rows = np.linspace(
-            0, a.shape[0] - 1, num=min(a.shape[0], 1024)
+            0, shape[0] - 1, num=min(shape[0], 1024)
         ).astype(np.int64)
-        sample = np.ascontiguousarray(a[rows])
+        # strictly-increasing row selection: valid for memmap, h5py
+        # (sorted fancy selection), numpy, and jax arrays alike
+        sample = np.ascontiguousarray(np.asarray(a[rows]))
         if sample.nbytes > max_bytes:
             flat = sample.reshape(sample.shape[0], -1)
             ncols = max(1, max_bytes // max(1, flat[:, :1].nbytes))
@@ -231,19 +247,26 @@ def _data_fingerprint(*arrays, max_bytes: int = 1 << 28):
             ).astype(np.int64)
             sample = np.ascontiguousarray(flat[:, cols])
         h.update(sample.tobytes())
-        # full-pass per-row weighted checksum: catches edits the row
-        # sample misses (one cell anywhere -> its row's checksum moves)
-        ncol = int(np.prod(a.shape[1:], dtype=np.int64))
-        # fixed pseudorandom weights (golden-ratio sequence, f64, in
-        # (0.5, 1.5)) — column-position-sensitive, so within-row swaps
-        # change the checksum too
-        w = (np.arange(ncol, dtype=np.float64) * 0.6180339887498949) % 1.0 + 0.5
-        chunk = max(1, max_bytes // max(1, ncol * 8))
-        sums = np.empty(a.shape[0], dtype=np.float64)
-        for lo in range(0, a.shape[0], chunk):
-            hi_ = min(lo + chunk, a.shape[0])
-            blk = np.asarray(a[lo:hi_]).reshape(hi_ - lo, ncol)
-            sums[lo:hi_] = blk.astype(np.float64, copy=False) @ w
+        # full-pass per-row integer checksum: catches edits the row
+        # sample misses (one byte anywhere -> its row's checksum moves)
+        row_nbytes = (
+            int(np.prod(shape[1:], dtype=np.int64)) * dt.itemsize
+        )
+        # affine golden-ratio weights: k * GOLD + 1 is a bijection of
+        # uint64 (GOLD odd), so weights are distinct and nonzero
+        mult = np.arange(row_nbytes, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + np.uint64(1)
+        # chunk bound: the uint64-widened byte block is 8x the raw bytes
+        chunk = max(1, max_bytes // max(1, row_nbytes * 8))
+        sums = np.empty(shape[0], dtype=np.uint64)
+        for lo in range(0, shape[0], chunk):
+            hi_ = min(lo + chunk, shape[0])
+            blk = np.ascontiguousarray(np.asarray(a[lo:hi_]))
+            bb = blk.view(np.uint8).reshape(hi_ - lo, row_nbytes)
+            sums[lo:hi_] = (bb.astype(np.uint64) * mult[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
         h.update(sums.tobytes())
 
     for a in arrays:

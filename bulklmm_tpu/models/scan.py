@@ -166,7 +166,9 @@ def _scan_alt_impl(
     keep = residual_keep_mask(
         jnp.sum(Xr * Xr, axis=0), jnp.sum(X0m * X0m, axis=0)
     )
-    lod = lod * keep
+    # where (not multiply): 0 * NaN = NaN would leak a non-finite fitted
+    # value through the mask instead of the intended exact 0
+    lod = jnp.where(keep > 0, lod, 0.0)
     return out00.sigma2, out00.h2, h2s, lod
 
 

@@ -864,3 +864,53 @@ def test_bulkperm_loco_checkpoint_label_collision(perm_data, tmp_path):
     )
     for r in (a, b):
         assert np.max(np.abs(np.asarray(r.maxlods) - np.asarray(ref.maxlods))) < 1e-12
+
+
+def test_data_fingerprint_lazy_container_never_materialized(tmp_path):
+    """Over-cap lazy containers (h5py-style: shape/dtype + slicing, no
+    cheap whole-array materialization) must be digested strictly by slice
+    (ADVICE r4): np.asarray on the WHOLE object would pull a > RAM dataset
+    into memory."""
+    from bulklmm_tpu.models.bulkperm import _data_fingerprint
+
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(4000, 50))
+
+    class LazyRows:
+        shape = arr.shape
+        dtype = arr.dtype
+
+        def __getitem__(self, idx):
+            return arr[idx]
+
+        def __array__(self, *a, **k):
+            raise AssertionError("whole lazy container materialized")
+
+    cap = 1 << 14
+    lazy_digest = _data_fingerprint(LazyRows(), max_bytes=cap)
+    # same bytes via a different container type -> same digest (resume a
+    # memmap-backed sweep from an in-memory rerun and vice versa)
+    assert lazy_digest == _data_fingerprint(arr, max_bytes=cap)
+
+
+def test_data_fingerprint_memmap_matches_ndarray(tmp_path):
+    """A memmap-backed panel and its in-memory copy digest identically on
+    both the under-cap and over-cap paths; the checksum is pure-integer so
+    it cannot drift with the BLAS build (ADVICE r4)."""
+    from bulklmm_tpu.models.bulkperm import _data_fingerprint
+
+    rng = np.random.default_rng(8)
+    arr = rng.normal(size=(1000, 30))
+    f = tmp_path / "g.dat"
+    mm = np.memmap(f, dtype=arr.dtype, mode="w+", shape=arr.shape)
+    mm[:] = arr
+    mm.flush()
+    ro = np.memmap(f, dtype=arr.dtype, mode="r", shape=arr.shape)
+    for cap in (1 << 30, 1 << 12):  # under-cap and over-cap
+        assert (_data_fingerprint(ro, max_bytes=cap)
+                == _data_fingerprint(arr, max_bytes=cap))
+    # single-byte edit in an unsampled row still caught through the memmap
+    edited = arr.copy()
+    edited[3, 7] = np.nextafter(edited[3, 7], np.inf)
+    assert (_data_fingerprint(edited, max_bytes=1 << 12)
+            != _data_fingerprint(arr, max_bytes=1 << 12))

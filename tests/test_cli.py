@@ -493,3 +493,17 @@ def test_cli_podscan_lowrank_and_loco_guard(csv_data, tmp_path):
                "--exclude-complements", "--pheno", str(csv_data / "pheno.csv"),
                "--loco", "-o", str(tmp_path / "o2.npz")], csv_data)
     assert r2.returncode != 0 and "podscan" in (r2.stderr + r2.stdout)
+
+
+def test_cli_checkpoint_every_requires_perms_and_resume(csv_data):
+    """--checkpoint-every with --stream-markers but nperms == 0, or without
+    --resume, was silently ignored; both now fail fast (ADVICE r4)."""
+    base = ["bulkscan", "--geno", "geno.csv", "--exclude-complements",
+            "--pheno", "pheno.csv", "--stream-markers", "16",
+            "--checkpoint-every", "2", "-o", "x.npz"]
+    r = _run(base, csv_data)  # no --nperms
+    assert r.returncode != 0
+    assert "nperms" in (r.stderr + r.stdout)
+    r = _run(base + ["--nperms", "8"], csv_data)  # no --resume
+    assert r.returncode != 0
+    assert "resume" in (r.stderr + r.stdout)

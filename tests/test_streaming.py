@@ -257,3 +257,16 @@ def test_streamed_perms_on_mesh_matches_single_device(cohort, vmesh, tmp_path):
         checkpoint=str(ck), checkpoint_every=2,
     )
     assert np.max(np.abs(np.asarray(b.maxlods) - np.asarray(ref.maxlods))) < 1e-9
+
+
+def test_rotate_block_pins_highest_precision():
+    """The streamed engines rotate marker blocks through _rotate_block;
+    on TPU a default-precision dot is single-pass bf16 (~1e-3 relative),
+    the exact bug class fixed for Y0/C0 in round 4. Pin the compiled dot
+    to HIGHEST so it cannot silently regress (ADVICE r4, medium)."""
+    from bulklmm_tpu.models.streaming import _rotate_block
+
+    Ut = jnp.zeros((8, 8), jnp.float32)
+    Xb = jnp.zeros((8, 4), jnp.float32)
+    txt = _rotate_block.lower(Ut, Xb).as_text()
+    assert "precision = [HIGHEST, HIGHEST]" in txt
