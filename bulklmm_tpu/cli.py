@@ -142,6 +142,7 @@ def _scan(args):
         output_pvals=args.pvals,
         output_effects=args.effects,
         precision=precision,
+        missing=args.missing,
     )
     if args.loco and getattr(args, "kinship", None):
         raise SystemExit(
@@ -240,6 +241,7 @@ def _bulkscan(args):
         trait_chunk=args.trait_chunk,
         output_pvals=args.pvals,
         output_effects=args.effects,
+        missing=args.missing,
     )
     if args.loco and getattr(args, "kinship", None):
         raise SystemExit(
@@ -315,6 +317,7 @@ def _bulkscan(args):
             # vice versa) would be silently inconsistent
             reml=args.reml,
             precision=precision,
+            missing=args.missing,
         )
         if args.resume:
             perm_kwargs["checkpoint"] = args.resume
@@ -463,6 +466,13 @@ def main(argv=None):
             "eigh); 0 = full-rank (default)",
         )
         if pheno:
+            p.add_argument(
+                "--missing", choices=["error", "mask", "drop"],
+                default="error",
+                help="NaN-phenotype policy: error (default), mask "
+                "(per-trait complete-case, pattern-grouped), or drop "
+                "(listwise deletion). See COMPAT.md #18",
+            )
             p.add_argument(
                 "--loco", action="store_true",
                 help="leave-one-chromosome-out kinship (needs --gmap)",

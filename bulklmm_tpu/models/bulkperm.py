@@ -751,6 +751,7 @@ def bulkscan_perms(
     interpret: bool = False,
     checkpoint=None,
     _adj_pvals: bool = True,
+    missing: str = "error",
 ) -> BulkPermResult:
     """Permutation-null genome-wide max LODs for every trait at once.
 
@@ -785,6 +786,34 @@ def bulkscan_perms(
     (nperms + 1)``.
     """
     from ..ops.lowrank import LowRankKinship
+    from .missing import (
+        finite_flag, group_checkpoint, maybe_masked, raise_if_missing,
+        subset_kinship,
+    )
+
+    masked = maybe_masked(
+        Y, missing,
+        lambda Ys, rows, traits, gi: bulkscan_perms(
+            Ys, np.asarray(G)[rows], subset_kinship(K, rows),
+            None if covar is None else np.asarray(covar)[rows],
+            nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
+            add_intercept=add_intercept,
+            weights=None if weights is None else np.asarray(weights)[rows],
+            prior_variance=prior_variance,
+            prior_sample_size=prior_sample_size, reml=reml,
+            solve_method=solve_method, optim_interval=optim_interval,
+            decomp_scheme=decomp_scheme, precision=precision, engine=engine,
+            trait_chunk=trait_chunk, perm_chunk=perm_chunk,
+            original=original, tile_p=tile_p, interpret=interpret,
+            checkpoint=group_checkpoint(checkpoint, gi),
+            _adj_pvals=_adj_pvals,
+        ),
+        covar=covar, weights=weights, add_intercept=add_intercept,
+        what="bulkscan_perms",
+    )
+    if masked is not None:
+        return masked
+    _finite = finite_flag(Y)  # background guard, checked at return
 
     lowrank = isinstance(K, LowRankKinship)
     if lowrank and engine == "pallas":
@@ -816,6 +845,7 @@ def bulkscan_perms(
             perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
             data_digest=data_digest,
         )
+        raise_if_missing(_finite, "bulkscan_perms")
         return _attach_adj_pvals(res) if _adj_pvals else res
     G = jnp.asarray(G)
     dtype = precision.resolve_solve()
@@ -911,4 +941,5 @@ def bulkscan_perms(
         nperms=nperms,
         original=original,
     )
+    raise_if_missing(_finite, "bulkscan_perms")
     return _attach_adj_pvals(res) if _adj_pvals else res

@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.liteqtl import lods_per_trait, lods_shared
 from ..ops.lmm import fit_lmm
@@ -389,6 +390,7 @@ def bulkscan(
     trait_chunk=None,
     engine: str = "auto",
     output_effects: bool = False,
+    missing: str = "error",
 ) -> BulkScanResult:
     """Genome scan for many traits at once.
 
@@ -411,8 +413,39 @@ def bulkscan(
     ``output_effects`` (TPU addition; null methods only): attach (p, m)
     GEMMA-style GLS effect sizes and Wald SEs at each trait's fitted null
     h2 (``result.beta_mat`` / ``result.beta_se_mat``).
+
+    ``missing``: NaN-phenotype policy — "error" (default; async
+    device-side guard, ~0 hot-path cost), "mask" (per-trait complete-case,
+    traits grouped by missingness pattern — exact, each pattern gets its
+    own rotation and effective n), or "drop" (listwise deletion). See
+    models/missing.py and COMPAT.md #18.
     """
     _check_output_effects(output_effects, method)
+    from .missing import (
+        finite_flag, maybe_masked, raise_if_missing, subset_kinship,
+    )
+
+    masked = maybe_masked(
+        Y, missing,
+        lambda Ys, rows, traits, gi: bulkscan(
+            Ys, np.asarray(G)[rows], subset_kinship(K, rows),
+            None if covar is None else np.asarray(covar)[rows],
+            method=method, h2_grid=h2_grid, add_intercept=add_intercept,
+            weights=None if weights is None else np.asarray(weights)[rows],
+            prior_variance=prior_variance,
+            prior_sample_size=prior_sample_size, reml=reml,
+            optim_interval=optim_interval, decomp_scheme=decomp_scheme,
+            output_pvals=output_pvals, chisq_df=chisq_df,
+            solve_method=solve_method, precision=precision,
+            trait_chunk=trait_chunk, engine=engine,
+            output_effects=output_effects,
+        ),
+        covar=covar, weights=weights, add_intercept=add_intercept,
+        what="bulkscan",
+    )
+    if masked is not None:
+        return masked
+    _finite = finite_flag(Y)  # background guard, checked at return
     Y, covar, h2_grid, add_intercept = _scan_common_inputs(
         Y, covar, h2_grid, add_intercept, method=method, engine=engine
     )
@@ -468,6 +501,7 @@ def bulkscan(
         if output_pvals:
             result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
             result.chisq_df = chisq_df
+        raise_if_missing(_finite, "bulkscan")
         return result
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     Y = Y.astype(dtype)
@@ -514,6 +548,7 @@ def bulkscan(
     if output_pvals:
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
         result.chisq_df = chisq_df
+    raise_if_missing(_finite, "bulkscan")
     return result
 
 

@@ -137,6 +137,7 @@ def bulkscan_loco(
     lowrank_k: int = 0,
     precision: PrecisionConfig = DEFAULT_PRECISION,
     mesh=None,
+    missing: str = "error",
     **kwargs,
 ) -> BulkScanResult:
     """Multi-trait LOCO scan: each chromosome's markers against the kinship
@@ -153,10 +154,29 @@ def bulkscan_loco(
     ``chrom -> (m,)`` (or ``(p_c, m)`` panels for alt-grid).
     """
     from .bulkscan import bulkscan
+    from .missing import maybe_masked, raise_if_missing
 
     G = np.asarray(G)
     Y2 = np.asarray(Y)
     Y2 = Y2[:, None] if Y2.ndim == 1 else Y2
+
+    weights = kwargs.get("weights")
+    masked = maybe_masked(
+        Y2, missing,
+        lambda Ys, rows, traits, gi: bulkscan_loco(
+            Ys, G[rows], chromosome,
+            None if covar is None else np.asarray(covar)[rows],
+            lowrank_k=lowrank_k, precision=precision, mesh=mesh,
+            **{**kwargs, **({"weights": np.asarray(weights)[rows]}
+                            if weights is not None else {})},
+        ),
+        covar=covar, weights=weights,
+        add_intercept=kwargs.get("add_intercept", True),
+        what="bulkscan_loco",
+    )
+    if masked is not None:
+        return masked
+    raise_if_missing(np.isfinite(Y2).all(), "bulkscan_loco")
     p, m = G.shape[1], Y2.shape[1]
 
     L = np.empty((p, m), dtype=np.float64)
@@ -204,6 +224,7 @@ def scan_loco(
     lowrank_k: int = 0,
     share_shuffles: bool = False,
     precision: PrecisionConfig = DEFAULT_PRECISION,
+    missing: str = "error",
     **kwargs,
 ) -> ScanResult:
     """Single-trait LOCO scan (see :func:`bulkscan_loco`).
@@ -240,6 +261,31 @@ def scan_loco(
         )
     G = np.asarray(G)
     y = np.asarray(y, dtype=np.float64)
+    finite = np.isfinite(y).ravel() if y.ndim > 1 else np.isfinite(y)
+    if not finite.all():
+        # single trait: complete-case row subset; LOCO kinships are built
+        # from the subset genotypes below (exact — K_ij depends only on
+        # rows i, j of G)
+        from .missing import (
+            _check_side_inputs, raise_if_missing, validate_missing_kwarg,
+        )
+
+        validate_missing_kwarg(missing)
+        raise_if_missing(missing != "error", "scan_loco")
+        weights = kwargs.get("weights")
+        _check_side_inputs(covar, weights, "scan_loco")
+        rows = np.flatnonzero(finite)
+        from .missing import _check_group_sizes, _ncov_total
+
+        _check_group_sizes(
+            [(rows, np.array([0]))],
+            _ncov_total(covar, kwargs.get("add_intercept", True)),
+            what="scan_loco", drop=False,
+        )
+        y, G = y[finite], G[rows]
+        covar = None if covar is None else np.asarray(covar)[rows]
+        if weights is not None:
+            kwargs["weights"] = np.asarray(weights)[rows]
     p = G.shape[1]
     base_seed = int(kwargs.pop("rndseed", 0))
 
@@ -290,6 +336,7 @@ def bulkscan_perms_loco(
     lowrank_k: int = 0,
     share_shuffles: bool = False,
     mesh=None,
+    missing: str = "error",
     **kwargs,
 ):
     """All-trait LOCO permutation maxima: per chromosome, markers scan
@@ -316,8 +363,35 @@ def bulkscan_perms_loco(
     import jax.numpy as _jnp
 
     from .bulkperm import BulkPermResult, _attach_adj_pvals, bulkscan_perms
+    from .missing import (
+        group_checkpoint, maybe_masked, raise_if_missing,
+    )
 
     G = np.asarray(G)
+    weights = kwargs.get("weights")
+    _ckpt_top = kwargs.get("checkpoint")
+    masked = maybe_masked(
+        Y, missing,
+        lambda Ys, rows, traits, gi: bulkscan_perms_loco(
+            Ys, G[rows], chromosome,
+            None if covar is None else np.asarray(covar)[rows],
+            precision=precision, rndseed=rndseed, lowrank_k=lowrank_k,
+            share_shuffles=share_shuffles, mesh=mesh,
+            **{**kwargs,
+               **({"weights": np.asarray(weights)[rows]}
+                  if weights is not None else {}),
+               **({"checkpoint": group_checkpoint(_ckpt_top, gi)}
+                  if _ckpt_top is not None else {})},
+        ),
+        covar=covar, weights=weights,
+        add_intercept=kwargs.get("add_intercept", True),
+        what="bulkscan_perms_loco",
+    )
+    if masked is not None:
+        return masked
+    raise_if_missing(
+        np.isfinite(np.asarray(Y)).all(), "bulkscan_perms_loco"
+    )
     base_seed = int(rndseed)
 
     # per-chromosome checkpoint SUBDIRECTORIES: every chromosome is its own

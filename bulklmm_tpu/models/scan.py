@@ -639,6 +639,7 @@ def scan(
     precision: PrecisionConfig = DEFAULT_PRECISION,
     compat_sqrt_weights: bool = False,
     output_effects: bool = False,
+    missing: str = "error",
 ):
     """Genome scan for a single quantitative trait.
 
@@ -674,6 +675,15 @@ def scan(
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("scan handles one trait; use bulkscan for multiple traits.")
+    if not np.isfinite(y).all():
+        # single-trait complete-case subset ('mask'/'drop' coincide at
+        # m = 1); missing='error' refuses with the remediation recipe
+        from .missing import subset_rows_single
+
+        y, g, K, covar, weights = subset_rows_single(
+            y, g, K, covar, weights,
+            missing=missing, what="scan", add_intercept=add_intercept,
+        )
     n = y.shape[0]
     # clear host-side dimension check: a mismatch would otherwise surface
     # as a cryptic dot-dimension error deep inside a jitted pipeline
@@ -860,6 +870,7 @@ def scan_perms_lite(
     output_pvals: bool = False,
     chisq_df: int = 1,
     precision: PrecisionConfig = DEFAULT_PRECISION,
+    missing: str = "error",
 ):
     """Standalone eigen-rotated permutation scan (reference src/scan.jl:485-557).
 
@@ -873,6 +884,14 @@ def scan_perms_lite(
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("Can only handle one trait.")
+    if not np.isfinite(y).all():
+        from .missing import subset_rows_single
+
+        y, g, K, covar, _ = subset_rows_single(
+            y, g, K, covar, None,
+            missing=missing, what="scan_perms_lite",
+            add_intercept=add_intercept,
+        )
     covar = np.asarray(covar, dtype=np.float64)
     covar = covar[:, None] if covar.ndim == 1 else covar
     n = y.shape[0]

@@ -150,6 +150,7 @@ def bulkscan_streamed(
     engine: str = "auto",
     output_effects: bool = False,
     mesh=None,
+    missing: str = "error",
 ) -> BulkScanResult:
     """Bulk scan over a HOST-resident genotype panel, streamed in marker
     blocks — for p too large to hold (n, p) genotypes or the (p, m) LOD
@@ -179,7 +180,26 @@ def bulkscan_streamed(
     ``L`` is the host output array.
     """
     from .bulkscan import _scan_common_inputs
+    from .missing import finite_flag, raise_if_missing
 
+    masked = _masked_streamed(
+        Y, G, K, covar, missing=missing, out=out, out_pvals=out_pvals,
+        add_intercept=add_intercept, output_pvals=output_pvals,
+        precision=precision,
+        kwargs=dict(
+            method=method, marker_block=marker_block, h2_grid=h2_grid,
+            prior_variance=prior_variance,
+            prior_sample_size=prior_sample_size, reml=reml,
+            solve_method=solve_method, optim_interval=optim_interval,
+            decomp_scheme=decomp_scheme, output_pvals=output_pvals,
+            chisq_df=chisq_df, precision=precision, engine=engine,
+            output_effects=output_effects, mesh=mesh,
+        ),
+    )
+    if masked is not None:
+        return masked
+
+    _finite = finite_flag(Y)  # background guard, checked at return
     n, p = G.shape[0], G.shape[1]
     Y, covar, h2_grid, add_intercept = _scan_common_inputs(
         Y, covar, h2_grid, add_intercept, method=method, engine=engine
@@ -242,13 +262,15 @@ def bulkscan_streamed(
                 "engine='pallas' is not available for LowRankKinship inputs "
                 "(the rank-k engine is XLA-only)"
             )
-        return _streamed_lowrank(
+        res_lr = _streamed_lowrank(
             Y, G, covar, K, out,
             method=method, block=block, h2_grid=h2_grid, prior=prior,
             reml=reml, optim_interval=optim_interval, precision=precision,
             pv=pv, chisq_df=chisq_df, dtype=dtype, n=n, eff=eff, m_out=m,
             blk_shd=blk_shd, trait_shd=trait_shd, rep_shd=rep_shd,
         )
+        raise_if_missing(_finite, "bulkscan_streamed")
+        return res_lr
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     Yd = Y.astype(dtype)
@@ -342,6 +364,79 @@ def bulkscan_streamed(
     if pv is not None:
         result.log10Pvals_mat = pv
         result.chisq_df = chisq_df
+    raise_if_missing(_finite, "bulkscan_streamed")
+    return result
+
+
+def _masked_streamed(Y, G, K, covar, *, missing, out, out_pvals,
+                     add_intercept, output_pvals, precision, kwargs):
+    """Pattern-grouped complete-case dispatch for the streamed scan
+    (models/missing.py semantics). Marker blocks are row-subset LAZILY
+    (RowSubsetView — the (n_obs, p) panel is never materialized) and each
+    group writes through a column view of the caller's host output, so a
+    memmap ``out`` works unchanged. Returns None when Y is complete."""
+    from .missing import (
+        ColSubsetOut, RowSubsetView, _check_side_inputs, _check_group_sizes,
+        _ncov_total, missing_groups, subset_kinship, validate_missing_kwarg,
+    )
+
+    validate_missing_kwarg(missing)
+    if missing == "error":
+        return None
+    Yn = np.asarray(Y, dtype=np.float64)
+    Yn = Yn[:, None] if Yn.ndim == 1 else Yn
+    finite = np.isfinite(Yn)
+    if finite.all():
+        return None
+    _check_side_inputs(covar, None, "bulkscan_streamed")
+    groups = missing_groups(finite, drop=(missing == "drop"))
+    _check_group_sizes(
+        groups, _ncov_total(covar, add_intercept),
+        what="bulkscan_streamed", drop=(missing == "drop"),
+    )
+    p, m = G.shape[1], Yn.shape[1]
+    L_full = (
+        out if out is not None
+        else np.empty((p, m), dtype=np.dtype(precision.resolve_kernel()))
+    )
+    pv_full = out_pvals if out_pvals is not None else (
+        np.empty((p, m), dtype=L_full.dtype) if output_pvals else None
+    )
+    h2_list = h2_panel = beta = se = None
+    covar_n = None if covar is None else np.asarray(covar)
+    for rows, traits in groups:
+        res = bulkscan_streamed(
+            Yn[np.ix_(rows, traits)], RowSubsetView(G, rows),
+            subset_kinship(K, rows),
+            None if covar_n is None else covar_n[rows],
+            add_intercept=add_intercept,
+            out=ColSubsetOut(L_full, traits),
+            out_pvals=(
+                ColSubsetOut(pv_full, traits) if pv_full is not None
+                else None
+            ),
+            **kwargs,
+        )
+        if res.h2_null_list is not None:
+            if h2_list is None:
+                h2_list = np.full(m, np.nan)
+            h2_list[traits] = np.asarray(res.h2_null_list)
+        if res.h2_panel is not None:
+            if h2_panel is None:
+                h2_panel = np.empty((p, m), dtype=np.float32)
+            h2_panel[:, traits] = np.asarray(res.h2_panel)
+        if res.beta_mat is not None:
+            if beta is None:
+                beta = np.empty((p, m), dtype=L_full.dtype)
+                se = np.empty((p, m), dtype=L_full.dtype)
+            beta[:, traits] = np.asarray(res.beta_mat)
+            se[:, traits] = np.asarray(res.beta_se_mat)
+    result = BulkScanResult(L=L_full, h2_null_list=h2_list, h2_panel=h2_panel)
+    if beta is not None:
+        result.beta_mat, result.beta_se_mat = beta, se
+    if pv_full is not None:
+        result.log10Pvals_mat = pv_full
+        result.chisq_df = kwargs["chisq_df"]
     return result
 
 
@@ -526,6 +621,7 @@ def bulkscan_perms_streamed(
     checkpoint=None,
     checkpoint_every: int = 1,
     mesh=None,
+    missing: str = "error",
 ):
     """All-trait permutation maxima over a HOST-resident marker panel,
     streamed in marker blocks — for p too large to hold (n, p) genotypes on
@@ -580,6 +676,33 @@ def bulkscan_perms_streamed(
         )
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    from .missing import (
+        RowSubsetView, finite_flag, group_checkpoint, maybe_masked,
+        raise_if_missing, subset_kinship,
+    )
+
+    masked = maybe_masked(
+        Y, missing,
+        lambda Ys, rows, traits, gi: bulkscan_perms_streamed(
+            Ys, RowSubsetView(G, rows), subset_kinship(K, rows),
+            None if covar is None else np.asarray(covar)[rows],
+            nperms=nperms, rndseed=rndseed, method=method, h2_grid=h2_grid,
+            marker_block=marker_block, add_intercept=add_intercept,
+            prior_variance=prior_variance,
+            prior_sample_size=prior_sample_size, reml=reml,
+            solve_method=solve_method, optim_interval=optim_interval,
+            decomp_scheme=decomp_scheme, precision=precision, engine=engine,
+            trait_chunk=trait_chunk, perm_chunk=perm_chunk,
+            original=original, tile_p=tile_p, interpret=interpret,
+            checkpoint=group_checkpoint(checkpoint, gi),
+            checkpoint_every=checkpoint_every, mesh=mesh,
+        ),
+        covar=covar, add_intercept=add_intercept,
+        what="bulkscan_perms_streamed",
+    )
+    if masked is not None:
+        return masked
+    _finite = finite_flag(Y)  # background guard, checked at return
     from .bulkperm import _data_fingerprint
 
     data_digest = (
@@ -597,7 +720,7 @@ def bulkscan_perms_streamed(
     block = min(marker_block, p)
 
     if mesh is not None:
-        return _perms_streamed_sharded(
+        res_m = _perms_streamed_sharded(
             Y, G, K, covar, h2_grid, prior, mesh,
             nperms=nperms, rndseed=rndseed, method=method, block=block,
             reml=reml, solve_method=solve_method,
@@ -607,9 +730,11 @@ def bulkscan_perms_streamed(
             interpret=interpret, engine=engine, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, data_digest=data_digest,
         )
+        raise_if_missing(_finite, "bulkscan_perms_streamed")
+        return res_m
 
     if isinstance(K, LowRankKinship):
-        return _perms_streamed_lowrank(
+        res_lr = _perms_streamed_lowrank(
             Y, G, K, covar, h2_grid, prior,
             nperms=nperms, rndseed=rndseed, method=method, block=block,
             reml=reml, optim_interval=optim_interval, precision=precision,
@@ -617,6 +742,8 @@ def bulkscan_perms_streamed(
             original=original, checkpoint=checkpoint,
             checkpoint_every=checkpoint_every, data_digest=data_digest,
         )
+        raise_if_missing(_finite, "bulkscan_perms_streamed")
+        return res_lr
 
     Ut, lam = resolve_kinship(K, decomp_scheme, dtype)
     h2_list, sigma2_list, sqrtw, Qstack, wrn = _bulkperm_prep_traits(
@@ -704,6 +831,7 @@ def bulkscan_perms_streamed(
                 bi + 1,
             )
 
+    raise_if_missing(_finite, "bulkscan_perms_streamed")
     return _attach_adj_pvals(BulkPermResult(
         maxlods=_assemble_perm_acc(acc, m, trait_chunk, K_total, perm_chunk),
         h2_null_list=h2_list,

@@ -169,6 +169,7 @@ def bulkscan_sharded(
     precision: PrecisionConfig = DEFAULT_PRECISION,
     output_effects: bool = False,
     trait_chunk: Optional[int] = None,
+    missing: str = "error",
 ) -> BulkScanResult:
     """Multi-trait scan sharded over a device mesh.
 
@@ -189,6 +190,31 @@ def bulkscan_sharded(
     _check_output_effects(output_effects, method)
 
     from ..models.bulkscan import _scan_common_inputs
+    from ..models.missing import (
+        finite_flag, maybe_masked, raise_if_missing, subset_kinship,
+    )
+
+    masked = maybe_masked(
+        Y, missing,
+        lambda Ys, rows, traits, gi: bulkscan_sharded(
+            Ys, np.asarray(G)[rows], subset_kinship(K, rows),
+            None if covar is None else np.asarray(covar)[rows],
+            mesh=mesh, method=method, h2_grid=h2_grid,
+            add_intercept=add_intercept,
+            weights=None if weights is None else np.asarray(weights)[rows],
+            prior_variance=prior_variance,
+            prior_sample_size=prior_sample_size, reml=reml,
+            optim_interval=optim_interval, decomp_scheme=decomp_scheme,
+            output_pvals=output_pvals, chisq_df=chisq_df,
+            solve_method=solve_method, precision=precision,
+            output_effects=output_effects, trait_chunk=trait_chunk,
+        ),
+        covar=covar, weights=weights, add_intercept=add_intercept,
+        what="bulkscan_sharded",
+    )
+    if masked is not None:
+        return masked
+    _finite = finite_flag(Y)  # background guard, checked at return
 
     Y, covar, h2_grid, add_intercept = _scan_common_inputs(
         Y, covar, h2_grid, add_intercept, method=method, engine="auto"
@@ -261,6 +287,7 @@ def bulkscan_sharded(
 
             result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
             result.chisq_df = chisq_df
+        raise_if_missing(_finite, "bulkscan_sharded")
         return result
 
     # rotate the SMALL operands (traits, covariates) on the default device,
@@ -328,6 +355,7 @@ def bulkscan_sharded(
 
         result.log10Pvals_mat = lod2log10p(result.L, chisq_df)
         result.chisq_df = chisq_df
+    raise_if_missing(_finite, "bulkscan_sharded")
     return result
 
 
@@ -840,6 +868,7 @@ def bulkscan_perms_sharded(
     interpret: bool = False,
     checkpoint=None,
     _adj_pvals: bool = True,
+    missing: str = "error",
 ):
     """All-trait permutation maxima sharded over the device mesh.
 
@@ -875,6 +904,35 @@ def bulkscan_perms_sharded(
             "(the fused kernel assumes the rotated basis); use 'auto'/'xla'."
         )
 
+    from ..models.missing import (
+        finite_flag, group_checkpoint, maybe_masked, raise_if_missing,
+        subset_kinship,
+    )
+
+    masked = maybe_masked(
+        Y, missing,
+        lambda Ys, rows, traits, gi: bulkscan_perms_sharded(
+            Ys, np.asarray(G)[rows], subset_kinship(K, rows),
+            None if covar is None else np.asarray(covar)[rows],
+            mesh=mesh, nperms=nperms, rndseed=rndseed, method=method,
+            h2_grid=h2_grid, add_intercept=add_intercept,
+            weights=None if weights is None else np.asarray(weights)[rows],
+            prior_variance=prior_variance,
+            prior_sample_size=prior_sample_size, reml=reml,
+            solve_method=solve_method, optim_interval=optim_interval,
+            decomp_scheme=decomp_scheme, precision=precision, engine=engine,
+            trait_chunk=trait_chunk, perm_chunk=perm_chunk,
+            original=original, tile_p=tile_p, interpret=interpret,
+            checkpoint=group_checkpoint(checkpoint, gi),
+            _adj_pvals=_adj_pvals,
+        ),
+        covar=covar, weights=weights, add_intercept=add_intercept,
+        what="bulkscan_perms_sharded",
+    )
+    if masked is not None:
+        return masked
+    _finite = finite_flag(Y)  # background guard, checked at return
+
     from ..models.bulkperm import _data_fingerprint
 
     data_digest = (
@@ -896,6 +954,7 @@ def bulkscan_perms_sharded(
             perm_chunk=perm_chunk, original=original, checkpoint=checkpoint,
             _adj_pvals=_adj_pvals, data_digest=data_digest,
         )
+        raise_if_missing(_finite, "bulkscan_perms_sharded")
         return res_lr
 
     n, m = Y.shape
@@ -985,6 +1044,7 @@ def bulkscan_perms_sharded(
         nperms=nperms,
         original=original,
     )
+    raise_if_missing(_finite, "bulkscan_perms_sharded")
     return _attach_adj_pvals(res) if _adj_pvals else res
 
 
