@@ -19,7 +19,9 @@ bar, with no trait chunking needed. FAST32 runs the same scan in ~48 ms
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -79,6 +81,22 @@ def main():
             }
         )
     )
+
+    if "--assert" in sys.argv:
+        # regression gate (VERDICT r4 item 7): fail if the flagship
+        # number leaves its committed band (benchmarks/bands.json)
+        band = json.loads(
+            (Path(__file__).parent / "benchmarks" / "bands.json")
+            .read_text()
+        )["bench_flagship"]
+        if best > band["max_seconds"]:
+            print(
+                f"# PERF REGRESSION: {best:.4f}s exceeds band "
+                f"{band['max_seconds']:.4f}s (committed "
+                f"{band['committed']:.4f}s x {band['band']})"
+            )
+            sys.exit(1)
+        print(f"# perf gate: inside band ({band['max_seconds']:.4f}s)")
 
 
 if __name__ == "__main__":

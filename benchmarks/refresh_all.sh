@@ -9,11 +9,12 @@ cd "$(dirname "$0")/.."
 # 1. cross-backend accuracy sweep (writes benchmarks/tpu_validation_results.txt)
 timeout 3600 python benchmarks/tpu_validation.py || exit 1
 
-# 2. BASELINE.md configs (writes benchmarks/results.json)
-timeout 3600 python benchmarks/run_all.py || exit 1
+# 2. BASELINE.md configs (writes benchmarks/results.json) + perf gate:
+#    nonzero exit if any config regresses past benchmarks/bands.json
+timeout 3600 python benchmarks/run_all.py --check || exit 1
 
-# 3. headline JSON line (driver format)
-timeout 1200 python bench.py || exit 1
+# 3. headline JSON line (driver format) + flagship perf gate
+timeout 1200 python bench.py --assert || exit 1
 
 # 4. biobank-scale perms: full-rank Pallas streaming + rank-k Woodbury
 timeout 1800 python benchmarks/biobank.py --perms 256 --perm-traits 128

@@ -96,10 +96,40 @@ def probe_peak_tflops(dtype_name, precision, size=8192, repeats=8):
     return 2.0 * size**3 / dt / 1e12
 
 
+def check_bands(results, bands_path=None):
+    """Regression gate (VERDICT r4 item 7): compare fresh numbers to the
+    committed bands. Fetch-floor configs (< 0.15 s, tunnel-RTT-dominated)
+    carry a 1.5x band, the big ones 1.25x — today's tunnel showed ~30%
+    swings on 50 ms configs, so tighter bands would cry wolf. Returns a
+    list of failure strings (empty = pass)."""
+    if bands_path is None:
+        bands_path = Path(__file__).parent / "bands.json"
+    bands = json.loads(Path(bands_path).read_text())
+    failures = []
+    for k, band in bands.items():
+        if k == "bench_flagship":  # checked by bench.py --assert
+            continue
+        v = results.get(k, {}).get("value")
+        if v is None:
+            failures.append(f"{k}: missing from results")
+        elif v > band["max_seconds"]:
+            failures.append(
+                f"{k}: {v:.4f}s exceeds band {band['max_seconds']:.4f}s "
+                f"(committed {band['committed']:.4f}s x {band['band']})"
+            )
+    return failures
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller trait count")
+    ap.add_argument(
+        "--check", action="store_true",
+        help="exit nonzero if any config regresses past bands.json",
+    )
     args = ap.parse_args()
+    if args.check and args.quick:
+        ap.error("--check needs the full configs (bands are full-size)")
 
     import jax
     import jax.numpy as jnp
@@ -310,6 +340,13 @@ def main():
     out = Path(__file__).parent / "results.json"
     out.write_text(json.dumps(results, indent=2) + "\n")
     print(f"# wrote {out}")
+
+    if args.check:
+        failures = check_bands(results)
+        if failures:
+            print("# PERF REGRESSION:", *failures, sep="\n#   ")
+            sys.exit(1)
+        print(f"# perf gate: all {len(results) - 1} configs inside bands")
 
 
 if __name__ == "__main__":

@@ -133,7 +133,7 @@ def bulkscan_streamed(
     covar=None,
     *,
     method: str = "null-grid",
-    marker_block: int = 32_768,
+    marker_block=None,
     h2_grid=None,
     add_intercept: bool = True,
     prior_variance: float = 1.0,
@@ -211,6 +211,15 @@ def bulkscan_streamed(
     _check_output_effects(output_effects, method)
 
     dtype = precision.resolve_solve()
+    if marker_block is None:
+        # OOM-free default: size the block from the device budget +
+        # footprint model (utils/memory.py); explicit ints are honored
+        from ..utils.memory import auto_marker_block
+
+        marker_block = auto_marker_block(
+            n, m, itemsize=np.dtype(dtype).itemsize,
+            n_outputs=1 + 2 * int(output_effects) + int(output_pvals),
+        )
     block = min(marker_block, p)
     blk_shd = trait_shd = rep_shd = None
     if mesh is not None:
@@ -603,7 +612,7 @@ def bulkscan_perms_streamed(
     rndseed: int = 0,
     method: str = "null-grid",
     h2_grid=None,
-    marker_block: int = 32_768,
+    marker_block=None,
     add_intercept: bool = True,
     prior_variance: float = 1.0,
     prior_sample_size: float = 0.0,
@@ -717,6 +726,12 @@ def bulkscan_perms_streamed(
     n, m = Y.shape
     p = G.shape[1]
     dtype = precision.resolve_solve()
+    if marker_block is None:
+        from ..utils.memory import auto_marker_block
+
+        marker_block = auto_marker_block(
+            n, m, itemsize=np.dtype(dtype).itemsize,
+        )
     block = min(marker_block, p)
 
     if mesh is not None:

@@ -52,6 +52,21 @@ def main():
     assert len(mesh.devices.ravel()) == jax.device_count()
 
     sl = local_trait_slice(Y.shape[1], mesh)
+    if method.startswith("perms_ckpt:"):
+        # pod-level checkpointed sweep (kill-and-resume test): each
+        # process owns its checkpoint subdirectory; many small trait
+        # chunks widen the mid-sweep kill window
+        ck_base = method.split(":", 1)[1]
+        from bulklmm_tpu.parallel import bulkscan_perms_distributed
+
+        res, lo, hi = bulkscan_perms_distributed(
+            Y[:, sl], G, K,
+            m_total=Y.shape[1], mesh=mesh, save_dir=outdir,
+            nperms=199, rndseed=7, trait_chunk=1,
+            checkpoint=f"{ck_base}/p{pid}",
+        )
+        print(f"worker {pid}: wrote checkpointed perm traits [{lo}, {hi})")
+        return
     if method == "perms":
         # pod permutation thresholds: each process tests only its trait
         # block; shuffle indices are identical across processes

@@ -210,3 +210,96 @@ def test_multiprocess_perms_matches_single_process(tmp_path):
     merged = merge_perm_shards(outdir)
     ref = bl.bulkscan_perms(Y, G, K, nperms=24, rndseed=7)
     np.testing.assert_allclose(merged, np.asarray(ref.maxlods), atol=1e-9)
+
+
+def test_multiprocess_8proc_pod(tmp_path):
+    """8-process pod (VERDICT r4 item 4): merged shards equal the
+    single-process engine; one CPU device per process keeps the fixture
+    light while exercising the full 8-way handshake + shard geometry."""
+    Y, G, K, outdir = _run_pod(8, "null-grid", tmp_path, m=16,
+                               devices_per_proc=1)
+
+    from bulklmm_tpu import bulkscan
+    from bulklmm_tpu.parallel import merge_shards
+
+    merged = merge_shards(outdir)
+    single = np.asarray(
+        bulkscan(Y, G, K, method="null-grid",
+                 h2_grid=np.arange(0.0, 0.91, 0.1)).L
+    )
+    assert merged.shape == single.shape
+    assert float(np.max(np.abs(merged - single))) < 1e-9
+
+
+def test_pod_kill_and_resume(tmp_path):
+    """Pod-level kill-and-resume (VERDICT r4 item 4): one worker of a
+    2-process checkpointed perm pod is SIGKILLed mid-sweep; the restarted
+    pod resumes from the per-process checkpoints and the merged shards
+    equal the uninterrupted single-process sweep exactly."""
+    import signal
+    import time as _t
+
+    Y, G, K = _synth(m=16)
+    data = tmp_path / "data.npz"
+    np.savez(data, Y=Y, G=G, K=K)
+    ck_base = tmp_path / "ck"
+    env = _worker_env(1)
+
+    def launch(outdir):
+        coord = f"127.0.0.1:{_free_port()}"
+        return [
+            subprocess.Popen(
+                [sys.executable, str(WORKER), coord, "2", str(i),
+                 str(data), str(outdir), f"perms_ckpt:{ck_base}"],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+
+    out1 = tmp_path / "shards_killed"
+    procs = launch(out1)
+    victim_ck = ck_base / "p1"
+    deadline = _t.time() + 240
+    try:
+        # kill worker 1 the moment its first chunk file publishes
+        while _t.time() < deadline:
+            if len(list(victim_ck.glob("maxlods_*.npy"))) >= 1:
+                break
+            if procs[1].poll() is not None:
+                break
+            _t.sleep(0.02)
+        if procs[1].poll() is None:
+            import os as _os
+
+            _os.kill(procs[1].pid, signal.SIGKILL)
+    finally:
+        for p in procs:
+            try:
+                p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.communicate()
+    assert len(list(victim_ck.glob("maxlods_*.npy"))) >= 1, (
+        "worker 1 finished before the kill could land"
+    )
+
+    # restart the pod on a fresh coordinator; both workers resume from
+    # their checkpoints (worker 0's may already be complete)
+    out2 = tmp_path / "shards_resumed"
+    procs = launch(out2)
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"resumed worker {i} failed:\n{outs[i]}"
+    assert len(sorted(out2.glob("perm_shard_*.npz"))) == 2
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import bulklmm_tpu as bl
+    from bulklmm_tpu.parallel import merge_perm_shards
+
+    merged = merge_perm_shards(out2)
+    ref = bl.bulkscan_perms(Y, G, K, nperms=199, rndseed=7, trait_chunk=1)
+    np.testing.assert_allclose(merged, np.asarray(ref.maxlods), atol=1e-12)
