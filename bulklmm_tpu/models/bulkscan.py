@@ -634,19 +634,31 @@ def _host_blocked_bulkscan(Y, G, K, covar, *, dims, weights, decomp_scheme,
         )
     if not isinstance(K, (KinshipDecomposition, LowRankKinship)):
         K = decompose_kinship(np.asarray(K), decomp_scheme)
+    # upload the marker panel ONCE: each block's recursive call would
+    # otherwise re-transfer the (n, p) panel (2 GB at biobank scale,
+    # minutes per pass over a tunneled TPU); jnp.asarray on an already
+    # device-resident array is a no-op downstream
+    G = jnp.asarray(G)
     Yn = np.asarray(Y)
     Yn = Yn[:, None] if Yn.ndim == 1 else Yn
     kdt = np.dtype(precision.resolve_kernel())
     L = np.empty((p, m), dtype=kdt)
     h2_list = h2_panel = beta = se = pv = None
-    for ms in range(0, m, mh):
-        me = min(ms + mh, m)
-        res = bulkscan(
-            Yn[:, ms:me], G, K, covar,
-            decomp_scheme=decomp_scheme, output_pvals=output_pvals,
-            chisq_df=chisq_df, output_effects=output_effects,
-            precision=precision, **kwargs,
-        )
+
+    def start_d2h(res):
+        # runtime-level async device->host copies: the (p, mh) slabs
+        # transfer while the NEXT block computes (D2H readback is the
+        # bottleneck when results live in host RAM)
+        for a in (res.L, res.h2_null_list, res.h2_panel, res.beta_mat,
+                  res.beta_se_mat, res.log10Pvals_mat):
+            if a is not None and hasattr(a, "copy_to_host_async"):
+                try:
+                    a.copy_to_host_async()
+                except RuntimeError:
+                    pass
+
+    def harvest(ms, me, res):
+        nonlocal h2_list, h2_panel, beta, se, pv
         L[:, ms:me] = np.asarray(res.L)
         if res.h2_null_list is not None:
             if h2_list is None:
@@ -666,6 +678,21 @@ def _host_blocked_bulkscan(Y, G, K, covar, *, dims, weights, decomp_scheme,
             if pv is None:
                 pv = np.empty((p, m), dtype=kdt)
             pv[:, ms:me] = np.asarray(res.log10Pvals_mat)
+
+    pending = None
+    for ms in range(0, m, mh):
+        me = min(ms + mh, m)
+        res = bulkscan(
+            Yn[:, ms:me], G, K, covar,
+            decomp_scheme=decomp_scheme, output_pvals=output_pvals,
+            chisq_df=chisq_df, output_effects=output_effects,
+            precision=precision, **kwargs,
+        )
+        start_d2h(res)
+        if pending is not None:
+            harvest(*pending)  # previous block's copies are in flight
+        pending = (ms, me, res)
+    harvest(*pending)
     result = BulkScanResult(L=L, h2_null_list=h2_list, h2_panel=h2_panel)
     if output_effects:
         result.beta_mat, result.beta_se_mat = beta, se
