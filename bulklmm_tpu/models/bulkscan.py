@@ -344,24 +344,28 @@ def _alt_grid_pipeline(
     )
 
 
-@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk",))
+@partial(jax.jit, static_argnames=_STATIC_GRID + ("trait_chunk", "panel"))
 @with_highest_matmul
 def _alt_grid_pallas_pipeline(
-    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision, trait_chunk=None
+    Y, Xm, C, Ut, lam, h2_grid, *, prior, reml, method, precision,
+    trait_chunk=None, panel=True,
 ):
     """Rotation fused with the VMEM-carry alt-grid kernel
     (pallas/altgrid_fused.py) — the TPU fast path; ~equal accuracy to the
     XLA formulation at f32 kernel dtype, without the per-grid-step (p, m)
-    HBM carry traffic."""
+    HBM carry traffic. ``panel=False`` drops the argmax carry (1.095x,
+    benchmarks/probe_altgrid_argmax.py)."""
     from ..pallas.altgrid_fused import fused_alt_grid
 
     Y0, X0m, C0 = _rotate(Y, Xm, C, Ut)
 
     def impl(Yc):
-        return fused_alt_grid(
+        out = fused_alt_grid(
             Yc, X0m, C0, lam, h2_grid, prior=prior, reml=reml,
             dot_precision=precision.gemm_precision,
+            output_h2_panel=panel,
         )
+        return out if panel else (out[0],)
 
     if trait_chunk is None:
         return impl(Y0)
@@ -391,6 +395,7 @@ def bulkscan(
     engine: str = "auto",
     output_effects: bool = False,
     missing: str = "error",
+    output_h2_panel: bool = True,
 ) -> BulkScanResult:
     """Genome scan for many traits at once.
 
@@ -446,6 +451,7 @@ def bulkscan(
             solve_method=solve_method, precision=precision,
             trait_chunk=trait_chunk, engine=engine,
             output_effects=output_effects,
+            output_h2_panel=output_h2_panel,
         ),
         covar=covar, weights=weights, add_intercept=add_intercept,
         what="bulkscan",
@@ -493,6 +499,7 @@ def bulkscan(
                 chisq_df=chisq_df, solve_method=solve_method,
                 precision=precision, engine=engine,
                 output_effects=output_effects,
+                output_h2_panel=output_h2_panel,
                 dims=(_n, _p, _m, _c, _grid, _iz, _nout),
             )
 
@@ -543,7 +550,10 @@ def bulkscan(
             effects=output_effects and method != "alt-grid",
         )
         if method == "alt-grid":
-            result = BulkScanResult(L=out[0], h2_panel=out[1])
+            result = BulkScanResult(
+                L=out[0],
+                h2_panel=out[1] if output_h2_panel else None,
+            )
         else:
             result = BulkScanResult(L=out[0], h2_null_list=out[1])
             if output_effects:
@@ -587,12 +597,25 @@ def bulkscan(
             and h2_grid.shape[0] <= 127
             and _altgrid_feasible(n)
         )
-        pipeline = _alt_grid_pallas_pipeline if use_pallas else _alt_grid_pipeline
-        L, h2_panel = pipeline(
-            Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
-            prior=prior, reml=reml, method=solve_method,
-            precision=precision, trait_chunk=trait_chunk,
-        )
+        if use_pallas:
+            out = _alt_grid_pallas_pipeline(
+                Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
+                prior=prior, reml=reml, method=solve_method,
+                precision=precision, trait_chunk=trait_chunk,
+                panel=output_h2_panel,
+            )
+            L, h2_panel = out if output_h2_panel else (out[0], None)
+        else:
+            L, h2_panel = _alt_grid_pipeline(
+                Y, Xm, C, Ut, lam, h2_grid.astype(dtype),
+                prior=prior, reml=reml, method=solve_method,
+                precision=precision, trait_chunk=trait_chunk,
+            )
+            if not output_h2_panel:
+                # XLA formulation computes the panel either way (its scan
+                # carry is HBM-resident regardless); the flag only elides
+                # the PALLAS kernel's VMEM argmax carry
+                h2_panel = None
         result = BulkScanResult(L=L, h2_panel=h2_panel)
 
     if output_pvals:

@@ -55,8 +55,8 @@ from ..ops.weights import make_weights
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g,
-            dot_precision=_HI):
+def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref=None, *,
+            n, g, dot_precision=_HI):
     """One (marker-tile, trait-tile, grid-step) cell.
 
     s_ref:    (1, 1, n_pad) sqrt-weights for grid step k
@@ -66,7 +66,9 @@ def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g,
     c_ref:    (1, 1, TM)    exp(-(2/n)(ell0[k] - ell0max)) per trait
     u_ref:    (TP, TM)      running min of u (VMEM-resident across k);
                             becomes the LOD tile on the last step
-    kmax_ref: (TP, TM) int8 running argmin grid index
+    kmax_ref: (TP, TM) int8 running argmin grid index, or None
+              (``output_h2_panel=False``: min-only carry, measured 1.095x
+              — benchmarks/probe_altgrid_argmax.py)
     """
     k = pl.program_id(2)
     tiny = jnp.finfo(jnp.float32).tiny
@@ -125,16 +127,25 @@ def _kernel(s_ref, qt_ref, xt_ref, y_ref, c_ref, u_ref, kmax_ref, *, n, g,
     # zero and log10_f32_accurate needs a normal input
     u = jnp.maximum(jnp.maximum(1.0 - r2, tiny) * c_ref[0, 0, :][None, :], tiny)
 
-    @pl.when(k == 0)
-    def _():
-        u_ref[:] = u
-        kmax_ref[:] = jnp.zeros_like(kmax_ref)
+    if kmax_ref is None:
+        @pl.when(k == 0)
+        def _():
+            u_ref[:] = u
 
-    @pl.when(k > 0)
-    def _():
-        upd = u < u_ref[:]  # strict: first min wins, like Julia findmax
-        kmax_ref[:] = jnp.where(upd, k.astype(jnp.int8), kmax_ref[:])
-        u_ref[:] = jnp.where(upd, u, u_ref[:])
+        @pl.when(k > 0)
+        def _():
+            u_ref[:] = jnp.minimum(u_ref[:], u)
+    else:
+        @pl.when(k == 0)
+        def _():
+            u_ref[:] = u
+            kmax_ref[:] = jnp.zeros_like(kmax_ref)
+
+        @pl.when(k > 0)
+        def _():
+            upd = u < u_ref[:]  # strict: first min wins, like Julia findmax
+            kmax_ref[:] = jnp.where(upd, k.astype(jnp.int8), kmax_ref[:])
+            u_ref[:] = jnp.where(upd, u, u_ref[:])
 
     @pl.when(k == g - 1)
     def _():
@@ -176,8 +187,13 @@ def fused_alt_grid(
     tile_m: int = 1024,
     dot_precision=_HI,
     interpret: bool = False,
+    output_h2_panel: bool = True,
 ):
     """(p, m) alt-grid LOD matrix + (p, m) argmax h2 panel, fused.
+    ``output_h2_panel=False`` drops the int8 argmax carry from the VMEM
+    loop (returns ``(L, None)``) — measured 1.095x at BXD scale
+    (benchmarks/probe_altgrid_argmax.py; a deferred second argmax pass
+    would cost a full re-sweep, strictly worse than carrying).
 
     Y0/X0m/C0/lam: eigen-rotated traits (n, m), markers (n, p), covariates
     (n, c), eigenvalues (n,). Numerics match ``_alt_grid_impl`` with a
@@ -233,11 +249,15 @@ def fused_alt_grid(
     out_spec = pl.BlockSpec(
         (tile_p, tile_m), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
     )
-    L, kmax = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((p_pad, m_pad), f32),
-            jax.ShapeDtypeStruct((p_pad, m_pad), jnp.int8),
+            (
+                jax.ShapeDtypeStruct((p_pad, m_pad), f32),
+                jax.ShapeDtypeStruct((p_pad, m_pad), jnp.int8),
+            )
+            if output_h2_panel
+            else jax.ShapeDtypeStruct((p_pad, m_pad), f32)
         ),
         grid=grid,
         in_specs=[
@@ -257,7 +277,7 @@ def fused_alt_grid(
                 (1, 1, tile_m), lambda i, j, k: (k, i * 0, j), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(out_spec, out_spec),
+        out_specs=(out_spec, out_spec) if output_h2_panel else out_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -273,6 +293,9 @@ def fused_alt_grid(
         interpret=interpret,
     )(Sp, Qt, Xt, Yp, cp)
 
+    if not output_h2_panel:
+        return out[:p, :m].astype(Y0.dtype), None
+    L, kmax = out
     L = L[:p, :m].astype(Y0.dtype)
     h2_panel = h2_grid[kmax[:p, :m].astype(jnp.int32)]
     return L, h2_panel
