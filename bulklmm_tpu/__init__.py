@@ -83,7 +83,7 @@ from .ops import (
 )
 from .utils import DEFAULT_PRECISION, PrecisionConfig, enable_x64
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "io",

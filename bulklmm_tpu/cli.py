@@ -387,6 +387,23 @@ def _podscan(args):
 
     G = _load_geno(args)
     Y = _load_pheno(args)
+    if getattr(args, "missing", "error") != "error":
+        finite = np.isfinite(np.asarray(Y, dtype=np.float64))
+        if not finite.all():
+            if args.missing == "mask":
+                raise SystemExit(
+                    "podscan supports --missing drop only: per-trait "
+                    "pattern masking changes the row geometry per trait, "
+                    "which does not compose with the pod's fixed trait "
+                    "sharding. Run bulkscan --missing mask on one host, "
+                    "or --missing drop here."
+                )
+            # listwise drop from the FULL trait matrix — every process
+            # loads the same phenotype file, so the row set is identical
+            # across the pod (kinship is built from the subset below)
+            rows = finite.all(axis=1)
+            Y = np.asarray(Y)[rows]
+            G = np.asarray(G)[rows]
     mesh = make_global_mesh()
     sl = local_trait_slice(Y.shape[1], mesh)
     if getattr(args, "lowrank_k", 0) and not getattr(args, "kinship", None):

@@ -421,3 +421,40 @@ def test_cli_missing_flag(tmp_path):
     ref = bl.bulkscan(Y[obs][:, [1]], G[obs],
                       np.asarray(bl.calc_kinship(G))[np.ix_(obs, obs)])
     np.testing.assert_allclose(L[:, 1], np.asarray(ref.L[:, 0]), atol=1e-6)
+
+
+def test_cli_podscan_missing_drop(tmp_path):
+    """podscan --missing drop: listwise deletion from the full trait
+    matrix (identical rows on every process); --missing mask is refused
+    with the recipe (pattern geometry does not compose with the pod's
+    trait sharding)."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(9)
+    n, p, m = 30, 16, 4
+    G = rng.uniform(0, 1, (n, p))
+    Y = rng.normal(size=(n, m))
+    Y[3:6, 2] = np.nan
+    np.savez(tmp_path / "g.npz", geno=G)
+    np.savez(tmp_path / "y.npz", pheno=Y)
+    env = {k: v for k, v in os.environ.items()
+           if "AXON" not in k and "PALLAS" not in k}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    base = [sys.executable, "-m", "bulklmm_tpu", "podscan",
+            "--geno", "g.npz", "--pheno", "y.npz", "-o", "pod.npz"]
+    r = subprocess.run(base + ["--missing", "mask"], cwd=tmp_path, env=env,
+                       capture_output=True, text=True)
+    assert r.returncode != 0 and "drop" in (r.stderr + r.stdout)
+    r = subprocess.run(base + ["--missing", "drop"], cwd=tmp_path, env=env,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-800:]
+    shard = np.load(tmp_path / "lod_shard_00000.npz")
+    rows = np.isfinite(Y).all(axis=1)
+    ref = bl.bulkscan(Y[rows], G[rows],
+                      np.asarray(bl.calc_kinship(G[rows])))
+    # CLI default is BALANCED (f32 kernels) vs the in-process f64 ref
+    np.testing.assert_allclose(shard["lod"], np.asarray(ref.L), atol=2e-5)
