@@ -400,21 +400,39 @@ def _podscan(args):
                 )
             # listwise drop from the FULL trait matrix — every process
             # loads the same phenotype file, so the row set is identical
-            # across the pod (kinship is built from the subset below)
+            # across the pod
             rows = finite.all(axis=1)
             Y = np.asarray(Y)[rows]
             G = np.asarray(G)[rows]
+            drop_rows = np.flatnonzero(rows)
+        else:
+            drop_rows = None
+    else:
+        drop_rows = None
     mesh = make_global_mesh()
     sl = local_trait_slice(Y.shape[1], mesh)
     if getattr(args, "lowrank_k", 0) and not getattr(args, "kinship", None):
         # rank-k factors straight from genotypes — the pod-scale cohorts
         # this subcommand targets are exactly where a dense n x n kinship
-        # and its host eigh stop being an option
+        # and its host eigh stop being an option (built from the already-
+        # subset G when --missing drop removed rows)
         from . import kinship_lowrank_from_geno
 
         K = kinship_lowrank_from_geno(G, args.lowrank_k, precision=precision)
     else:
         K = _load_kinship(args, G, precision)
+        kn = (
+            K.Ut.shape[0] if hasattr(K, "Ut")
+            else K.U.shape[0] if hasattr(K, "U")
+            else np.shape(K)[0]
+        )
+        if drop_rows is not None and kn != G.shape[0]:
+            # a --kinship FILE still covers the full cohort: subset it to
+            # the dropped-row geometry (type-preserving — raw matrix,
+            # decomposition, or rank-k factors)
+            from .models.missing import subset_kinship
+
+            K = subset_kinship(K, drop_rows)
 
     if args.nperms > 0:
         _, lo, hi = bulkscan_perms_distributed(

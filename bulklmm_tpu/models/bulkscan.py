@@ -648,12 +648,19 @@ def _host_blocked_bulkscan(Y, G, K, covar, *, dims, weights, decomp_scheme,
                 "weights rescale the kinship matrix (K -> WKW); pass the "
                 "raw K, not a cached decomposition."
             )
-        if covar is None:  # same normalization as _scan_common_inputs
+        # same input normalization as _scan_common_inputs BEFORE the
+        # weight scaling: a 1-D Y would broadcast y * w[:, None] to
+        # (n, n) silently, a 1-D covar would crash the intercept concat
+        Yw = np.asarray(Y, dtype=np.float64)
+        Yw = Yw[:, None] if Yw.ndim == 1 else Yw
+        if covar is None:
             covar = np.ones((n, 1), dtype=np.float64)
             kwargs["add_intercept"] = False
+        else:
+            covar = np.asarray(covar, dtype=np.float64)
+            covar = covar[:, None] if covar.ndim == 1 else covar
         Y, G, covar, K, kwargs["add_intercept"] = _apply_weights(
-            np.asarray(Y, dtype=np.float64), G, covar, K, weights,
-            kwargs["add_intercept"],
+            Yw, G, covar, K, weights, kwargs["add_intercept"],
         )
     if not isinstance(K, (KinshipDecomposition, LowRankKinship)):
         K = decompose_kinship(np.asarray(K), decomp_scheme)

@@ -259,6 +259,9 @@ def scan_loco(
             "profile_ll is a single-(marker, kinship) diagnostic; run "
             "scan(profile_ll=True) against the wanted LOCO kinship directly"
         )
+    from .missing import validate_missing_kwarg
+
+    validate_missing_kwarg(missing)
     G = np.asarray(G)
     y = np.asarray(y, dtype=np.float64)
     finite = np.isfinite(y).ravel() if y.ndim > 1 else np.isfinite(y)
@@ -266,11 +269,8 @@ def scan_loco(
         # single trait: complete-case row subset; LOCO kinships are built
         # from the subset genotypes below (exact — K_ij depends only on
         # rows i, j of G)
-        from .missing import (
-            _check_side_inputs, raise_if_missing, validate_missing_kwarg,
-        )
+        from .missing import _check_side_inputs, raise_if_missing
 
-        validate_missing_kwarg(missing)
         raise_if_missing(missing != "error", "scan_loco")
         weights = kwargs.get("weights")
         _check_side_inputs(covar, weights, "scan_loco")

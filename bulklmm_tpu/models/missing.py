@@ -34,8 +34,10 @@ Oracle guarantee (tested in tests/test_missing.py): a masked run equals
 the engine run on the hand-subsetted complete data, per trait — exactly
 up to batched-GEMM summation order (bit-exact when the group's shapes
 match the oracle's, <= 1e-9 otherwise). Permutation engines draw the
-same shuffle indices as the complete-case run (same n_obs + seed), one
-independent set per pattern group; thresholds remain valid per trait.
+same shuffle indices as the complete-case run would (indices depend on
+(n_obs, nperms, seed) only — so pattern groups that happen to share an
+n_obs also share indices; each trait's own FWER threshold is valid
+regardless, exactly as in the complete-case analyses it reproduces).
 """
 
 from __future__ import annotations
@@ -339,11 +341,16 @@ def maybe_masked(Y, missing: str, run_group, *, covar=None, weights=None,
     validate_missing_kwarg(missing)
     if missing == "error":
         return None
-    Yn = np.asarray(Y, dtype=np.float64)
-    Yn = Yn[:, None] if Yn.ndim == 1 else Yn
-    finite = np.isfinite(Yn)
+    # scan the ORIGINAL dtype first (no copy): the f64 conversion below
+    # would double host RAM for a complete f32 matrix just to find no NaN
+    Y0 = np.asarray(Y)
+    Y0 = Y0[:, None] if Y0.ndim == 1 else Y0
+    if Y0.dtype.kind not in "fc":
+        return None
+    finite = np.isfinite(Y0)
     if finite.all():
         return None
+    Yn = Y0.astype(np.float64)
     _check_side_inputs(covar, weights, what)
     groups = missing_groups(finite, drop=(missing == "drop"))
     _check_group_sizes(
@@ -406,7 +413,11 @@ def stitch_results(pairs, m: int):
                 for k in v0
             }
         elif np.ndim(v0) == 0:
-            assert all(np.ndim(v) == 0 and v == v0 for _, v in vals), f.name
+            if not all(np.ndim(v) == 0 and v == v0 for _, v in vals):
+                raise ValueError(
+                    f"pattern groups disagree on scalar result field "
+                    f"{f.name!r}: {[v for _, v in vals]!r}"
+                )
             out[f.name] = v0
         else:
             out[f.name] = _scatter(

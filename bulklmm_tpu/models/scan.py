@@ -675,6 +675,10 @@ def scan(
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("scan handles one trait; use bulkscan for multiple traits.")
+    from .missing import validate_missing_kwarg
+
+    validate_missing_kwarg(missing)  # eagerly — a typo'd policy must not
+    # pass silently just because this particular trait is complete
     if not np.isfinite(y).all():
         # single-trait complete-case subset ('mask'/'drop' coincide at
         # m = 1); missing='error' refuses with the remediation recipe
@@ -884,6 +888,9 @@ def scan_perms_lite(
     y = y[:, None] if y.ndim == 1 else y
     if y.shape[1] != 1:
         raise ValueError("Can only handle one trait.")
+    from .missing import validate_missing_kwarg
+
+    validate_missing_kwarg(missing)
     if not np.isfinite(y).all():
         from .missing import subset_rows_single
 

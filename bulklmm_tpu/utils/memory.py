@@ -176,6 +176,18 @@ def auto_marker_block(n: int, m: int, *, itemsize: int = 4,
         budget = device_memory_budget()
     trait_side = itemsize * (n * n + 4 * n * m)
     per_marker = itemsize * (2 * 2 * n + (n_outputs + 4) * m)
+    if budget - trait_side < per_marker * 1024:
+        # even the marker-independent trait-side residents (plus one
+        # minimal block) overflow: raise the same actionable error class
+        # as auto_trait_chunk instead of letting the allocator OOM raw
+        raise ValueError(
+            f"bulkscan_streamed trait-side residents at n={n}, m={m} "
+            f"need ~{trait_side / 1e9:.1f} GB against a "
+            f"~{budget / 1e9:.1f} GB budget — no marker block fits. "
+            "Chunk traits across calls (bulkscan host trait blocks, "
+            "utils/memory.py::auto_host_block) or shard the traits axis "
+            "over a device mesh (bulklmm_tpu.parallel)."
+        )
     blk = int((budget - trait_side) // per_marker)
     blk = max(1024, min(blk, 1 << 20))
     # keep the familiar default when it fits — block size barely affects

@@ -77,7 +77,7 @@ def test_auto_marker_block():
     assert mem.auto_marker_block(5000, 20_000,
                                  budget=32 * 1024**3) == 32_768
     # tight memory: shrinks in 1024 quanta, never below 1024
-    small = mem.auto_marker_block(5000, 20_000, budget=2 * 1024**3)
+    small = mem.auto_marker_block(5000, 20_000, budget=3 * 1024**3)
     assert 1024 <= small < 32_768 and small % 1024 == 0
 
 
@@ -198,3 +198,10 @@ def test_streamed_auto_marker_block(small_data):
                                     marker_block=8)
     np.testing.assert_allclose(np.asarray(pa.maxlods),
                                np.asarray(pb.maxlods), atol=1e-12)
+
+
+def test_auto_marker_block_raises_when_trait_side_overflows():
+    """Trait-side residents beyond the budget raise the actionable error
+    (code-review r5) instead of returning a 1024 block that OOMs raw."""
+    with pytest.raises(ValueError, match="trait-side"):
+        mem.auto_marker_block(50_000, 500_000, budget=4 * 1024**3)

@@ -458,3 +458,95 @@ def test_cli_podscan_missing_drop(tmp_path):
                       np.asarray(bl.calc_kinship(G[rows])))
     # CLI default is BALANCED (f32 kernels) vs the in-process f64 ref
     np.testing.assert_allclose(shard["lod"], np.asarray(ref.L), atol=2e-5)
+
+
+def test_masked_composes_with_h2_panel_flag_and_scan_profile(nan_data):
+    """Round-5 feature compositions: missing='mask' x
+    output_h2_panel=False (alt-grid), and a masked single-trait scan with
+    profile_ll attached."""
+    G, Y, K = nan_data
+    res = bl.bulkscan(Y, G, K, method="alt-grid", missing="mask",
+                      output_h2_panel=False)
+    ref = bl.bulkscan(Y, G, K, method="alt-grid", missing="mask")
+    assert res.h2_panel is None
+    np.testing.assert_allclose(np.asarray(res.L), np.asarray(ref.L),
+                               atol=1e-12)
+    # profile_ll runs on the subset data (rows dropped before rotation)
+    r = _obs(Y, 0)
+    out, prof = bl.scan(Y[:, 0], G, K, missing="mask", profile_ll=True,
+                        marker_id=3)
+    out_ref, prof_ref = bl.scan(Y[r, 0], G[r], K[np.ix_(r, r)],
+                                profile_ll=True, marker_id=3)
+    np.testing.assert_allclose(np.asarray(prof[0]), np.asarray(prof_ref[0]),
+                               atol=1e-10)
+
+
+def test_masked_vector_trait_and_inf_values(nan_data):
+    """1-D Y through bulkscan with missing='mask'; +/-inf counts as
+    missing exactly like NaN (isfinite semantics)."""
+    G, Y, K = nan_data
+    y = Y[:, 3].copy()
+    res = bl.bulkscan(y, G, K, missing="mask")
+    r = np.isfinite(y)
+    ref = bl.bulkscan(y[r], G[r], K[np.ix_(r, r)])
+    np.testing.assert_allclose(np.asarray(res.L), np.asarray(ref.L),
+                               atol=1e-12)
+    y2 = Y[:, 6].copy()
+    y2[4] = np.inf
+    y2[9] = -np.inf
+    res2 = bl.bulkscan(y2, G, K, missing="mask")
+    r2 = np.isfinite(y2)
+    ref2 = bl.bulkscan(y2[r2], G[r2], K[np.ix_(r2, r2)])
+    np.testing.assert_allclose(np.asarray(res2.L), np.asarray(ref2.L),
+                               atol=1e-12)
+
+
+def test_missing_kwarg_validated_eagerly_on_complete_data(nan_data):
+    """A typo'd missing= policy must fail even when the current inputs
+    happen to be complete (code-review r5)."""
+    G, Y, K = nan_data
+    Yc = np.nan_to_num(Y, nan=0.0)
+    chrom = np.repeat([1, 2], G.shape[1] // 2)
+    for f in (
+        lambda: bl.scan(Yc[:, 0], G, K, missing="maks"),
+        lambda: bl.scan_perms_lite(Yc[:, 0], G, None, K, nperms=4,
+                                   missing="maks"),
+        lambda: bl.scan_loco(Yc[:, 0], G, chrom, missing="maks"),
+        lambda: bl.bulkscan(Yc, G, K, missing="maks"),
+    ):
+        with pytest.raises(ValueError, match="must be one of"):
+            f()
+
+
+def test_cli_podscan_drop_with_kinship_file(tmp_path):
+    """--missing drop + --kinship FILE: the full-cohort kinship is
+    subset to the dropped-row geometry (code-review r5)."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(10)
+    n, p, m = 28, 14, 4
+    G = rng.uniform(0, 1, (n, p))
+    Y = rng.normal(size=(n, m))
+    Y[2:4, 1] = np.nan
+    K = np.asarray(bl.calc_kinship(G))
+    np.savez(tmp_path / "g.npz", geno=G)
+    np.savez(tmp_path / "y.npz", pheno=Y)
+    np.savez(tmp_path / "K.npz", kinship=K)
+    env = {k: v for k, v in os.environ.items()
+           if "AXON" not in k and "PALLAS" not in k}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "bulklmm_tpu", "podscan",
+         "--geno", "g.npz", "--pheno", "y.npz", "--kinship", "K.npz",
+         "--missing", "drop", "-o", "pod.npz"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    shard = np.load(tmp_path / "lod_shard_00000.npz")
+    rows = np.isfinite(Y).all(axis=1)
+    ref = bl.bulkscan(Y[rows], G[rows], K[np.ix_(rows, rows)])
+    np.testing.assert_allclose(shard["lod"], np.asarray(ref.L), atol=2e-5)
