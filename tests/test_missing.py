@@ -550,3 +550,20 @@ def test_cli_podscan_drop_with_kinship_file(tmp_path):
     rows = np.isfinite(Y).all(axis=1)
     ref = bl.bulkscan(Y[rows], G[rows], K[np.ix_(rows, rows)])
     np.testing.assert_allclose(shard["lod"], np.asarray(ref.L), atol=2e-5)
+
+
+def test_streamed_masked_h5py_dataset(nan_data, tmp_path):
+    """RowSubsetView over an h5py dataset (the lazy-container class the
+    fingerprint and streaming docs promise): masked streamed scan equals
+    the in-memory masked run without ever materializing the full panel."""
+    h5py = pytest.importorskip("h5py")
+    G, Y, K = nan_data
+    f = tmp_path / "g.h5"
+    with h5py.File(f, "w") as h:
+        h.create_dataset("geno", data=G)
+    ref = bl.bulkscan(Y, G, K, missing="mask")
+    with h5py.File(f, "r") as h:
+        res = bl.bulkscan_streamed(Y, h["geno"], K, marker_block=16,
+                                   missing="mask")
+    np.testing.assert_allclose(np.asarray(res.L), np.asarray(ref.L),
+                               atol=1e-12)
