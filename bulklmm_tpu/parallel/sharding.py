@@ -216,6 +216,37 @@ def bulkscan_sharded(
         return masked
     _finite = finite_flag(Y)  # background guard, checked at return
 
+    if trait_chunk is None:
+        # per-DEVICE auto sizing (utils/memory.py): the sharded cores see
+        # global trait blocks of trait_chunk columns, so each device holds
+        # ~(p / marker_shards, chunk / trait_shards) slabs — model the
+        # per-device footprint and scale the chunk back up to global.
+        # Overflow beyond what chunking can fix keeps None (no host-block
+        # path on the mesh; more devices is the fix there).
+        from ..models.missing import _ncov_total
+        from ..utils.memory import auto_trait_chunk
+
+        tr = mesh.shape[TRAITS_AXIS]
+        mk = mesh.shape[MARKERS_AXIS]
+        _n = np.shape(Y)[0]
+        _m = 1 if np.ndim(Y) == 1 else np.shape(Y)[1]
+        _p = np.shape(G)[1]
+        try:
+            mc = auto_trait_chunk(
+                _n, max(1, _p // mk), max(1, -(-_m // tr)),
+                grid=10 if h2_grid is None else len(h2_grid),
+                c=_ncov_total(covar, add_intercept),
+                itemsize=max(
+                    np.dtype(precision.resolve_solve()).itemsize,
+                    np.dtype(precision.resolve_kernel()).itemsize,
+                ),
+                n_outputs=(1 + (method == "alt-grid")
+                           + 2 * int(output_effects) + int(output_pvals)),
+            )
+        except ValueError:
+            mc = None
+        trait_chunk = None if mc is None else mc * tr
+
     Y, covar, h2_grid, add_intercept = _scan_common_inputs(
         Y, covar, h2_grid, add_intercept, method=method, engine="auto"
     )

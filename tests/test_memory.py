@@ -205,3 +205,40 @@ def test_auto_marker_block_raises_when_trait_side_overflows():
     (code-review r5) instead of returning a 1024 block that OOMs raw."""
     with pytest.raises(ValueError, match="trait-side"):
         mem.auto_marker_block(50_000, 500_000, budget=4 * 1024**3)
+
+
+def test_sharded_auto_trait_chunk(monkeypatch):
+    """bulkscan_sharded sizes its global trait chunk from the PER-DEVICE
+    footprint (chunk/trait_shards columns of p/marker_shards markers per
+    device); results equal the unchunked run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bulklmm_tpu.parallel import bulkscan_sharded, make_mesh
+
+    rng = np.random.default_rng(31)
+    n, p, m = 40, 64, 2048  # per-device: 32 markers x 512 traits
+    G = rng.uniform(0, 1, (n, p))
+    K = np.asarray(bl.calc_kinship(G))
+    Y = rng.normal(size=(n, m))
+    mesh = make_mesh(8, marker_shards=2)
+    ref = bulkscan_sharded(Y, G, K, mesh=mesh, trait_chunk=m)
+    # force a tiny per-device budget so auto chunking engages (room for
+    # ~300 trait columns of temps -> a 256-column device chunk)
+    base = mem.bulkscan_static_bytes(n, p // 2, -(-m // 4), 1, 8)
+    per = mem.bulkscan_chunk_bytes(n, p // 2, 1, 10, 1, 8)
+    monkeypatch.setattr(
+        mem, "device_memory_budget",
+        lambda device=None: int(base * mem._STATIC_HEADROOM) + per * 300,
+    )
+    assert mem.auto_trait_chunk(n, p // 2, -(-m // 4), itemsize=8) == 256
+    res = bulkscan_sharded(Y, G, K, mesh=mesh)  # auto
+    np.testing.assert_allclose(np.asarray(res.L), np.asarray(ref.L),
+                               atol=1e-10)
+    # overflow beyond chunking keeps today's unchunked behavior (no
+    # host-block path on the mesh)
+    monkeypatch.setattr(mem, "device_memory_budget", lambda device=None: 1)
+    res2 = bulkscan_sharded(Y, G, K, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res2.L), np.asarray(ref.L),
+                               atol=1e-10)
