@@ -466,15 +466,14 @@ def bulkscan(
         # None back (single-dispatch fast path, unchanged); problems
         # whose (p, m) result itself overflows fall back to sequential
         # host trait blocks with the result assembled in host RAM.
+        from .missing import _ncov_total
         from ..utils.memory import auto_trait_chunk
 
         _n, _m = np.shape(Y)[0], (
             1 if np.ndim(Y) == 1 else np.shape(Y)[1]
         )
         _p = np.shape(G)[1]
-        _c = (1 if covar is None else
-              (1 if np.ndim(covar) == 1 else np.shape(covar)[1])
-              + int(bool(add_intercept)))
+        _c = _ncov_total(covar, add_intercept)
         _grid = 10 if h2_grid is None else len(h2_grid)
         _iz = max(np.dtype(precision.resolve_solve()).itemsize,
                   np.dtype(precision.resolve_kernel()).itemsize)
@@ -671,8 +670,11 @@ def _host_blocked_bulkscan(Y, G, K, covar, *, dims, weights, decomp_scheme,
     G = jnp.asarray(G)
     Yn = np.asarray(Y)
     Yn = Yn[:, None] if Yn.ndim == 1 else Yn
-    kdt = np.dtype(precision.resolve_kernel())
-    L = np.empty((p, m), dtype=kdt)
+    # output dtypes INHERIT from the first block's engine results, so a
+    # host-blocked run returns byte-identical dtypes to the same call on
+    # a bigger device (they are precision- and engine-dependent; pinning
+    # resolve_kernel here would diverge under MIXED)
+    L = None
     h2_list = h2_panel = beta = se = pv = None
 
     def start_d2h(res):
@@ -688,26 +690,33 @@ def _host_blocked_bulkscan(Y, G, K, covar, *, dims, weights, decomp_scheme,
                     pass
 
     def harvest(ms, me, res):
-        nonlocal h2_list, h2_panel, beta, se, pv
-        L[:, ms:me] = np.asarray(res.L)
+        nonlocal L, h2_list, h2_panel, beta, se, pv
+        Lb = np.asarray(res.L)
+        if L is None:
+            L = np.empty((p, m), dtype=Lb.dtype)
+        L[:, ms:me] = Lb
         if res.h2_null_list is not None:
+            hb = np.asarray(res.h2_null_list)
             if h2_list is None:
-                h2_list = np.empty(m, dtype=np.float64)
-            h2_list[ms:me] = np.asarray(res.h2_null_list)
+                h2_list = np.empty(m, dtype=hb.dtype)
+            h2_list[ms:me] = hb
         if res.h2_panel is not None:
+            pb = np.asarray(res.h2_panel)
             if h2_panel is None:
-                h2_panel = np.empty((p, m), dtype=np.float32)
-            h2_panel[:, ms:me] = np.asarray(res.h2_panel)
+                h2_panel = np.empty((p, m), dtype=pb.dtype)
+            h2_panel[:, ms:me] = pb
         if output_effects:
+            bb, sb = np.asarray(res.beta_mat), np.asarray(res.beta_se_mat)
             if beta is None:
-                beta = np.empty((p, m), dtype=kdt)
-                se = np.empty((p, m), dtype=kdt)
-            beta[:, ms:me] = np.asarray(res.beta_mat)
-            se[:, ms:me] = np.asarray(res.beta_se_mat)
+                beta = np.empty((p, m), dtype=bb.dtype)
+                se = np.empty((p, m), dtype=sb.dtype)
+            beta[:, ms:me] = bb
+            se[:, ms:me] = sb
         if output_pvals:
+            vb = np.asarray(res.log10Pvals_mat)
             if pv is None:
-                pv = np.empty((p, m), dtype=kdt)
-            pv[:, ms:me] = np.asarray(res.log10Pvals_mat)
+                pv = np.empty((p, m), dtype=vb.dtype)
+            pv[:, ms:me] = vb
 
     pending = None
     for ms in range(0, m, mh):

@@ -350,7 +350,7 @@ def maybe_masked(Y, missing: str, run_group, *, covar=None, weights=None,
     finite = np.isfinite(Y0)
     if finite.all():
         return None
-    Yn = Y0.astype(np.float64)
+    Yn = Y0.astype(np.float64, copy=False)  # no copy when already f64
     _check_side_inputs(covar, weights, what)
     groups = missing_groups(finite, drop=(missing == "drop"))
     _check_group_sizes(
@@ -420,9 +420,15 @@ def stitch_results(pairs, m: int):
                 )
             out[f.name] = v0
         else:
-            out[f.name] = _scatter(
+            stitched = _scatter(
                 [(t, np.asarray(v)) for t, v in vals], m, axis
             )
+            if f.name == "maxlods":
+                # restore the documented device-resident contract
+                # (BulkPermResult.maxlods feeds on-device threshold /
+                # adjusted-p reductions downstream); MB-scale upload
+                stitched = jnp.asarray(stitched)
+            out[f.name] = stitched
     return type(first)(**out)
 
 
