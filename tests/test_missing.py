@@ -567,3 +567,34 @@ def test_streamed_masked_h5py_dataset(nan_data, tmp_path):
                                    missing="mask")
     np.testing.assert_allclose(np.asarray(res.L), np.asarray(ref.L),
                                atol=1e-12)
+
+
+def test_masked_streamed_and_loco_on_mesh(nan_data):
+    """missing='mask' composes with mesh= on the streamed and LOCO
+    engines (each pattern group runs its sharded/streamed engine on the
+    row subset)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bulklmm_tpu.parallel import make_mesh
+
+    G, Y, K = nan_data
+    mesh = make_mesh(8, marker_shards=2)
+    ref = bl.bulkscan(Y, G, K, missing="mask")
+    res = bl.bulkscan_streamed(Y, G, K, marker_block=16, mesh=mesh,
+                               missing="mask")
+    np.testing.assert_allclose(np.asarray(res.L), np.asarray(ref.L),
+                               atol=1e-9)
+    chrom = np.repeat([1, 2], G.shape[1] // 2)
+    ref_l = bl.bulkscan_loco(Y, G, chrom, missing="mask")
+    res_l = bl.bulkscan_loco(Y, G, chrom, mesh=mesh, missing="mask")
+    np.testing.assert_allclose(np.asarray(res_l.L), np.asarray(ref_l.L),
+                               atol=1e-9)
+    resp = bl.bulkscan_perms_streamed(Y, G, K, nperms=12, rndseed=2,
+                                      marker_block=16, mesh=mesh,
+                                      missing="mask")
+    refp = bl.bulkscan_perms(Y, G, K, nperms=12, rndseed=2,
+                             missing="mask")
+    np.testing.assert_allclose(np.asarray(resp.maxlods),
+                               np.asarray(refp.maxlods), atol=1e-9)
