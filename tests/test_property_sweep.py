@@ -105,3 +105,58 @@ def test_perm_engines_match_random_config(seed):
         marker_block=int(rng.integers(5, p + 4)), mesh=mesh,
     )
     assert np.max(np.abs(A - np.asarray(d.maxlods))) < 1e-9, "streamed+mesh"
+
+
+@pytest.mark.parametrize("seed", [61, 73, 89])
+def test_masked_engines_match_complete_case_random_config(seed):
+    """Randomized missing-data property: under random shapes / covariates
+    / weights / REML and random per-trait missingness, every masked bulk
+    engine equals the complete-case single-trait scan per trait
+    (round-5 missing='mask' composed with the reference's own
+    h2-injection consistency strategy)."""
+    G, K, Y, covar, weights, reml = _config(seed)
+    rng = np.random.default_rng(seed + 1000)
+    Ym = np.asarray(Y, dtype=np.float64).copy()
+    n, m = Ym.shape
+    for j in range(m):
+        if rng.integers(0, 2):
+            k = int(rng.integers(1, max(2, n // 6)))
+            Ym[rng.choice(n, size=k, replace=False), j] = np.nan
+
+    h2s, lods = [], []
+    for j in range(m):
+        r = np.isfinite(Ym[:, j])
+        res = bl.scan(
+            Ym[r, j], G[r], K[np.ix_(r, r)],
+            None if covar is None else covar[r],
+            weights=None if weights is None else weights[r], reml=reml,
+        )
+        h2s.append(float(res.h2_null))
+        lods.append(np.asarray(res.lod))
+    # traits whose Brent fit lands on the clamped h2 = 1 boundary are
+    # outside the injection trick's premise (the grid evaluates the
+    # CLAMPED likelihood there while Brent stops at the boundary —
+    # COMPAT.md #10); exclude them like the reference's own consistency
+    # tests implicitly do by never fitting boundary traits
+    ok = [j for j in range(m) if h2s[j] < 0.999]
+    if not ok:
+        pytest.skip("all traits hit the h2=1 boundary for this seed")
+    grid = np.asarray(sorted({h2s[j] for j in ok}))
+    res = bl.bulkscan(
+        Ym, G, K, covar, weights=weights, reml=reml,
+        method="null-grid", h2_grid=grid, missing="mask",
+    )
+    for j in ok:
+        np.testing.assert_allclose(
+            np.asarray(res.L)[:, j], lods[j], atol=1e-6,
+            err_msg=f"seed={seed} trait={j}",
+        )
+    res2 = bl.bulkscan(
+        Ym, G, K, covar, weights=weights, reml=reml,
+        method="null-exact", missing="mask",
+    )
+    for j in ok:
+        np.testing.assert_allclose(
+            np.asarray(res2.L)[:, j], lods[j], atol=5e-5,
+            err_msg=f"seed={seed} trait={j}",
+        )
