@@ -118,3 +118,34 @@ def test_brent_f32_converges():
     fmin, xmin = brent_min(f, jnp.float32(0.0), jnp.float32(1.0))
     assert xmin.dtype == jnp.float32
     assert abs(float(xmin) - 0.3217) < 2e-4  # sqrt(eps(f32)) ~ 3.5e-4
+
+
+def test_multimodal_boundary_profile_optim_interval_escape():
+    """COMPAT.md #19: a profile likelihood with a global max at h2=0 but
+    rising again toward the clamped h2=1 boundary can trap the default
+    single-interval Brent at the LOCAL boundary optimum (the reference's
+    hazard too — its gridbrent default is also one interval);
+    optim_interval=2 engages subintervals and recovers the global
+    optimum. The null-GRID engines are immune (they evaluate the grid)."""
+    import bulklmm_tpu as bl
+
+    # the exact random-config draw sequence of
+    # tests/test_property_sweep.py::_config(73), where the case was found
+    rng = np.random.default_rng(73)
+    n = int(rng.integers(24, 56))
+    p_ = int(rng.integers(20, 60))
+    m = int(rng.integers(2, 5))
+    int(rng.integers(0, 3))  # c (unused here)
+    G = rng.uniform(0, 1, (n, p_))
+    K = np.asarray(bl.calc_kinship(G))
+    L = np.linalg.cholesky(K + 1e-8 * np.eye(n))
+    Y = 0.6 * (L @ rng.normal(size=(n, m))) + rng.normal(size=(n, m))
+    y = Y[:, 0]
+    h2_default = float(bl.scan(y, G, K).h2_null)
+    h2_grid2 = float(bl.scan(y, G, K, optim_interval=2).h2_null)
+    if h2_default < 0.999:
+        pytest.skip("profile not multimodal under this numpy version")
+    assert h2_grid2 < 0.1  # subintervals find the global optimum
+    # and the grid engine never had the problem
+    bres = bl.bulkscan(y, G, K)
+    assert float(bres.h2_null_list[0]) < 0.1
