@@ -156,9 +156,29 @@ def gridbrent(
     Guards against multi-modal profile likelihoods exactly like the
     reference's ``gridbrent`` (src/gridbrent.jl:9-24), but the subintervals
     run as one vmapped batch instead of a broadcast loop.
+
+    The LOWER interval endpoint is additionally evaluated as a candidate:
+    bounded Brent never samples exactly at a bound (neither does the
+    reference's Optim.Brent), so an h2-profile whose global maximum sits
+    AT h2=0 with a local rise toward the boundary would otherwise trap
+    the default single-interval fit at the wrong mode (COMPAT.md #19).
+    The UPPER endpoint is deliberately NOT a candidate: h2=1 is an open
+    boundary of the model (the reference throws there, src/lmm.jl:19-21;
+    this framework's delta clamp exists only so traced evaluations stay
+    finite) — selecting the clamped point exactly would return a
+    degenerate sigma2_e ~ 0 fit whenever a profile rises monotonically
+    into the boundary, where Brent's interior 1-eps convergence is the
+    meaningful answer. One extra evaluation; well-behaved fits unchanged.
     """
     pts = jnp.linspace(a, b, ninterval + 1, dtype=brent_kwargs.get("dtype"))
-    av, bv = pts[:-1], pts[1:]
+    # the lower endpoint rides the SAME vmapped batch as a degenerate
+    # [a, a] lane (brent_min converges immediately there and returns
+    # (f(a), a)) — a separate f(a) call-site would duplicate the traced
+    # objective in the compiled graph
+    av = jnp.concatenate([pts[:-1], pts[:1]])
+    bv = jnp.concatenate([pts[1:], pts[:1]])
     fmins, xmins = jax.vmap(lambda lo, hi: brent_min(f, lo, hi, **brent_kwargs))(av, bv)
+    # a degenerate evaluation must lose, not poison argmin
+    fmins = jnp.where(jnp.isnan(fmins), jnp.inf, fmins)
     i = jnp.argmin(fmins)
     return fmins[i], xmins[i]

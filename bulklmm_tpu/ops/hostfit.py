@@ -206,6 +206,10 @@ def fit_lmm_host_lowrank(
         fmin, xmin = _brent_bounded(neg_ll, float(lo), float(hi))
         if fmin < best_f:
             best_f, best_x = fmin, xmin
+    x = float(pts[0])  # LOWER endpoint candidate only (COMPAT.md #19 —
+    fx = neg_ll(x)     # h2=1 is an open boundary; never select the clamp)
+    if math.isfinite(fx) and fx < best_f:
+        best_f, best_x = fx, x
     b, sigma2, ell = _wls_lowrank(parts, lam, best_x, prior, reml, n)
     return HostFit(b=b, sigma2=sigma2, h2=best_x, ell=ell)
 
@@ -243,5 +247,9 @@ def fit_lmm_host(
         fmin, xmin = _brent_bounded(neg_ll, float(lo), float(hi))
         if fmin < best_f:
             best_f, best_x = fmin, xmin
+    x = float(pts[0])  # LOWER endpoint candidate only (COMPAT.md #19 —
+    fx = neg_ll(x)     # h2=1 is an open boundary; never select the clamp)
+    if math.isfinite(fx) and fx < best_f:
+        best_f, best_x = fx, x
     coef, sigma2, ell = _wls(y0, X0, _make_weights(best_x, lam), prior, reml)
     return HostFit(b=coef, sigma2=sigma2, h2=best_x, ell=ell)

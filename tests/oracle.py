@@ -68,6 +68,13 @@ def fit_lmm(y0, X0, lam, prior=(0.0, 0.0), reml=False, ninterval=1):
         )
         if r.fun < best[0]:
             best = (r.fun, r.x)
+    # LOWER endpoint candidate, mirroring ops/brent.py::gridbrent —
+    # bounded Brent never samples exactly at a bound, and multimodal
+    # profiles can trap it at a local boundary optimum (COMPAT.md #19;
+    # h2=1 is an open boundary and is deliberately NOT a candidate)
+    f0 = negll(0.0)
+    if np.isfinite(f0) and f0 < best[0]:
+        best = (f0, 0.0)
     h2 = best[1]
     coef, sigma2, ell, _ = wls(y0, X0, make_weights(h2, lam), prior, reml=reml)
     return dict(b=coef, sigma2=sigma2[0], h2=h2, ell=ell[0])

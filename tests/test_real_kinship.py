@@ -96,27 +96,44 @@ def test_scan_null_oracle_parity_real_k(real_k_data):
 
 def test_multimodal_profile_guard_real_k(real_k_data):
     """A moderate planted effect makes the null profile bimodal on the real
-    spectrum: one Brent interval converges to the interior local optimum; 16
-    subintervals find the boundary global optimum (strictly higher
-    likelihood) — the gridbrent guard (reference src/gridbrent.jl:9-24)
-    doing its job on real data."""
+    spectrum. Through round 4 this test demonstrated the hazard: one Brent
+    interval converged to the interior LOCAL optimum while 16 subintervals
+    found the boundary global one. Round 5's lower-endpoint guard
+    (ops/brent.py::gridbrent, COMPAT.md #19) closes that gap at DEFAULT
+    settings — both interval counts now return the global mode — while
+    pure interior Brent (no endpoint candidate) still demonstrates the
+    bimodality by landing on the other, strictly-lower-likelihood mode."""
     from bulklmm_tpu.models.bulkscan import grid_null_ell
+    from bulklmm_tpu.ops.brent import brent_min
     from bulklmm_tpu.ops.rotation import transform_rotation
+    from bulklmm_tpu.ops.weights import make_weights
+    from bulklmm_tpu.ops.wls import wls_ell
     import jax.numpy as jnp
 
     d = real_k_data
     y = d["y_bimodal"][:, None]
     res1 = bl.scan(y[:, 0], d["G"], d["K"], optim_interval=1, precision=EXACT64)
     res16 = bl.scan(y[:, 0], d["G"], d["K"], optim_interval=16, precision=EXACT64)
-    assert abs(float(res1.h2_null) - float(res16.h2_null)) > 0.05  # different modes
+    # endpoint guard: one interval now finds the same global mode as 16
+    assert abs(float(res1.h2_null) - float(res16.h2_null)) < 1e-6
 
     rot = transform_rotation(jnp.asarray(y), jnp.ones((y.shape[0], 1)), d["K"],
                              add_intercept=False)
+
+    def neg_ll(h2):
+        return -wls_ell(
+            rot.y0, rot.X0, make_weights(h2, rot.lam), (0.0, 0.0)
+        )[0][0]
+
+    # pure interior Brent (what the pre-guard default did): a DIFFERENT,
+    # lower-likelihood mode — the profile is genuinely bimodal
+    _, x_interior = brent_min(neg_ll, 0.0, 1.0, dtype=rot.lam.dtype)
+    assert abs(float(x_interior) - float(res1.h2_null)) > 0.05
     ells = grid_null_ell(
         rot.y0, rot.X0, rot.lam,
-        jnp.asarray([float(res1.h2_null), float(res16.h2_null)]), (0.0, 0.0),
+        jnp.asarray([float(x_interior), float(res1.h2_null)]), (0.0, 0.0),
     )
-    assert float(ells[1, 0]) > float(ells[0, 0])  # 16-interval mode wins
+    assert float(ells[1, 0]) > float(ells[0, 0])  # the guard's mode wins
 
 
 def test_scan_null_reml_oracle_parity_real_k(real_k_data):

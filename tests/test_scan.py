@@ -54,7 +54,11 @@ def test_scan_alt_compat_sqrt_weights(bxd_like):
     """compat_sqrt_weights=True reproduces the reference's sqrt-weights quirk
     (reference src/scan.jl:432-440) exactly, against an oracle implementing
     the quirk — making alt-path parity vs real reference output falsifiable."""
-    y = bxd_like["Y"][:, 5]  # interior fitted h2 (~0.52): the quirk bites
+    # trait 6: interior GLOBAL optimum (h2 ~0.86), so the quirk bites.
+    # (Trait 5's profile is globally maximized at h2=0 — its former ~0.52
+    # fit was a LOCAL optimum that the round-5 endpoint guard now
+    # correctly rejects, making the quirk a no-op there.)
+    y = bxd_like["Y"][:, 6]
     G = bxd_like["G"][:, :30]
     mine = scan(y, G, bxd_like["K"], assumption="alt", compat_sqrt_weights=True)
     ref = oracle.scan_alt_compat(y, G, bxd_like["K"])
@@ -145,7 +149,10 @@ def test_scan_prior_regularization(bxd_like):
     ref = oracle.scan_null(y, bxd_like["G"], bxd_like["K"], prior=(1.0, 3.0))
     assert abs(float(out1.h2_null) - ref["h2_null"]) < 1e-5
     assert np.max(np.abs(np.asarray(out1.lod) - ref["lod"])) < 1e-7
-    assert not np.allclose(float(out0.h2_null), float(out1.h2_null))
+    # the prior demonstrably changes the fit (sigma2 shrinks toward
+    # prior_variance; h2 alone is a weak discriminator — both fits may
+    # land on the exact same endpoint, e.g. h2 = 0 for this trait)
+    assert not np.allclose(float(out0.sigma2_e), float(out1.sigma2_e))
 
 
 def test_kinship_decomposition_cache(bxd_like):
