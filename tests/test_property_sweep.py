@@ -32,7 +32,7 @@ def _config(seed):
     return G, K, Y, covar, weights, reml
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 51])
+@pytest.mark.parametrize("seed", [11, 23, 37, 51, 101, 115])
 def test_bulk_engines_match_single_trait_random_config(seed):
     G, K, Y, covar, weights, reml = _config(seed)
     # single-trait fits give the h2s to inject into the grid
