@@ -49,3 +49,18 @@ def bxd_like():
     Y[:, 0] += 0.8 * (G[:, 17] - G[:, 17].mean())
     Y[:, 1] += 0.6 * (G[:, 63] - G[:, 63].mean())
     return dict(G=G, K=K, Y=Y, n=n, p=p, m=m)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    Observed on this environment: ~600 compiles into a monolithic suite
+    process, an XLA CPU compile can segfault (different, long-stable
+    programs each time; reproducibly absent in per-file runs and in solo
+    full runs, most often seen with concurrent TPU-tunnel processes).
+    Dropping the accumulated executable state between modules shrinks the
+    window; cross-module compile-cache reuse is minimal here (fixtures
+    and shapes are per-module)."""
+    yield
+    jax.clear_caches()
